@@ -1,0 +1,337 @@
+"""Per-conversation record coalescers — the collector framework.
+
+Pure Python, no Ray: used by BOTH the single-process oracle
+(aushape_ray.oracle) and the distributed assemble stage
+(aushape_ray.stages.assemble), so the distributed path is cross-checked
+for shuffle/ordering/batching behaviour while semantics live in one place.
+
+Mirrors the reference's collector vtable + state table
+(/root/reference/include/aushape/coll.h:20-43, lib/coll.c:24-160):
+
+- ExecveCollector  <- lib/execve_coll.c:431-577 (argv reassembly, slice
+  length accounting :364-377, completeness check :533-536)
+- PathCollector    <- lib/path_coll.c:77-260 (slot by `item`, gapless check)
+- RepCollector     <- lib/rep_coll.c:90-228 (repeated records -> array)
+- UniqCollector    <- lib/uniq_coll.c:135-168 (repeated kind is an error)
+- drop kinds       <- lib/drop_coll.c:27-34 (handled by the dispatcher)
+- EventAssembler   <- lib/conv_buf.c:355-709 (error latch :549-568, error
+  node :627-648, drop-empty :570-574)
+
+A "field" reaching a collector is (key, raw, interpreted) with quotes
+already stripped from raw; the rendered field value is `[interpreted]` when
+interpreted == raw else `[interpreted, raw]` (lib/field.c:116-130,
+aushape.schema.json:5-13).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable
+
+from .grammar import (
+    ARG_LEN_RE,
+    ARG_RE,
+    DROP_KINDS,
+    EXECVE_KIND,
+    PATH_KIND,
+    PATH_MAX_ITEM,
+    REP_KINDS,
+    SINK_DIALOG,
+    SINK_ERROR,
+    SINK_TOOL,
+    SLICE_RE,
+)
+
+Field = tuple[str, str, str]  # (key, raw, interpreted)
+
+
+class CollectError(Exception):
+    """A per-conversation semantic violation (latches, never fails a task)."""
+
+
+def render_fields(fields: Iterable[Field]) -> dict:
+    out = {}
+    for key, raw, interp in fields:
+        out[key] = [interp] if interp == raw else [interp, raw]
+    return out
+
+
+class ExecveCollector:
+    """Reassemble argv split across EXECVE records."""
+
+    def __init__(self) -> None:
+        self.argc: int | None = None
+        self.args: dict[int, str] = {}
+        self.slices: dict[int, dict[int, str]] = {}
+        self.lens: dict[int, int] = {}
+        self.seen = False
+
+    def _check_idx(self, i: int) -> None:
+        if self.argc is not None and i >= self.argc:
+            raise CollectError(f"execve: arg index {i} out of range")
+
+    def add(self, fields: Iterable[Field]) -> None:
+        self.seen = True
+        for key, raw, interp in fields:
+            if key == "argc":
+                if self.argc is not None:
+                    raise CollectError("execve: duplicate argc")
+                self.argc = int(raw)
+                continue
+            m = ARG_RE.match(key)
+            if m:
+                i = int(m.group(1))
+                self._check_idx(i)
+                self.args[i] = interp
+                continue
+            m = ARG_LEN_RE.match(key)
+            if m:
+                i = int(m.group(1))
+                self._check_idx(i)
+                self.lens[i] = int(raw)
+                continue
+            m = SLICE_RE.match(key)
+            if m:
+                i, j = int(m.group(1)), int(m.group(2))
+                self._check_idx(i)
+                self.slices.setdefault(i, {})[j] = interp  # hex-decoded
+                continue
+            # non-argv fields on an EXECVE record are ignored
+
+    def end(self) -> list[str]:
+        if not self.seen:
+            return []
+        if self.argc is None:
+            raise CollectError("execve: missing argc")
+        for i, parts in self.slices.items():
+            if i not in self.lens:
+                raise CollectError(f"execve: arg {i} slices without length")
+            joined = "".join(parts[j] for j in sorted(parts))
+            if len(joined) != self.lens[i]:
+                raise CollectError(
+                    f"execve: arg {i} length mismatch "
+                    f"({len(joined)} != {self.lens[i]})"
+                )
+            self.args[i] = joined
+        # skipped args are filled with "" (lib/execve_coll.c gap fill)
+        return [self.args.get(i, "") for i in range(self.argc)]
+
+
+class PathCollector:
+    """Collect PATH records by explicit `item` slot; require gapless set."""
+
+    def __init__(self) -> None:
+        self.slots: dict[int, dict] = {}
+        self.seen = False
+
+    def add(self, fields: list[Field]) -> None:
+        self.seen = True
+        item = next((raw for key, raw, _ in fields if key == "item"), None)
+        if item is None:
+            raise CollectError("path: missing item index")
+        idx = int(item)
+        if idx > PATH_MAX_ITEM:
+            raise CollectError(f"path: item {idx} exceeds {PATH_MAX_ITEM}")
+        if idx in self.slots:
+            raise CollectError(f"path: duplicate item {idx}")
+        self.slots[idx] = render_fields(fields)
+
+    def end(self) -> list[dict]:
+        if not self.seen:
+            return []
+        if sorted(self.slots) != list(range(len(self.slots))):
+            raise CollectError("path: gap in item sequence")
+        return [self.slots[i] for i in sorted(self.slots)]
+
+
+class RepCollector:
+    """Aggregate repeated records of one kind into an array."""
+
+    def __init__(self) -> None:
+        self.items: list[dict] = []
+
+    def add(self, fields: list[Field]) -> None:
+        self.items.append(render_fields(fields))
+
+    def end(self) -> list[dict]:
+        return self.items
+
+
+# Deterministic finalization order (disp_coll finalizes in map order,
+# lib/disp_coll.c:236-247); uniq kinds have no end-stage error.
+END_ORDER = (EXECVE_KIND, PATH_KIND) + REP_KINDS
+
+
+class EventAssembler:
+    """Assemble one conversation's turns into an event document.
+
+    Turns MUST be supplied in turn_idx order (the stable-ordering
+    invariant); the caller owns the sort.
+    """
+
+    def __init__(self, with_text: bool = True, with_norm: bool = False) -> None:
+        self.with_text = with_text
+        self.with_norm = with_norm
+        self.reset()
+
+    def reset(self) -> None:
+        self.error: str | None = None
+        self.texts: list[str] = []
+        self.node: str | None = None
+        self.n_records = 0
+        self.execve = ExecveCollector()
+        self.path = PathCollector()
+        self.reps: dict[str, RepCollector] = {}
+        self.uniq: dict[str, dict] = {}
+        self.order: list[str] = []  # first-seen kind order for `data`
+        self._norm_fields: list[Field] = []
+        self._norm_argv0: str | None = None
+
+    def add_turn(self, kind: str, node: str | None, text: str,
+                 fields: list[Field]) -> None:
+        self.texts.append(text)
+        if self.node is None and node:
+            self.node = node
+        if kind in DROP_KINDS:
+            return
+        self.n_records += 1
+        if self.error is not None:
+            return  # latched: remaining records contribute raw text only
+        try:
+            if kind == EXECVE_KIND:
+                if EXECVE_KIND not in self.order:
+                    self.order.append(EXECVE_KIND)
+                self.execve.add(fields)
+            elif kind == PATH_KIND:
+                if PATH_KIND not in self.order:
+                    self.order.append(PATH_KIND)
+                self.path.add(fields)
+            elif kind in REP_KINDS:
+                if kind not in self.order:
+                    self.order.append(kind)
+                self.reps.setdefault(kind, RepCollector()).add(fields)
+            else:
+                if kind in self.uniq:
+                    raise CollectError(f"repeated record kind {kind}")
+                self.order.append(kind)
+                self.uniq[kind] = render_fields(fields)
+        except CollectError as e:
+            self.error = str(e)
+        if self.with_norm and self.error is None:
+            self._norm_fields.extend(fields)
+
+    def _finalize_data(self) -> dict | None:
+        out: dict[str, object] = {}
+        finals: dict[str, object] = {}
+        try:
+            argv = self.execve.end()
+            if self.execve.seen:
+                finals[EXECVE_KIND] = argv
+                self._norm_argv0 = argv[0] if argv else None
+            items = self.path.end()
+            if self.path.seen:
+                finals[PATH_KIND] = items
+            for kind in REP_KINDS:
+                if kind in self.reps:
+                    finals[kind] = self.reps[kind].end()
+        except CollectError as e:
+            self.error = str(e)
+            return None
+        for kind in self.order:
+            if kind in finals:
+                out[kind.lower()] = finals[kind]
+            elif kind in self.uniq:
+                out[kind.lower()] = self.uniq[kind]
+        return out
+
+    def _norm(self) -> dict:
+        uid = next((i for k, _, i in self._norm_fields if k in ("uid", "auid", "euid")), "unknown")
+        syscall = next((i for k, _, i in self._norm_fields if k == "syscall"), None)
+        obj = next((i for k, _, i in self._norm_fields if k == "name"), None)
+        fail = any(k == "exit" and r != "0" for k, r, _ in self._norm_fields)
+        action = self._norm_argv0 or syscall or "dialog"
+        norm = {"subject": uid, "action": action, "result": "fail" if fail else "success"}
+        if obj is not None:
+            norm["object"] = obj
+        return norm
+
+    def end(self, conv_id: str, ts_first_iso: str) -> dict | None:
+        """Return the event document, or None (drop-empty rule)."""
+        data = None
+        if self.error is None:
+            data = self._finalize_data()
+        if self.n_records == 0 and self.error is None:
+            return None  # lib/conv_buf.c:570-574
+        doc: dict = {"serial": conv_id, "time": ts_first_iso}
+        if self.node:
+            doc["node"] = self.node
+        if self.with_text:
+            doc["text"] = self.texts
+        if self.error is not None:
+            doc["error"] = self.error  # data node voided (lib/conv_buf.c:627-648)
+        else:
+            doc["data"] = data
+            if self.with_norm:
+                doc["norm"] = self._norm()
+        return doc
+
+
+def doc_size(doc: dict) -> int:
+    return len(json.dumps(doc, ensure_ascii=False, separators=(",", ":")).encode())
+
+
+def trim_doc(doc: dict, max_size: int | None) -> dict:
+    """Deterministic trim-to-size (priority semantics of lib/gbtree.c:555-606).
+
+    Drop order: norm, then text lines from the tail, then repeated-record
+    array items from the tail (per kind, sorted), then void `data` entirely.
+    The `trimmed` marker list is included in the size accounting (the
+    reference re-trims after adding the marker, lib/conv_buf.c:676-692).
+    """
+    if max_size is None or doc_size(doc) <= max_size:
+        return doc
+    max_size = max(1024, max_size)
+    trimmed: list[str] = []
+    doc = dict(doc)
+    doc["trimmed"] = trimmed
+
+    def fits() -> bool:
+        return doc_size(doc) <= max_size
+
+    if "norm" in doc:
+        del doc["norm"]
+        trimmed.append("norm")
+        if fits():
+            return doc
+    texts = doc.get("text")
+    if texts:
+        marked = False
+        while texts and not fits():
+            texts.pop()
+            if not marked:
+                trimmed.append("text")
+                marked = True
+        if fits():
+            return doc
+    data = doc.get("data")
+    if isinstance(data, dict):
+        for kind in sorted(data):
+            v = data[kind]
+            if isinstance(v, list):
+                marked = False
+                while v and not fits():
+                    v.pop()
+                    if not marked:
+                        trimmed.append(f"data/{kind}")
+                        marked = True
+                if fits():
+                    return doc
+        doc["data"] = {}
+        trimmed.append("data")
+    return doc
+
+
+def route_sink(error: str | None, any_tool_turn: bool) -> str:
+    if error is not None:
+        return SINK_ERROR
+    return SINK_TOOL if any_tool_turn else SINK_DIALOG

@@ -1,0 +1,31 @@
+"""Pipeline configuration (S5 analogue — /root/reference/lib/conf.c:175-415).
+
+Maps the reference CLI surface onto Ray Data execution knobs:
+
+- with_text / with_norm / max_event_size: document shaping options
+  (reference --with-text, --with-norm, --max-event-size; min cap 1024 per
+  include/aushape/format.h:30-31).
+- events_per_doc -> rows per output file (document batching A1,
+  lib/conv.c:84-172, becomes write_parquet file sizing).
+- num_parts: hash partitions for the one conv_id shuffle.
+- enrich_concurrency / batch_size: actor-pool sizing for the enrich stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    with_text: bool = True
+    with_norm: bool = False
+    max_event_size: int | None = None  # bytes; None = unlimited; min 1024
+    events_per_doc: int = 50_000       # rows per output parquet file
+    num_parts: int = 64                # conv_id hash partitions (the shuffle)
+    batch_size: int = 8_192            # parse/enrich batch size
+    enrich_concurrency: int | tuple[int, int] = (2, 8)
+
+    def __post_init__(self) -> None:
+        if self.max_event_size is not None and self.max_event_size < 1024:
+            object.__setattr__(self, "max_event_size", 1024)

@@ -1,0 +1,1 @@
+"""Ray-Data-native audit-event shaping engine (aushape semantics, rebuilt)."""

@@ -1,0 +1,73 @@
+"""North-rule parity: the distributed Ray pipeline vs the single-process
+oracle — per-sink aggregate counts, routed-row equality, per-turn text
+equality under stable turn ordering."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from aushape_ray.config import PipelineConfig
+from aushape_ray.oracle import sink_counts as oracle_sink_counts
+from aushape_ray.pipelines.events_pipeline import build_events, sink_counts
+
+
+@pytest.fixture(scope="module")
+def ray_events(ray_session, tiny_transcripts):
+    ds = ray.data.from_arrow(tiny_transcripts).repartition(8)
+    cfg = PipelineConfig(num_parts=16, batch_size=256, enrich_concurrency=2)
+    events = build_events(ds, cfg)
+    return events.take_all()
+
+
+def test_sink_counts_match(ray_events, oracle_events):
+    got = {}
+    for r in ray_events:
+        got[r["sink"]] = got.get(r["sink"], 0) + 1
+    assert got == oracle_sink_counts(oracle_events)
+
+
+def test_routed_row_equality(ray_events, oracle_events):
+    got = {r["conv_id"]: r for r in ray_events}
+    exp = {e["conv_id"]: e for e in oracle_events}
+    assert set(got) == set(exp)
+    for cid, e in exp.items():
+        r = got[cid]
+        assert r["sink"] == e["sink"], cid
+        assert r["error"] == e["error"], cid
+        assert r["n_turns"] == e["n_turns"], cid
+        assert r["n_records"] == e["n_records"], cid
+        assert r["node"] == e["node"], cid
+        assert r["doc"] == e["doc"], cid
+
+
+def test_per_turn_text_equality_stable_order(ray_events, oracle_events):
+    exp = {e["conv_id"]: e["text"] for e in oracle_events}
+    for r in ray_events:
+        assert list(r["text"]) == exp[r["conv_id"]], r["conv_id"]
+
+
+def test_shuffled_input_same_result(ray_session, tiny_transcripts, oracle_events):
+    """Block arrival order must not matter (stable-ordering invariant)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(tiny_transcripts.num_rows)
+    shuffled = tiny_transcripts.take(pa.array(perm))
+    ds = ray.data.from_arrow(shuffled).repartition(16)
+    events = build_events(ds, PipelineConfig(num_parts=8, batch_size=128))
+    rows = events.take_all()
+    exp = {e["conv_id"]: e for e in oracle_events}
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert r["doc"] == exp[r["conv_id"]]["doc"]
+
+
+def test_sink_counts_dataset_agg(ray_session, tiny_transcripts, oracle_events):
+    ds = ray.data.from_arrow(tiny_transcripts)
+    events = build_events(ds, PipelineConfig(num_parts=8))
+    pdf = sink_counts(events).to_pandas()
+    got = dict(zip(pdf["sink"], pdf["count()"]))
+    assert {k: int(v) for k, v in got.items()} == oracle_sink_counts(oracle_events)
