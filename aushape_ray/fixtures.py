@@ -62,7 +62,10 @@ def _unique_turn(rng, node, kind):
         "LOGIN": f"uid={uid} success=yes exit={ex}",
         "SUMMARY": f"items={int(rng.integers(1, 9))} score=high",
         "CONFIG": f'key="max size" old=1 new=2',
-        "SYSCALL": f"syscall={sc} uid={uid} gid={uid + 1} exit={ex}",
+        "SYSCALL": (
+            f"syscall={sc} uid={uid} gid={uid + 1} exit={ex} "
+            f"proctitle={(_CMDS[int(rng.integers(0, len(_CMDS)))] + ' --verbose').encode().hex()}"
+        ),
         "CWD": f'cwd="/home/user_{uid}"',
     }[kind]
     return "system", "", f"node={node} type={kind} {_prefix(rng)} {extra}"

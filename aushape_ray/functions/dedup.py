@@ -1,0 +1,244 @@
+"""Deduplication operators over the documents table.
+
+Scale notes (100 TB design point):
+- exact: content-hash in map_batches (vectorized), then ONE hash shuffle on
+  the 16-byte digest; per-group first-wins.  No full-text shuffle — only
+  (digest, doc_id) pairs move.
+- MinHash+LSH: shingle -> minhash signature per batch (numpy), explode to
+  (band_id, band_hash, doc_id) rows, groupby the band key, emit candidate
+  pairs per bucket, verify with exact Jaccard on the pair (re-reading only
+  candidate docs).  All-to-all volume = bands x docs tiny rows.
+- SimHash: 64-bit signature per doc; near-dup = equal signatures on rotated
+  bands (here: exact-signature grouping as the scalable first cut).
+- embedding cosine: see functions/ann.py (block-matmul against a broadcast
+  matrix).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    h = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+         for t in batch.column(col).to_pylist()]
+    return batch.append_column("content_hash", pa.array(h, pa.string()))
+
+
+def exact_dedup_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Single-row summary: n_docs, n_distinct, n_dup_rows (rows beyond the
+    first of each content group).  Pre-aggregates per batch: only
+    (hash, count) partials shuffle."""
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(batch.column("content_hash").to_pylist())
+        return pa.table({
+            "content_hash": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    per_hash = partials.groupby("content_hash").aggregate(Sum("n", alias_name="n"))
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"))
+        return pa.table({
+            "n_docs_part": pa.array([int(n.sum())], pa.int64()),
+            "n_distinct_part": pa.array([len(n)], pa.int64()),
+            "n_dup_rows_part": pa.array([int((n - 1).sum())], pa.int64()),
+        })
+
+    parts = per_hash.map_batches(final, batch_format="pyarrow")
+    from ray.data.aggregate import Sum as S
+
+    agg = parts.aggregate(
+        S("n_docs_part", alias_name="n_docs"),
+        S("n_distinct_part", alias_name="n_distinct"),
+        S("n_dup_rows_part", alias_name="n_dup_rows"),
+    )
+    return agg  # dict
+
+
+def exact_dedup_keep_first(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Keep min(doc_id) per content hash (hash-partition + per-group first)."""
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.index(group.column("doc_id"),
+                     pc.min(group.column("doc_id")).as_py()).as_py()
+        return group.take([i]).select(["doc_id", "content_hash"])
+
+    keep_first.__name__ = "keep_first"
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+
+
+# ---------------- MinHash + LSH ------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 4 rows per band
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    data = text.encode("utf-8")
+    if len(data) <= k:
+        return np.array([hash32(data)], dtype=np.uint64)
+    view = np.frombuffer(data, dtype=np.uint8)
+    # rolling 32-bit FNV-ish hash over k-byte shingles, vectorized
+    out = np.zeros(len(data) - k + 1, dtype=np.uint64)
+    for i in range(k):
+        out = out * np.uint64(16777619) + view[i: len(data) - k + 1 + i]
+    return np.unique(out)
+
+
+def hash32(b: bytes) -> int:
+    return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+
+
+class MinHasher:
+    """Actor-pool stage: the (a, b) hash parameter matrix is built once per
+    actor; per batch it's one broadcasted numpy min-reduce."""
+
+    def __init__(self, n_hashes: int = N_HASHES, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.uint64)
+        self.n = n_hashes
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text or "")
+        # (n_hashes, n_shingles) -> min over shingles; modular arithmetic in
+        # python ints avoided by uint64 wraparound (consistent everywhere)
+        v = (sh[None, :] * self.a[:, None] + self.b[:, None])
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        arr = np.stack(sigs) if sigs else np.zeros((0, self.n), np.uint64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "minhash": pa.array(list(arr.astype(np.int64)), pa.list_(pa.int64(), self.n)),
+        })
+
+
+def explode_bands(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    sigs = batch.column("minhash").to_pylist()
+    rows_per_band = (len(sigs[0]) // n_bands) if sigs else 0
+    out_doc, out_band, out_hash = [], [], []
+    for d, s in zip(doc_ids, sigs):
+        for b in range(n_bands):
+            chunk = np.asarray(s[b * rows_per_band:(b + 1) * rows_per_band],
+                               dtype=np.int64).tobytes()
+            out_doc.append(d)
+            out_band.append(b)
+            # process-stable hash (python hash() is seeded per worker)
+            out_hash.append(
+                int.from_bytes(hashlib.md5(chunk).digest()[:8], "little")
+                & ((1 << 62) - 1))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "band": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(out_hash, pa.int64()),
+    })
+
+
+def candidate_pairs(group: pa.Table) -> pa.Table:
+    ids = sorted(group.column("doc_id").to_pylist())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"doc_a": pa.array(a, pa.int64()),
+                     "doc_b": pa.array(b, pa.int64())})
+
+
+def minhash_candidates(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """documents -> candidate near-dup pairs (doc_a < doc_b), deduplicated."""
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    candidate_pairs.__name__ = "candidate_pairs"
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        candidate_pairs, batch_format="pyarrow")
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.take([0])
+
+    dedup_pairs.__name__ = "dedup_pairs"
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        dedup_pairs, batch_format="pyarrow")
+
+
+def jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = set(_shingles(a).tolist()), set(_shingles(b).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------- SimHash -------------------------------------------------
+
+class SimHasher:
+    """64-bit simhash over word 3-grams (actor pool)."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word = re.compile(r"\S+")
+
+    def simhash(self, text: str) -> int:
+        words = self.word.findall(text or "")
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i in range(max(0, len(words) - 2)):
+            g = " ".join(words[i:i + 3]).encode("utf-8")
+            h = np.uint64(int.from_bytes(hashlib.md5(g).digest()[:8], "little"))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(
+                [self.simhash(t) for t in batch.column("text").to_pylist()],
+                pa.int64()),
+        })
+
+
+# ---------------- n-gram Jaccard near-dup (verify stage) ------------------
+
+class PairVerifier:
+    """Verify candidate pairs by exact shingle Jaccard.  The documents
+    text is broadcast ONCE via ray.put and read per actor (small-side
+    lookup; at 100 TB this becomes a keyed fetch of only candidate docs)."""
+
+    def __init__(self, texts_ref) -> None:
+        import ray
+
+        self.texts: dict[int, str] = ray.get(texts_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        sims = [jaccard(self.texts.get(x, ""), self.texts.get(y, ""))
+                for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        return out

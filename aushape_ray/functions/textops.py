@@ -1,0 +1,138 @@
+"""Text-analysis operators for the documents table (training-data ops).
+
+All stateless vectorized `map_batches` transforms over Arrow batches, or
+actor-pool classes where a compiled/loaded state is amortized
+(`LangId`).  Counting queries use integer outputs so DuckDB oracle
+value-hashes match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ASCII punctuation as an explicit class — identical semantics in the
+# DuckDB oracle regex.
+_PUNCT_CLASS = r"""[!-/:-@\[-`{-~]"""
+
+# tiny per-language stopword marker sets (public common words)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it"},
+    "es": {"el", "la", "de", "que", "y", "los", "las", "un"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une"},
+    "de": {"der", "die", "und", "das", "ein", "mit", "von", "zu"},
+}
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_chars, n_tokens (whitespace tokenization)."""
+    import re
+
+    texts = batch.column("text").to_pylist()
+    n_tokens = [len(re.findall(r"\S+", t or "")) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+    })
+
+
+def char_stats(batch: pa.Table) -> pa.Table:
+    """doc_id + integer char-class counts (quality-scoring inputs)."""
+    import re
+
+    upper = re.compile(r"[A-Z]")
+    digit = re.compile(r"[0-9]")
+    punct = re.compile(_PUNCT_CLASS)
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_upper": pa.array([len(upper.findall(t or "")) for t in texts], pa.int64()),
+        "n_digit": pa.array([len(digit.findall(t or "")) for t in texts], pa.int64()),
+        "n_punct": pa.array([len(punct.findall(t or "")) for t in texts], pa.int64()),
+    })
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Heuristic quality: integer components + a 0-100 integer score."""
+    import re
+
+    texts = batch.column("text").to_pylist()
+    scores, n_words_l, n_stop_l = [], [], []
+    stop = _LANG_MARKERS["en"]
+    for t in texts:
+        words = re.findall(r"[a-zA-Z]+", (t or "").lower())
+        n_words = len(words)
+        n_stop = sum(w in stop for w in words)
+        score = 0
+        if n_words >= 5:
+            score += 40
+        if n_words and n_stop / n_words > 0.02:
+            score += 30
+        if t and len(t) < 10_000:
+            score += 30
+        scores.append(score)
+        n_words_l.append(n_words)
+        n_stop_l.append(n_stop)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words_l, pa.int64()),
+        "n_stopwords": pa.array(n_stop_l, pa.int64()),
+        "quality": pa.array(scores, pa.int64()),
+    })
+
+
+class LangId:
+    """Language-ID by stopword-marker voting (actor pool: word regex and
+    marker sets compiled once per actor)."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.word = re.compile(r"[a-zà-ÿ]+")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            words = self.word.findall((t or "").lower())
+            best, best_n = "unknown", 0
+            for lang in sorted(self.markers):
+                n = sum(w in self.markers[lang] for w in words)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+
+def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Rolling-hash document fingerprint: min of Rabin-style rolling hashes
+    over byte windows (a winnowing-style representative), deterministic."""
+    B, M = 257, (1 << 61) - 1
+    out = []
+    for t in batch.column("text").to_pylist():
+        data = (t or "").encode("utf-8")
+        if len(data) < window:
+            h = 0
+            for b in data:
+                h = (h * B + b) % M
+            out.append(h)
+            continue
+        pw = pow(B, window - 1, M)
+        h = 0
+        for b in data[:window]:
+            h = (h * B + b) % M
+        mn = h
+        for i in range(window, len(data)):
+            h = ((h - data[i - window] * pw) * B + data[i]) % M
+            if h < mn:
+                mn = h
+        out.append(mn)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(out, pa.int64()),
+    })

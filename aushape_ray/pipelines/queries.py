@@ -1,0 +1,774 @@
+"""Driver-facing query registry: every operator as a `queries()` callable
+with (where SQL-expressible) a DuckDB oracle over the same parquet.
+
+Determinism rules for exact value-hash equality with DuckDB:
+- counts are int64 everywhere;
+- money/value sums use integer cents via floor(x*100 + 0.5) (identical fp
+  multiply in both engines; no order-dependent float accumulation);
+- ordered string concat uses chr(31) (never present in the corpus);
+- regex character classes are written identically for Python re and RE2.
+
+Transcript queries read the deterministically generated corpus (the
+BASELINE.json input_hint table); its parquet path is embedded in the
+oracle SQL via read_parquet() so DuckDB sees the same bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import PipelineConfig
+from ..fixtures import ensure_transcripts
+from ..grammar import SYSCALL_NAMES, TOKEN_REGEX_SQL
+from ..stages.enrich import Enricher
+from ..stages.parse import parse_batch
+from .events_pipeline import events_for, read_transcripts, sink_counts
+
+SF001 = "/root/testdata/sf0.01"  # the driver's correctness scale
+SIM_THRESHOLD = 0.4  # margin to nearest pair is >1e-4 on this corpus
+
+
+def _cfg(sf_dir: str) -> PipelineConfig:
+    return PipelineConfig(num_parts=64 if sf_dir.endswith("sf0.1") else 16)
+
+
+def _t_path(sf_dir: str) -> str:
+    return ensure_transcripts(sf_dir)
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (transcripts)
+# --------------------------------------------------------------------------
+
+def _sql_turns(path: str) -> str:
+    return f"""
+turns AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         coalesce(nullif(regexp_extract(text, 'type=([A-Za-z_]+)', 1), ''),
+                  'UNKNOWN') AS kind
+  FROM read_parquet('{path}')
+)"""
+
+
+def _sql_err(path: str) -> str:
+    """err_convs: conv_ids whose event latches an error — the SQL replica of
+    the collector error conditions (uniq repeat / path / execve)."""
+    return f"""
+uniq_err AS (
+  SELECT conv_id FROM turns
+  WHERE kind NOT IN ('MSG','AVC','OBJ_PID','NETFILTER_CFG','EOE','EXECVE','PATH')
+  GROUP BY conv_id, kind HAVING count(*) > 1
+),
+path_err AS (
+  SELECT conv_id FROM (
+    SELECT conv_id,
+           CAST(regexp_extract(text, ' item=([0-9]+)', 1) AS INT) AS item
+    FROM turns WHERE kind = 'PATH')
+  GROUP BY conv_id
+  HAVING count(*) <> count(DISTINCT item)
+      OR max(item) + 1 <> count(DISTINCT item)
+      OR max(item) > 255
+),
+exec_tok AS (
+  SELECT t.conv_id,
+         regexp_extract(u.tok, '^([A-Za-z_][A-Za-z0-9_\\[\\]]*)=', 1) AS key,
+         regexp_extract(u.tok, '^[A-Za-z_][A-Za-z0-9_\\[\\]]*=(.*)$', 1) AS val
+  FROM turns t, UNNEST(regexp_extract_all(t.text, '{TOKEN_REGEX_SQL}')) AS u(tok)
+  WHERE t.kind = 'EXECVE'
+),
+exec_argc AS (
+  SELECT conv_id,
+         max(CASE WHEN key = 'argc' THEN CAST(val AS INT) END) AS argc,
+         count(*) FILTER (key = 'argc') AS n_argc
+  FROM exec_tok GROUP BY conv_id
+),
+exec_idx AS (
+  SELECT e.conv_id FROM exec_tok e JOIN exec_argc a USING (conv_id)
+  WHERE regexp_matches(e.key, '^a[0-9]+(_len|\\[[0-9]+\\])?$')
+    AND CAST(regexp_extract(e.key, '^a([0-9]+)', 1) AS INT) >= a.argc
+  GROUP BY e.conv_id
+),
+exec_len AS (
+  SELECT conv_id FROM (
+    SELECT conv_id,
+           CAST(regexp_extract(key, '^a([0-9]+)', 1) AS INT) AS arg_i,
+           max(CASE WHEN regexp_matches(key, '^a[0-9]+_len$')
+                    THEN CAST(val AS INT) END) AS declared,
+           sum(CASE WHEN regexp_matches(key, '^a[0-9]+\\[[0-9]+\\]$')
+                    THEN octet_length(unhex(val)) ELSE 0 END) AS got,
+           count(*) FILTER (regexp_matches(key, '^a[0-9]+\\[[0-9]+\\]$')) AS n_slices
+    FROM exec_tok
+    WHERE regexp_matches(key, '^a[0-9]+(_len|\\[[0-9]+\\])$')
+    GROUP BY conv_id, arg_i)
+  WHERE (declared IS NOT NULL AND coalesce(got, 0) <> declared)
+     OR (declared IS NULL AND n_slices > 0)
+  GROUP BY conv_id
+),
+exec_err AS (
+  SELECT conv_id FROM exec_argc WHERE n_argc <> 1
+  UNION SELECT conv_id FROM exec_idx
+  UNION SELECT conv_id FROM exec_len
+),
+err_convs AS (
+  SELECT conv_id FROM uniq_err
+  UNION SELECT conv_id FROM path_err
+  UNION SELECT conv_id FROM exec_err
+)"""
+
+
+# --------------------------------------------------------------------------
+# small Ray helpers
+# --------------------------------------------------------------------------
+
+def _rename_count(ds: "ray.data.Dataset", key: str, out: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            out: batch.column("count()").cast(pa.int64()),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _token_interp_counts(sf_dir: str, token_key: str) -> "ray.data.Dataset":
+    """Count enriched-token interpretations for one key: partial counts per
+    batch, then a tiny groupby-sum (no row-level shuffle)."""
+    ds = read_transcripts(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(batch: pa.Table, key=token_key) -> pa.Table:
+        import collections
+
+        keys = batch.column("tok_keys").combine_chunks()
+        interp = batch.column("tok_interp").combine_chunks()
+        flat_k = keys.flatten().to_pylist() if batch.num_rows else []
+        flat_i = interp.flatten().to_pylist() if batch.num_rows else []
+        c = collections.Counter(i for k, i in zip(flat_k, flat_i) if k == key)
+        return pa.table({
+            "interpreted": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "interpreted").aggregate(Sum("n", alias_name="n"))
+
+
+def _cents(col) -> "pa.Array":
+    v = np.asarray(col, dtype=np.float64)
+    return pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# transcript pipeline queries
+# --------------------------------------------------------------------------
+
+def q_t_sink_counts(sf_dir: str):
+    ev = events_for(sf_dir, _cfg(sf_dir))
+    return _rename_count(sink_counts(ev), "sink", "n_events")
+
+
+def sql_t_sink_counts(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)}, {_sql_err(path)},
+convs AS (
+  SELECT conv_id,
+         bool_or(kind <> 'EOE') AS has_record,
+         bool_or(role = 'tool') AS any_tool,
+         bool_or(conv_id IN (SELECT conv_id FROM err_convs)) AS err
+  FROM turns GROUP BY conv_id)
+SELECT CASE WHEN err THEN 'error_events'
+            WHEN any_tool THEN 'tool_events'
+            ELSE 'dialog_events' END AS sink,
+       count(*)::BIGINT AS n_events
+FROM convs WHERE has_record GROUP BY 1"""
+
+
+def q_t_event_envelope(sf_dir: str):
+    ev = events_for(sf_dir, _cfg(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "ts_first": batch.column("ts_first"),
+            "n_turns": batch.column("n_turns").cast(pa.int64()),
+            "text_concat": pa.array(["\x1f".join(t) for t in texts], pa.string()),
+        })
+
+    return ev.map_batches(proj, batch_format="pyarrow")
+
+
+def sql_t_event_envelope(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)}
+SELECT conv_id, min(ts) AS ts_first, count(*)::BIGINT AS n_turns,
+       string_agg(text, chr(31) ORDER BY turn_idx) AS text_concat
+FROM turns GROUP BY conv_id HAVING bool_or(kind <> 'EOE')"""
+
+
+def q_t_turn_kind_counts(sf_dir: str):
+    ds = read_transcripts(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("kind").combine_chunks().value_counts()
+        return pa.table({
+            "kind": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "kind").aggregate(Sum("n", alias_name="n_turns"))
+
+
+def sql_t_turn_kind_counts(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)}
+SELECT kind, count(*)::BIGINT AS n_turns FROM turns GROUP BY kind"""
+
+
+def q_t_uid_interp(sf_dir: str):
+    return _token_interp_counts(sf_dir, "uid")
+
+
+def sql_t_uid_interp(path: str) -> str:
+    return f"""
+SELECT 'user_' || u AS interpreted, count(*)::BIGINT AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, ' uid=([0-9]+)', 1)) AS u
+      FROM read_parquet('{path}'))
+GROUP BY 1"""
+
+
+def q_t_syscall_interp(sf_dir: str):
+    return _token_interp_counts(sf_dir, "syscall")
+
+
+def sql_t_syscall_interp(path: str) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in SYSCALL_NAMES.items())
+    return f"""
+SELECT CASE s {cases} ELSE s END AS interpreted, count(*)::BIGINT AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, ' syscall=([0-9]+)', 1)) AS s
+      FROM read_parquet('{path}'))
+GROUP BY 1"""
+
+
+def q_t_proctitle_decode(sf_dir: str):
+    return _token_interp_counts(sf_dir, "proctitle")
+
+
+def sql_t_proctitle_decode(path: str) -> str:
+    return f"""
+SELECT decode(unhex(p)) AS interpreted, count(*)::BIGINT AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, ' proctitle=([0-9a-f]+)', 1)) AS p
+      FROM read_parquet('{path}'))
+GROUP BY 1"""
+
+
+def q_t_path_names(sf_dir: str):
+    """Reassembled PATH name sequences for valid-path conversations —
+    extracted from the assembled documents (exercises the path collector
+    end-to-end)."""
+    ev = events_for(sf_dir, _cfg(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import json
+
+        out_c, out_n, out_s = [], [], []
+        convs = batch.column("conv_id").to_pylist()
+        errors = batch.column("error").to_pylist()
+        docs = batch.column("doc").to_pylist()
+        for cid, err, doc in zip(convs, errors, docs):
+            if err is not None:
+                continue
+            data = json.loads(doc).get("data") or {}
+            if "path" not in data:
+                continue
+            names = [rec["name"][0] for rec in data["path"]]
+            out_c.append(cid)
+            out_n.append(len(names))
+            out_s.append("\x1f".join(names))
+        return pa.table({
+            "conv_id": pa.array(out_c, pa.string()),
+            "n_items": pa.array(out_n, pa.int64()),
+            "names": pa.array(out_s, pa.string()),
+        })
+
+    return ev.map_batches(proj, batch_format="pyarrow")
+
+
+def sql_t_path_names(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)}, {_sql_err(path)}
+SELECT conv_id, count(*)::BIGINT AS n_items,
+       string_agg(regexp_extract(text, ' name="([^"]*)"', 1), chr(31)
+                  ORDER BY CAST(regexp_extract(text, ' item=([0-9]+)', 1) AS INT)) AS names
+FROM turns
+WHERE kind = 'PATH' AND conv_id NOT IN (SELECT conv_id FROM err_convs)
+GROUP BY conv_id"""
+
+
+def q_t_node_counts(sf_dir: str):
+    ev = events_for(sf_dir, _cfg(sf_dir))
+    return _rename_count(ev.groupby("node").count(), "node", "n_events")
+
+
+def sql_t_node_counts(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)},
+convs AS (
+  SELECT conv_id,
+         min(nullif(regexp_extract(text, 'node=([A-Za-z0-9]+)', 1), '')) AS node,
+         bool_or(kind <> 'EOE') AS has_record
+  FROM turns GROUP BY conv_id)
+SELECT node, count(*)::BIGINT AS n_events FROM convs WHERE has_record GROUP BY node"""
+
+
+def q_t_execve_argv(sf_dir: str):
+    """Reassembled argv per valid execve conversation (non-SQL: collector
+    state machine semantics)."""
+    ev = events_for(sf_dir, _cfg(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import json
+
+        out_c, out_a = [], []
+        for cid, err, doc in zip(batch.column("conv_id").to_pylist(),
+                                 batch.column("error").to_pylist(),
+                                 batch.column("doc").to_pylist()):
+            if err is not None:
+                continue
+            data = json.loads(doc).get("data") or {}
+            if "execve" not in data:
+                continue
+            out_c.append(cid)
+            out_a.append("\x1f".join(data["execve"]))
+        return pa.table({
+            "conv_id": pa.array(out_c, pa.string()),
+            "argv": pa.array(out_a, pa.string()),
+        })
+
+    return ev.map_batches(proj, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# testdata-table queries (classic relational + stream windows)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-flavoured pricing summary; money in integer cents."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"),
+                             pa.scalar(pd.Timestamp("1998-09-02")))
+        t = batch.filter(mask)
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pylist(),
+            "l_linestatus": t.column("l_linestatus").to_pylist(),
+            "qty": np.asarray(t.column("l_quantity"), np.float64).astype(np.int64),
+            "cents": np.asarray(_cents(t.column("l_extendedprice"))),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_cents=("cents", "sum"),
+            count_order=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("count_order", alias_name="count_order"))
+
+
+def sql_q1_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_mktsegment_orders(sf_dir: str):
+    """Broadcast join: customer (small side, ray.put once) -> orders."""
+    import ray as _ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSeg:
+        def __init__(self) -> None:
+            self.seg = _ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            segs = [self.seg.get(k, "UNKNOWN") for k in keys]
+            df = pd.DataFrame({
+                "c_mktsegment": segs,
+                "cents": np.asarray(_cents(batch.column("o_totalprice"))),
+            })
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    return orders.map_batches(JoinSeg, batch_format="pyarrow",
+                              concurrency=(1, 4)).groupby(
+        "c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"))
+
+
+def sql_mktsegment_orders() -> str:
+    return """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment"""
+
+
+def q_events_tumbling(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // 3_600_000_000) * 3_600_000_000
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "window_us": win,
+            "cents": np.asarray(_cents(batch.column("value"))),
+        })
+        g = df.groupby(["event_type", "window_us"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "window_us"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": batch.column("window_us").cast(pa.timestamp("us")),
+            "n": batch.column("n").cast(pa.int64()),
+            "sum_cents": batch.column("sum_cents").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_tumbling() -> str:
+    return """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessionize(sf_dir: str):
+    from ..functions.windows import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    out = sessionize(ds, gap_s=1800)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "n_sessions": batch.column("n_sessions").cast(pa.int64()),
+            "n_events": batch.column("n_events").cast(pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def sql_events_sessionize() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events)
+SELECT user_id,
+       (1 + sum(CASE WHEN pts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(pts) > 1800000000
+                     THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM o GROUP BY user_id"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup + text analysis
+# --------------------------------------------------------------------------
+
+def q_doc_dedup_exact(sf_dir: str):
+    from ..functions.dedup import exact_dedup_stats
+
+    res = exact_dedup_stats(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]))
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in res.items()})
+
+
+def sql_doc_dedup_exact() -> str:
+    return """
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT text)::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT text))::BIGINT AS n_dup_rows
+FROM documents"""
+
+
+def q_doc_dedup_keep_first(sf_dir: str):
+    from ..functions.dedup import exact_dedup_keep_first
+
+    out = exact_dedup_keep_first(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+def sql_doc_dedup_keep_first() -> str:
+    return "SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text"
+
+
+def q_doc_token_stats(sf_dir: str):
+    from ..functions.textops import token_stats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(token_stats, batch_format="pyarrow")
+
+
+def sql_doc_token_stats() -> str:
+    return r"""
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+FROM documents"""
+
+
+def q_doc_char_stats(sf_dir: str):
+    from ..functions.textops import char_stats
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(char_stats, batch_format="pyarrow")
+
+
+def sql_doc_char_stats() -> str:
+    return r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
+       len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+       len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct
+FROM documents"""
+
+
+def q_doc_quality(sf_dir: str):
+    from ..functions.textops import quality_score
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(quality_score, batch_format="pyarrow")
+
+
+def q_doc_lang_id(sf_dir: str):
+    from ..functions.textops import LangId
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ..functions.textops import fingerprint
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fingerprint, batch_format="pyarrow")
+
+
+def q_doc_simhash(sf_dir: str):
+    from ..functions.dedup import SimHasher
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidate pairs verified by exact shingle Jaccard >= 0.5."""
+    import ray as _ray
+
+    from ..functions.dedup import PairVerifier, minhash_candidates
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    texts = dict(zip(*(docs.to_pandas()[c] for c in ("doc_id", "text"))))
+    ref = _ray.put(texts)
+    cands = minhash_candidates(docs)
+    verified = cands.map_batches(PairVerifier, fn_constructor_args=(ref,),
+                                 batch_format="pyarrow", concurrency=(1, 4))
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
+        .select(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    from ..functions.ann import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, query_ids=list(range(8)), k=10)
+
+
+def sql_ann_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r
+  FROM sims)
+SELECT qid AS query_id, r::BIGINT AS rank, nid AS neighbor_id
+FROM ranked WHERE r <= 10"""
+
+
+def q_emb_sim_pairs(sf_dir: str):
+    """Embedding-cosine similar pairs (cosine >= 0.4 on this corpus; the
+    same operator is the near-dup filter at 0.95): block matmul against a
+    broadcast normalized matrix — no shuffle."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pdf = ds.to_pandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = _ray.put({"ids": ids, "mat": mat})
+
+    class NearDup:
+        def __init__(self) -> None:
+            d = _ray.get(ref)
+            self.ids, self.mat = d["ids"], d["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = np.asarray(batch.column("vec_id"))
+            b = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+            sims = b @ self.mat.T
+            r, c = np.nonzero(sims >= SIM_THRESHOLD)
+            keep = bids[r] < self.ids[c]
+            return pa.table({
+                "vec_a": pa.array(bids[r][keep], pa.int64()),
+                "vec_b": pa.array(self.ids[c][keep], pa.int64()),
+            })
+
+    return ds.map_batches(NearDup, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def sql_emb_sim_pairs() -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {SIM_THRESHOLD}"""
+
+
+def q_lsh_buckets(sf_dir: str):
+    from ..functions.ann import lsh_bucket_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    return _rename_count(lsh_bucket_stats(ds, dim), "bucket", "n")
+
+
+def q_media_features(sf_dir: str):
+    from ..functions.media import media_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return media_features(docs)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def build_registry():
+    """(queries, oracle_sql) for __ray_entry__.
+
+    Transcript oracle SQL embeds the sf0.01 corpus path (the driver's
+    correctness scale); it is generated on demand here so DuckDB always
+    finds the file.
+    """
+    t01 = _t_path(SF001)
+    queries = {
+        "t_sink_counts": q_t_sink_counts,
+        "t_event_envelope": q_t_event_envelope,
+        "t_turn_kind_counts": q_t_turn_kind_counts,
+        "t_uid_interp": q_t_uid_interp,
+        "t_syscall_interp": q_t_syscall_interp,
+        "t_proctitle_decode": q_t_proctitle_decode,
+        "t_path_names": q_t_path_names,
+        "t_node_counts": q_t_node_counts,
+        "t_execve_argv": q_t_execve_argv,
+        "q1_pricing": q_q1_pricing,
+        "mktsegment_orders": q_mktsegment_orders,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_dedup_keep_first": q_doc_dedup_keep_first,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_char_stats": q_doc_char_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash": q_doc_simhash,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "ann_topk": q_ann_topk,
+        "emb_sim_pairs": q_emb_sim_pairs,
+        "lsh_buckets": q_lsh_buckets,
+        "media_features": q_media_features,
+    }
+    oracle = {
+        "t_sink_counts": sql_t_sink_counts(t01),
+        "t_event_envelope": sql_t_event_envelope(t01),
+        "t_turn_kind_counts": sql_t_turn_kind_counts(t01),
+        "t_uid_interp": sql_t_uid_interp(t01),
+        "t_syscall_interp": sql_t_syscall_interp(t01),
+        "t_proctitle_decode": sql_t_proctitle_decode(t01),
+        "t_path_names": sql_t_path_names(t01),
+        "t_node_counts": sql_t_node_counts(t01),
+        "q1_pricing": sql_q1_pricing(),
+        "mktsegment_orders": sql_mktsegment_orders(),
+        "events_tumbling": sql_events_tumbling(),
+        "events_sessionize": sql_events_sessionize(),
+        "doc_dedup_exact": sql_doc_dedup_exact(),
+        "doc_dedup_keep_first": sql_doc_dedup_keep_first(),
+        "doc_token_stats": sql_doc_token_stats(),
+        "doc_char_stats": sql_doc_char_stats(),
+        "ann_topk": sql_ann_topk(),
+        "emb_sim_pairs": sql_emb_sim_pairs(),
+    }
+    return queries, oracle

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __ray_entry__.queries() entry at sf0.01 alongside its DuckDB
+oracle_sql() and compares row count, column names, and order-insensitive
+values.  Usage: python scripts/check_queries.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    names = sys.argv[1:] or sorted(qs)
+    n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(qs[name](SF_DIR)))
+        except Exception as e:
+            print(f"FAIL {name}: ray query raised {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: {len(got)} rows ({dt:.1f}s) [rows-only, no oracle]")
+            continue
+        try:
+            exp = canon(con.sql(sqls[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns ray={list(got.columns)} sql={list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows ray={len(got)} sql={len(exp)}")
+            n_fail += 1
+            continue
+        if not got.equals(exp):
+            diff = (got != exp)
+            bad_cols = [c for c in got.columns if diff[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                i = diff[c].idxmax()
+                print(f"   e.g. row {i} col {c}: ray={got[c][i]!r} sql={exp[c][i]!r}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(got)} rows ({dt:.1f}s)")
+    ray.shutdown()
+    return n_fail
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
