@@ -1,0 +1,99 @@
+"""CLI entry (S5 analogue — /root/reference/src/aushape.c:121-226 and
+lib/conf.c:175-415): convert a transcript parquet directory into routed
+event-document parquet sinks.
+
+    python -m aushape_ray INPUT_DIR OUT_DIR [options]
+
+Options mirror the reference CLI surface: --with-norm (aushape
+--with-norm), --no-text (inverse of --with-text), --max-event-size
+(trim cap, min 1024), --events-per-doc (rows per output file),
+--num-parts (shuffle partitions), --resume (per-shard manifest
+checkpointing), --shuffle sort|hash, --general (force the shuffle path
+even for contiguous input).
+
+Owns the Ray session (guarded, local); library code never ray.inits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _size(v: str) -> int:
+    # k/m suffix handling, like aushape_conf_load (lib/conf.c:272-300)
+    m = {"k": 1024, "m": 1024 * 1024}
+    if v and v[-1].lower() in m:
+        return int(v[:-1]) * m[v[-1].lower()]
+    return int(v)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="aushape_ray")
+    ap.add_argument("input_dir", help="directory of transcript parquet shards")
+    ap.add_argument("out_dir", help="output directory (per-sink parquet)")
+    ap.add_argument("--with-norm", action="store_true")
+    ap.add_argument("--no-text", action="store_true")
+    ap.add_argument("--max-event-size", type=_size, default=None)
+    ap.add_argument("--events-per-doc", type=int, default=50_000)
+    ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
+    ap.add_argument("--resume", action="store_true",
+                    help="per-shard manifests; rerun skips finished shards")
+    ap.add_argument("--general", action="store_true",
+                    help="force the conv_id-shuffle path (input not "
+                         "conversation-contiguous per shard)")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import PipelineConfig
+
+    cfg = PipelineConfig(
+        with_text=not args.no_text, with_norm=args.with_norm,
+        max_event_size=args.max_event_size,
+        events_per_doc=args.events_per_doc, num_parts=args.num_parts,
+        shuffle=args.shuffle,
+    )
+
+    if args.resume:
+        from .state.manifest import run_resumable
+
+        res = run_resumable(args.input_dir, args.out_dir, cfg)
+        print(json.dumps(res))
+    else:
+        import ray.data
+
+        from .pipelines.events_pipeline import (
+            build_events,
+            write_routed,
+        )
+
+        ds = ray.data.read_parquet(args.input_dir)
+        if args.general:
+            events = build_events(ds, cfg)
+        else:
+            import glob
+
+            from .pipelines.events_pipeline import _ShardAssembler
+
+            files = sorted(glob.glob(f"{args.input_dir}/*.parquet"))
+            events = ray.data.from_items([{"path": f} for f in files]).map_batches(
+                _ShardAssembler(cfg), batch_size=1, batch_format="numpy")
+        counts = write_routed(events, args.out_dir, cfg)
+        print(json.dumps({"sink_counts": counts}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,15 @@ class PipelineConfig:
     num_parts: int = 64                # conv_id hash partitions (the shuffle)
     batch_size: int = 8_192            # parse/enrich batch size
     enrich_concurrency: int | tuple[int, int] = (2, 8)
+    # "tasks": stateless map_batches with a per-worker-process cached
+    # dictionary (fast default — workers are reused, so state is still
+    # built once per process).  "actors": explicit actor pool (the shape a
+    # multi-node deployment uses when dictionaries are ray.put broadcasts).
+    enrich_mode: str = "tasks"
+    # exchange implementation for the conv_id groupby: "sort" (default,
+    # faster at measured scales) or "hash" (aggregator actors; capped to
+    # cluster CPUs/2 — see events_pipeline._configure_shuffle).
+    shuffle: str = "sort"
 
     def __post_init__(self) -> None:
         if self.max_event_size is not None and self.max_event_size < 1024:

@@ -26,7 +26,7 @@ SEED = 42
 BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00 UTC in microseconds
 
 # scale name -> number of conversations (FIXTURES.md scales table)
-SCALES = {"tiny": 100, "small": 5_000, "bench": 50_000}
+SCALES = {"tiny": 100, "small": 5_000, "bench": 150_000}
 SF_TO_SCALE = {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "bench"}
 
 CACHE_ROOT = "/tmp/aushape_transcripts"
@@ -213,28 +213,60 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
     })
 
 
+# files per scale: sharded input so the read parallelizes (one read task
+# per file) and a rerun can skip finished shards — the resumable-input
+# layout the 100 TB deployment would use.
+SCALE_FILES = {"tiny": 2, "small": 8, "bench": 64}
+
+
 def transcripts_path(sf_dir: str) -> str:
-    """Cache path of the generated transcript parquet for a testdata dir."""
+    """Cache DIRECTORY of the generated transcript shards for a testdata dir."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     scale = SF_TO_SCALE.get(tag, "small")
-    return os.path.join(CACHE_ROOT, tag, f"transcripts_{scale}.parquet")
+    return os.path.join(CACHE_ROOT, tag, f"transcripts_{scale}")
+
+
+def transcripts_glob(sf_dir: str) -> str:
+    """Glob form for DuckDB read_parquet()."""
+    return transcripts_path(sf_dir) + "/*.parquet"
 
 
 def ensure_transcripts(sf_dir: str) -> str:
-    """Generate (once, atomically) and return the transcript parquet path.
+    """Generate (once, atomically) and return the transcript shard dir.
 
-    The parquet is written with one row group per ~16k rows so Ray's
-    read_parquet can split it into multiple blocks.
+    Shards are split on conversation boundaries; written to a temp dir and
+    renamed into place so concurrent callers race benignly.
     """
     path = transcripts_path(sf_dir)
-    if os.path.exists(path):
+    if os.path.isdir(path):
         return path
     tag = os.path.basename(os.path.normpath(sf_dir))
     scale = SF_TO_SCALE.get(tag, "small")
     table = generate_transcripts(SCALES[scale])
+    n_files = SCALE_FILES[scale]
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    os.close(fd)
-    pq.write_table(table, tmp, row_group_size=16_384)
-    os.replace(tmp, path)  # atomic: concurrent callers race benignly
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
+    # split on conversation boundaries (conv ids are contiguous runs)
+    conv = table.column("conv_id").to_pylist()
+    import numpy as np
+
+    n = len(conv)
+    cuts = [0]
+    for i in range(1, n_files):
+        j = (n * i) // n_files
+        while j < n and conv[j] == conv[j - 1]:
+            j += 1
+        cuts.append(j)
+    cuts.append(n)
+    for i in range(n_files):
+        if cuts[i + 1] > cuts[i]:
+            pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                           os.path.join(tmp, f"part-{i:05d}.parquet"),
+                           row_group_size=16_384)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # someone else won the race
     return path

@@ -21,33 +21,77 @@ from ..config import PipelineConfig
 from ..fixtures import ensure_transcripts
 from ..grammar import SINKS
 from ..stages.assemble import AssemblePartition, add_part
-from ..stages.enrich import Enricher
+from ..stages.enrich import Enricher, enrich_batch
 from ..stages.parse import parse_batch
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def read_transcripts(sf_dir: str) -> "ray.data.Dataset":
+def _configure_shuffle(cfg: PipelineConfig) -> None:
+    """Select the exchange implementation for the one conv_id shuffle.
+
+    Must run BEFORE the Dataset is created: each Dataset snapshots the
+    DataContext at creation time, and the groupby planner consults that
+    snapshot.  Measured on this corpus (337k turns, 32 cpus, warm):
+    sort-based pull shuffle ~2.5s vs hash-shuffle aggregators ~12s — the
+    aggregator actor architecture only pays off when partition outputs are
+    large; default is sort.  When hash is chosen, aggregator actors are
+    capped to half the cluster CPUs (the default of 64 deadlocks a 4-CPU
+    session with idle aggregators holding every slot).
+    """
+    import ray as _ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if cfg.shuffle == "hash":
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            n_cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        except Exception:
+            n_cpus = 8
+        ctx.max_hash_shuffle_aggregators = max(1, min(64, n_cpus // 2))
+    else:
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+
+
+def read_transcripts(sf_dir: str,
+                     cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":
     path = ensure_transcripts(sf_dir)
+    _configure_shuffle(cfg)
     return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
 
 
 def build_events(ds: "ray.data.Dataset",
                  cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":
-    """Transcript rows -> assembled event rows (EVENT_SCHEMA)."""
+    """Transcript rows -> assembled event rows (EVENT_SCHEMA).
+
+    The one groupby exchange runs on the strategy cfg.shuffle selects
+    (sort-based pull shuffle by default; see _configure_shuffle).
+    NOTE: the strategy only applies if it was set before `ds` was created
+    (read_transcripts does this); set it in your session before building
+    datasets from other sources.
+    """
+    _configure_shuffle(cfg)
+
     parsed = ds.map_batches(
         parse_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-    enriched = parsed.map_batches(
-        Enricher, batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=cfg.enrich_concurrency,
-    )
+    if cfg.enrich_mode == "actors":
+        enriched = parsed.map_batches(
+            Enricher, fn_constructor_kwargs={"sparse": True},
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+            concurrency=cfg.enrich_concurrency,
+        )
+    else:
+        enriched = parsed.map_batches(
+            enrich_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
     parted = enriched.map_batches(
         lambda b: add_part(b, cfg.num_parts),
         batch_format="pyarrow", batch_size=cfg.batch_size,
     )
-    events = parted.groupby("part").map_groups(
+    events = parted.groupby("part", num_partitions=cfg.num_parts).map_groups(
         AssemblePartition(
             with_text=cfg.with_text, with_norm=cfg.with_norm,
             max_event_size=cfg.max_event_size,
@@ -58,7 +102,58 @@ def build_events(ds: "ray.data.Dataset",
 
 
 def events_for(sf_dir: str, cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":
-    return build_events(read_transcripts(sf_dir), cfg)
+    return build_events(read_transcripts(sf_dir, cfg), cfg)
+
+
+class _ShardAssembler:
+    """One task per input shard: read -> parse -> enrich -> assemble, no
+    shuffle.  Valid ONLY under the contiguity guarantee."""
+
+    def __init__(self, cfg: PipelineConfig) -> None:
+        self.cfg = cfg
+        self.__name__ = "assemble_shard"
+
+    def __call__(self, batch) -> "ray.data.block.Block":
+        import pyarrow.parquet as pq
+
+        from ..stages.enrich import enrich_batch
+
+        cfg = self.cfg
+        out = []
+        for path in batch["path"]:
+            table = pq.read_table(path, columns=TRANSCRIPT_COLUMNS)
+            parsed = parse_batch(table)
+            enriched = enrich_batch(parsed)
+            asm = AssemblePartition(
+                with_text=cfg.with_text, with_norm=cfg.with_norm,
+                max_event_size=cfg.max_event_size)
+            out.append(asm(enriched))
+        import pyarrow as pa
+
+        return pa.concat_tables(out) if out else None
+
+
+def events_contiguous(sf_dir: str, cfg: PipelineConfig = PipelineConfig(),
+                      epochs: int = 1) -> "ray.data.Dataset":
+    """Shuffle-free fast path: assemble each input shard independently.
+
+    Valid when conversations never span input files — the streaming-log
+    contiguity assumption the reference itself relies on (records of one
+    event are consecutive in the input; /root/reference/lib/conv.c:72-81,
+    SURVEY.md §2.7).  The generated corpus shards on conversation
+    boundaries, as a log collector's rotation would.  One task per shard:
+    read -> parse -> enrich -> assemble, zero bytes exchanged; per-shard
+    outputs are the natural resume/checkpoint unit.  At 100 TB this is the
+    primary path; `events_for` (hash shuffle) is the general fallback for
+    inputs without the guarantee.
+    """
+    import glob as _glob
+
+    path = ensure_transcripts(sf_dir)
+    files = sorted(_glob.glob(f"{path}/*.parquet")) * max(1, epochs)
+    ds = ray.data.from_items([{"path": f} for f in files])
+    return ds.map_batches(_ShardAssembler(cfg), batch_size=1,
+                          batch_format="numpy")
 
 
 def sink_counts(events: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -74,9 +169,15 @@ def write_routed(events: "ray.data.Dataset", out_dir: str,
     `sink` column produces `out_dir/sink=<name>/...` directories (distinct
     directories = resumable units).  Per-sink counts are then read from
     parquet footers only — no data scan, no re-execution.
+
+    events_per_doc maps to max_rows_per_file — the reference's
+    events-per-doc is an UPPER bound per document (doc closes when the
+    count is hit, lib/conv.c:121-125).  min_rows_per_file must not be used
+    here: it coalesces on the operator's INPUT row counts, which collapses
+    the contiguous path (32 one-row path blocks) into a single write task.
     """
     events.write_parquet(
-        out_dir, partition_cols=["sink"], min_rows_per_file=cfg.events_per_doc,
+        out_dir, partition_cols=["sink"], max_rows_per_file=cfg.events_per_doc,
     )
     import glob
 

@@ -24,7 +24,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..config import PipelineConfig
-from ..fixtures import ensure_transcripts
+from ..fixtures import ensure_transcripts, transcripts_glob
 from ..grammar import SYSCALL_NAMES, TOKEN_REGEX_SQL
 from ..stages.enrich import Enricher
 from ..stages.parse import parse_batch
@@ -722,7 +722,8 @@ def build_registry():
     correctness scale); it is generated on demand here so DuckDB always
     finds the file.
     """
-    t01 = _t_path(SF001)
+    ensure_transcripts(SF001)
+    t01 = transcripts_glob(SF001)
     queries = {
         "t_sink_counts": q_t_sink_counts,
         "t_event_envelope": q_t_event_envelope,

@@ -85,13 +85,14 @@ class AssemblePartition:
         g = group.take(order)
         conv = _as_array(g.column("conv_id")).to_pylist()
         texts = _as_array(g.column("text")).to_pylist()
-        roles = _as_array(g.column("role")).to_pylist()
+        is_tool = _as_array(g.column("is_tool")).to_pylist()
         kinds = _as_array(g.column("kind")).to_pylist()
         nodes = _as_array(g.column("node")).to_pylist()
         ts_us = _as_array(g.column("ts").cast(pa.int64())).to_pylist()
         tkeys = _as_array(g.column("tok_keys")).to_pylist()
         tvals = _as_array(g.column("tok_vals")).to_pylist()
-        tintp = _as_array(g.column("tok_interp")).to_pylist()
+        sp_idx = _as_array(g.column("sp_idx")).to_pylist()
+        sp_val = _as_array(g.column("sp_val")).to_pylist()
 
         rows = {name: [] for name in EVENT_SCHEMA.names}
         n = len(conv)
@@ -102,9 +103,16 @@ class AssemblePartition:
             asm = EventAssembler(with_text=self.with_text, with_norm=self.with_norm)
             any_tool = False
             while j < n and conv[j] == cid:
-                fields = list(zip(tkeys[j], tvals[j], tintp[j]))
+                ks, vs = tkeys[j], tvals[j]
+                if sp_idx[j]:
+                    interp = list(vs)
+                    for p, v in zip(sp_idx[j], sp_val[j]):
+                        interp[p] = v
+                else:
+                    interp = vs
+                fields = list(zip(ks, vs, interp))
                 asm.add_turn(kinds[j], nodes[j], texts[j], fields)
-                if roles[j] == "tool":
+                if is_tool[j]:
                     any_tool = True
                 j += 1
             doc = asm.end(cid, format_time_us(ts_us[i]))
