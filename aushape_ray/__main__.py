@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--events-per-doc", type=int, default=50_000)
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
+    ap.add_argument("--format", choices=["parquet", "jsonl", "xml"],
+                    default="parquet",
+                    help="sink format: parquet (continuous, S3 analogue), "
+                         "jsonl / xml (discrete one-doc-per-line, S4 analogue)")
     ap.add_argument("--resume", action="store_true",
                     help="per-shard manifests; rerun skips finished shards")
     ap.add_argument("--general", action="store_true",
@@ -89,7 +93,13 @@ def main(argv: list[str] | None = None) -> int:
             files = sorted(glob.glob(f"{args.input_dir}/*.parquet"))
             events = ray.data.from_items([{"path": f} for f in files]).map_batches(
                 _ShardAssembler(cfg), batch_size=1, batch_format="numpy")
-        counts = write_routed(events, args.out_dir, cfg)
+        if args.format == "parquet":
+            counts = write_routed(events, args.out_dir, cfg)
+        else:
+            from .pipelines.events_pipeline import write_jsonl_routed
+
+            counts = write_jsonl_routed(events, args.out_dir,
+                                        xml=(args.format == "xml"))
         print(json.dumps({"sink_counts": counts}))
     ray.shutdown()
     return 0

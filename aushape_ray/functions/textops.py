@@ -25,16 +25,24 @@ _LANG_MARKERS = {
 }
 
 
+# BPE-ish pre-tokenizer (GPT-2 flavoured, simplified to stay RE2-compatible
+# for the DuckDB oracle: no lookarounds)
+BPE_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
-    """doc_id, n_chars, n_tokens (whitespace tokenization)."""
+    """doc_id, n_chars, n_tokens (whitespace), n_bpe_tokens (BPE-ish)."""
     import re
 
+    bpe = re.compile(BPE_REGEX)
     texts = batch.column("text").to_pylist()
     n_tokens = [len(re.findall(r"\S+", t or "")) for t in texts]
+    n_bpe = [len(bpe.findall(t or "")) for t in texts]
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
         "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
     })
 
 
@@ -68,7 +76,7 @@ def quality_score(batch: pa.Table) -> pa.Table:
         score = 0
         if n_words >= 5:
             score += 40
-        if n_words and n_stop / n_words > 0.02:
+        if n_words and 50 * n_stop > n_words:  # ratio > 0.02, exact int math
             score += 30
         if t and len(t) < 10_000:
             score += 30

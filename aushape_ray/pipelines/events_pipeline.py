@@ -161,6 +161,61 @@ def sink_counts(events: "ray.data.Dataset") -> "ray.data.Dataset":
     return events.groupby("sink").count()
 
 
+class JsonlSinkWriter:
+    """Discrete sink (S4 analogue — lib/syslog_output.c:42-66): one
+    document per line, the `events_per_doc=0` bare-event mode where each
+    event is exactly one message.  Each task appends its batch to per-sink
+    part files named by a uuid (atomic tmp+rename), so the write is a
+    single streaming pass with no materialization and no re-execution."""
+
+    def __init__(self, out_dir: str, column: str = "doc") -> None:
+        self.out_dir = out_dir
+        self.column = column
+        self.__name__ = "jsonl_sink_writer"
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        counts = {}
+        for sink in batch.column("sink").unique().to_pylist():
+            sub = batch.filter(pc.equal(batch.column("sink"), sink))
+            d = os.path.join(self.out_dir, sink)
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".part-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                for doc in sub.column(self.column).to_pylist():
+                    f.write(doc)
+                    f.write("\n")
+            os.replace(tmp, tmp.replace(".tmp", ".jsonl").replace("/.part", "/part"))
+            counts[sink] = sub.num_rows
+        return pa.table({
+            "sink": pa.array(list(counts), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        })
+
+
+def write_jsonl_routed(events: "ray.data.Dataset", out_dir: str,
+                       xml: bool = False) -> dict[str, int]:
+    """Routed discrete-sink write: JSON-lines (or XML-lines) per sink."""
+    ds = events
+    column = "doc"
+    if xml:
+        from ..xmlout import add_xml_column
+
+        ds = ds.map_batches(add_xml_column, batch_format="pyarrow")
+        column = "doc_xml"
+    parts = ds.map_batches(JsonlSinkWriter(out_dir, column),
+                           batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = parts.groupby("sink").aggregate(Sum("n", alias_name="n")).take_all()
+    return {r["sink"]: int(r["n"]) for r in out}
+
+
 def write_routed(events: "ray.data.Dataset", out_dir: str,
                  cfg: PipelineConfig = PipelineConfig()) -> dict[str, int]:
     """Fan-out write: one parquet directory per sink (S2-S4 analogue).

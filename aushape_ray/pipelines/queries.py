@@ -556,9 +556,12 @@ def q_doc_token_stats(sf_dir: str):
 
 
 def sql_doc_token_stats() -> str:
-    return r"""
+    from ..functions.textops import BPE_REGEX
+
+    return rf"""
 SELECT doc_id, length(text)::BIGINT AS n_chars,
-       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}'))::BIGINT AS n_bpe_tokens
 FROM documents"""
 
 
@@ -585,6 +588,24 @@ def q_doc_quality(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(quality_score, batch_format="pyarrow")
+
+
+def sql_doc_quality() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents),
+c AS (
+  SELECT doc_id, text, len(words)::BIGINT AS n_words,
+         len(list_filter(words, x -> x IN
+             ('the','and','of','to','a','in','is','it')))::BIGINT AS n_stopwords
+  FROM w)
+SELECT doc_id, n_words, n_stopwords,
+       (CASE WHEN n_words >= 5 THEN 40 ELSE 0 END
+        + CASE WHEN n_words > 0 AND 50 * n_stopwords > n_words THEN 30 ELSE 0 END
+        + CASE WHEN text <> '' AND length(text) < 10000 THEN 30 ELSE 0 END
+       )::BIGINT AS quality
+FROM c"""
 
 
 def q_doc_lang_id(sf_dir: str):
@@ -769,6 +790,7 @@ def build_registry():
         "doc_dedup_keep_first": sql_doc_dedup_keep_first(),
         "doc_token_stats": sql_doc_token_stats(),
         "doc_char_stats": sql_doc_char_stats(),
+        "doc_quality": sql_doc_quality(),
         "ann_topk": sql_ann_topk(),
         "emb_sim_pairs": sql_emb_sim_pairs(),
     }

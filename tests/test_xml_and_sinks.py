@@ -1,0 +1,105 @@
+"""XML rendering (M8 escaping) and the discrete JSON-lines sink (S4)."""
+
+import glob
+import json
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from aushape_ray.oracle import assemble_events
+from aushape_ray.xmlout import escape_xml, render_event_xml
+
+
+def test_escape_xml_predefined_and_controls():
+    assert escape_xml('a<b>&"c\'') == "a&lt;b&gt;&amp;&quot;c&apos;"
+    assert escape_xml("x\x01y") == "x&#x01;y"
+    assert escape_xml("tab\there\nnl") == "tab&#x09;here&#x0A;nl"  # single-line docs
+
+
+def _has_ctrl(e):
+    return any(ord(c) < 0x20 and c not in "\t\n\r"
+               for t in e["text"] for c in t)
+
+
+def test_every_oracle_doc_renders_wellformed(oracle_events):
+    for e in oracle_events:
+        xml = render_event_xml(json.loads(e["doc"]))
+        if _has_ctrl(e):
+            # control chars are emitted as &#xNN; (reference behaviour,
+            # lib/gbuf.c:282-342) — not parseable as XML 1.0, by design
+            assert "&#x" in xml
+            continue
+        root = ET.fromstring(xml)
+        assert root.tag == "event"
+        assert root.attrib["serial"] == e["conv_id"]
+        lines = [el.text or "" for el in root.findall("./text/line")]
+        assert lines == e["text"]
+        if e["error"] is not None:
+            assert root.find("error").text == e["error"]
+        else:
+            assert root.find("data") is not None
+
+
+def test_field_i_r_attributes(tiny_transcripts, oracle_events):
+    # find an event with an enriched uid field: r= kept, i= interpreted
+    for e in oracle_events:
+        doc = json.loads(e["doc"])
+        data = doc.get("data") or {}
+        for kind, rec in data.items():
+            if isinstance(rec, dict) and "uid" in rec:
+                xml = render_event_xml(doc)
+                root = ET.fromstring(xml)
+                f = root.find(f"./data/{kind}/field[@name='uid']")
+                assert f.attrib["i"].startswith("user_")
+                assert f.attrib["r"] == f.attrib["i"][5:]
+                return
+    pytest.skip("no uid event in corpus")
+
+
+def test_jsonl_sink_counts_and_content(ray_session, tiny_transcripts,
+                                       oracle_events, tmp_path):
+    import ray.data
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.pipelines.events_pipeline import (
+        build_events,
+        write_jsonl_routed,
+    )
+
+    events = build_events(ray.data.from_arrow(tiny_transcripts),
+                          PipelineConfig(num_parts=8))
+    counts = write_jsonl_routed(events, str(tmp_path))
+    from aushape_ray.oracle import sink_counts as osc
+
+    assert counts == osc(oracle_events)
+    # one JSON document per line, parseable, serial present
+    n = 0
+    for f in glob.glob(f"{tmp_path}/*/part-*.jsonl"):
+        with open(f) as fh:
+            for line in fh:
+                d = json.loads(line)
+                assert "serial" in d and "time" in d
+                n += 1
+    assert n == sum(counts.values())
+
+
+def test_xml_sink(ray_session, tiny_transcripts, tmp_path):
+    import ray.data
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.pipelines.events_pipeline import (
+        build_events,
+        write_jsonl_routed,
+    )
+
+    events = build_events(ray.data.from_arrow(tiny_transcripts),
+                          PipelineConfig(num_parts=8))
+    counts = write_jsonl_routed(events, str(tmp_path), xml=True)
+    n = 0
+    for f in glob.glob(f"{tmp_path}/*/part-*.jsonl"):
+        with open(f) as fh:
+            for line in fh:
+                if "&#x" not in line:
+                    ET.fromstring(line)
+                n += 1
+    assert n == sum(counts.values())
