@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-event-size", type=_size, default=None)
     ap.add_argument("--events-per-doc", type=int, default=50_000)
     ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--salt-threshold", type=int, default=None,
+                    help="split conversations longer than this over "
+                         "multiple partitions (salted-key skew handling)")
     ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
     ap.add_argument("--format", choices=["parquet", "jsonl", "xml"],
                     default="parquet",
@@ -66,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         with_text=not args.no_text, with_norm=args.with_norm,
         max_event_size=args.max_event_size,
         events_per_doc=args.events_per_doc, num_parts=args.num_parts,
-        shuffle=args.shuffle,
+        shuffle=args.shuffle, salt_threshold=args.salt_threshold,
     )
 
     if args.resume:

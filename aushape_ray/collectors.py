@@ -98,11 +98,32 @@ class ExecveCollector:
                 continue
             # non-argv fields on an EXECVE record are ignored
 
+    def merge(self, later: "ExecveCollector") -> None:
+        """Fold a later turn-range's state into this one (salted partial
+        assembly; `later` MUST cover strictly later turns)."""
+        if not later.seen:
+            return
+        self.seen = True
+        if later.argc is not None:
+            if self.argc is not None:
+                raise CollectError("execve: duplicate argc")
+            self.argc = later.argc
+        self.args.update(later.args)
+        self.lens.update(later.lens)
+        for i, parts in later.slices.items():
+            self.slices.setdefault(i, {}).update(parts)
+
     def end(self) -> list[str]:
         if not self.seen:
             return []
         if self.argc is None:
             raise CollectError("execve: missing argc")
+        # deferred index validation: under salted partial assembly a part
+        # may collect arg tokens before knowing argc; re-check here (the
+        # unsalted path already errored at add time, so this is a no-op)
+        for i in sorted(set(self.args) | set(self.lens) | set(self.slices)):
+            if i >= self.argc:
+                raise CollectError(f"execve: arg index {i} out of range")
         for i, parts in self.slices.items():
             if i not in self.lens:
                 raise CollectError(f"execve: arg {i} slices without length")
@@ -135,6 +156,15 @@ class PathCollector:
         if idx in self.slots:
             raise CollectError(f"path: duplicate item {idx}")
         self.slots[idx] = render_fields(fields)
+
+    def merge(self, later: "PathCollector") -> None:
+        if not later.seen:
+            return
+        self.seen = True
+        for idx, rec in later.slots.items():
+            if idx in self.slots:
+                raise CollectError(f"path: duplicate item {idx}")
+            self.slots[idx] = rec
 
     def end(self) -> list[dict]:
         if not self.seen:
@@ -219,6 +249,42 @@ class EventAssembler:
             self.error = str(e)
         if self.with_norm and self.error is None:
             self._norm_fields.extend(fields)
+
+    def merge(self, later: "EventAssembler") -> None:
+        """Fold a later turn-range's partial assembly into this one
+        (salted-key skew handling, SURVEY.md §4).
+
+        Semantics: identical to sequential assembly when the conversation
+        latches at most one error; with multiple independent errors the
+        surviving error MESSAGE may differ (the earliest part's add-time
+        error always wins, but cross-part end-time error ordering can
+        swap) — sink routing and counts are unaffected.
+        """
+        self.texts.extend(later.texts)
+        if self.node is None:
+            self.node = later.node
+        self.n_records += later.n_records
+        if self.error is None and later.error is not None:
+            self.error = later.error
+        if self.error is not None:
+            return  # latched: later data contributes raw text only
+        try:
+            self.execve.merge(later.execve)
+            self.path.merge(later.path)
+            for kind, coll in later.reps.items():
+                self.reps.setdefault(kind, RepCollector()).items.extend(coll.items)
+            for kind, rec in later.uniq.items():
+                if kind in self.uniq:
+                    raise CollectError(f"repeated record kind {kind}")
+                self.uniq[kind] = rec
+        except CollectError as e:
+            self.error = str(e)
+        for k in later.order:
+            if k not in self.order:
+                self.order.append(k)
+        self._norm_fields.extend(later._norm_fields)
+        if later._norm_argv0 and not self._norm_argv0:
+            self._norm_argv0 = later._norm_argv0
 
     def _finalize_data(self) -> dict | None:
         out: dict[str, object] = {}

@@ -34,6 +34,12 @@ class PipelineConfig:
     # faster at measured scales) or "hash" (aggregator actors; capped to
     # cluster CPUs/2 — see events_pipeline._configure_shuffle).
     shuffle: str = "sort"
+    # salted-key skew handling (SURVEY.md §4): conversations with more than
+    # salt_threshold turns are split into n_salts contiguous turn ranges,
+    # partially assembled in parallel, and merged in a second tiny groupby.
+    # None = off (a hot conversation is confined to one partition task).
+    salt_threshold: int | None = None
+    n_salts: int = 8
 
     def __post_init__(self) -> None:
         if self.max_event_size is not None and self.max_event_size < 1024:

@@ -87,18 +87,77 @@ def build_events(ds: "ray.data.Dataset",
         enriched = parsed.map_batches(
             enrich_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
         )
+    hot: dict[str, int] | None = None
+    if cfg.salt_threshold:
+        hot = _find_hot_convs(ds, cfg)
+
     parted = enriched.map_batches(
-        lambda b: add_part(b, cfg.num_parts),
+        lambda b: add_part(b, cfg.num_parts, hot),
         batch_format="pyarrow", batch_size=cfg.batch_size,
     )
-    events = parted.groupby("part", num_partitions=cfg.num_parts).map_groups(
+    assembled = parted.groupby("part", num_partitions=cfg.num_parts).map_groups(
         AssemblePartition(
             with_text=cfg.with_text, with_norm=cfg.with_norm,
             max_event_size=cfg.max_event_size,
+            emit_partials=bool(hot),
         ),
         batch_format="pyarrow",
     )
-    return events
+    if not hot:
+        return assembled
+
+    # salted path: split finished events from partial assemblies, merge the
+    # partials per conversation (tiny: n_salts rows per hot conv), union.
+    # materialize() pins the assembled output (event-sized, far smaller
+    # than the input) so the two consumers don't re-execute the pipeline;
+    # a 100 TB deployment would write full events straight to sinks and
+    # run the merge over the partial side-channel only.
+    import pyarrow.compute as pc
+
+    from ..stages.assemble import EVENT_SCHEMA, make_merge_partials
+
+    assembled = assembled.materialize()
+    full = assembled.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("partial")))
+        .select(EVENT_SCHEMA.names),
+        batch_format="pyarrow",
+    )
+    partials = assembled.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("partial"))),
+        batch_format="pyarrow",
+    )
+    merged = partials.groupby("conv_id").map_groups(
+        make_merge_partials(cfg.with_text, cfg.with_norm, cfg.max_event_size),
+        batch_format="pyarrow",
+    )
+    return full.union(merged)
+
+
+def _find_hot_convs(ds: "ray.data.Dataset", cfg: PipelineConfig) -> dict[str, int]:
+    """Pre-pass: conv_id -> salt chunk size for conversations longer than
+    salt_threshold.  Reads only the conv_id column; per-batch partial
+    counts, then a tiny groupby — the standard hot-key detection sweep."""
+    import math
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("conv_id").combine_chunks().value_counts()
+        return pa.table({
+            "conv_id": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    counts = ds.select_columns(["conv_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+    thresh = cfg.salt_threshold
+    big = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("n"), thresh)),
+        batch_format="pyarrow",
+    ).take_all()
+    return {r["conv_id"]: math.ceil(r["n"] / cfg.n_salts) for r in big}
 
 
 def events_for(sf_dir: str, cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":

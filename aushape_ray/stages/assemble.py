@@ -26,6 +26,8 @@ import pyarrow as pa
 from ..collectors import EventAssembler, doc_size, route_sink, trim_doc
 from ..oracle import format_time_us
 
+SALT_COLUMN = "salt"  # int32; -1 = unsalted row
+
 EVENT_SCHEMA = pa.schema([
     pa.field("conv_id", pa.string()),
     pa.field("ts_first", pa.timestamp("us")),
@@ -40,14 +42,27 @@ EVENT_SCHEMA = pa.schema([
     pa.field("doc_bytes", pa.int64()),
 ])
 
+# extended schema used when salted-key skew handling is on: partial rows
+# carry pickled assembler state instead of a finished doc
+PARTIAL_SCHEMA = EVENT_SCHEMA.append(pa.field("partial", pa.binary())) \
+                             .append(pa.field(SALT_COLUMN, pa.int32()))
+
 
 def stable_hash(s: str) -> int:
     return zlib.crc32(s.encode("utf-8"))
 
 
-def add_part(batch: pa.Table, num_parts: int) -> pa.Table:
+def add_part(batch: pa.Table, num_parts: int,
+             hot: dict[str, int] | None = None) -> pa.Table:
     """Tag rows with the conversation's hash partition (vectorized via
-    per-batch dictionary encoding: one crc32 per unique conv_id)."""
+    per-batch dictionary encoding: one crc32 per unique conv_id).
+
+    `hot` (salted-key skew handling, SURVEY.md §4) maps a hot conv_id to
+    its salt chunk size: its rows get salt = turn_idx // chunk and
+    partition hash(conv_id + ':' + salt), spreading the conversation over
+    several partitions as contiguous turn ranges; everyone else gets
+    salt = -1 and the plain conv hash.
+    """
     conv = batch.column("conv_id").combine_chunks()
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.chunk(0) if conv.num_chunks else pa.array([], pa.string())
@@ -55,7 +70,23 @@ def add_part(batch: pa.Table, num_parts: int) -> pa.Table:
     uniq = dict_arr.dictionary.to_pylist()
     part_of = np.array([stable_hash(u) % num_parts for u in uniq], dtype=np.int32)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False)
-    return batch.append_column("part", pa.array(part_of[codes], pa.int32()))
+    parts = part_of[codes]
+    salts = np.full(len(codes), -1, dtype=np.int32)
+    if hot:
+        hot_codes = [c for c, u in enumerate(uniq) if u in hot]
+        if hot_codes:
+            turn = np.asarray(batch.column("turn_idx"), dtype=np.int64)
+            for c in hot_codes:
+                cid = uniq[c]
+                chunk = max(1, hot[cid])
+                mask = codes == c
+                s = (turn[mask] // chunk).astype(np.int32)
+                salts[mask] = s
+                parts[mask] = np.array(
+                    [stable_hash(f"{cid}:{v}") % num_parts for v in s],
+                    dtype=np.int32)
+    out = batch.append_column("part", pa.array(parts, pa.int32()))
+    return out.append_column("salt", pa.array(salts, pa.int32()))
 
 
 def _as_array(col):
@@ -66,19 +97,50 @@ def _as_array(col):
     return col
 
 
+def finish_event(rows: dict, asm: EventAssembler, cid: str, ts_first: int,
+                 n_turns: int, any_tool: bool,
+                 max_event_size: int | None, with_text: bool) -> None:
+    doc = asm.end(cid, format_time_us(ts_first))
+    if doc is None:
+        return
+    doc = trim_doc(doc, max_event_size)
+    rows["conv_id"].append(cid)
+    rows["ts_first"].append(ts_first)
+    rows["node"].append(asm.node)
+    rows["n_turns"].append(n_turns)
+    rows["n_records"].append(asm.n_records)
+    rows["sink"].append(route_sink(asm.error, any_tool))
+    rows["error"].append(asm.error)
+    rows["text"].append(asm.texts if with_text else [])
+    rows["trimmed"].append(doc.get("trimmed", []))
+    rows["doc"].append(json.dumps(doc, ensure_ascii=False, separators=(",", ":")))
+    rows["doc_bytes"].append(doc_size(doc))
+
+
 class AssemblePartition:
-    """Callable for map_groups: one hash partition in, event rows out."""
+    """Callable for map_groups: one hash partition in, event rows out.
+
+    With emit_partials=True (salted-key skew handling) the output uses
+    PARTIAL_SCHEMA: rows of a salted conversation (salt >= 0) are folded
+    into a pickled partial-assembler row per (conv_id, salt) sub-range,
+    to be merged by merge_partials_fn in a second, tiny groupby.
+    """
 
     def __init__(self, with_text: bool = True, with_norm: bool = False,
-                 max_event_size: int | None = None) -> None:
+                 max_event_size: int | None = None,
+                 emit_partials: bool = False) -> None:
         self.with_text = with_text
         self.with_norm = with_norm
         self.max_event_size = max_event_size
+        self.emit_partials = emit_partials
         self.__name__ = "assemble_partition"  # map_groups wraps fn by name
+
+    def _schema(self) -> pa.Schema:
+        return PARTIAL_SCHEMA if self.emit_partials else EVENT_SCHEMA
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return EVENT_SCHEMA.empty_table()
+            return self._schema().empty_table()
         order = pa.compute.sort_indices(
             group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
@@ -93,16 +155,19 @@ class AssemblePartition:
         tvals = _as_array(g.column("tok_vals")).to_pylist()
         sp_idx = _as_array(g.column("sp_idx")).to_pylist()
         sp_val = _as_array(g.column("sp_val")).to_pylist()
+        salts = (_as_array(g.column("salt")).to_pylist()
+                 if "salt" in g.column_names else [-1] * len(conv))
 
-        rows = {name: [] for name in EVENT_SCHEMA.names}
+        rows = {name: [] for name in self._schema().names}
         n = len(conv)
         i = 0
         while i < n:
             j = i
             cid = conv[i]
+            salt = salts[i]
             asm = EventAssembler(with_text=self.with_text, with_norm=self.with_norm)
             any_tool = False
-            while j < n and conv[j] == cid:
+            while j < n and conv[j] == cid and salts[j] == salt:
                 ks, vs = tkeys[j], tvals[j]
                 if sp_idx[j]:
                     interp = list(vs)
@@ -115,25 +180,64 @@ class AssemblePartition:
                 if is_tool[j]:
                     any_tool = True
                 j += 1
-            doc = asm.end(cid, format_time_us(ts_us[i]))
-            if doc is not None:
-                doc = trim_doc(doc, self.max_event_size)
+            if salt >= 0 and self.emit_partials:
+                import pickle
+
+                state = pickle.dumps({
+                    "asm": asm, "any_tool": any_tool,
+                    "ts_first": ts_us[i], "n_turns": j - i,
+                })
                 rows["conv_id"].append(cid)
                 rows["ts_first"].append(ts_us[i])
                 rows["node"].append(asm.node)
                 rows["n_turns"].append(j - i)
                 rows["n_records"].append(asm.n_records)
-                rows["sink"].append(route_sink(asm.error, any_tool))
-                rows["error"].append(asm.error)
-                rows["text"].append(asm.texts if self.with_text else [])
-                rows["trimmed"].append(doc.get("trimmed", []))
-                rows["doc"].append(
-                    json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
-                )
-                rows["doc_bytes"].append(doc_size(doc))
+                rows["sink"].append("")
+                rows["error"].append(None)
+                rows["text"].append([])
+                rows["trimmed"].append([])
+                rows["doc"].append("")
+                rows["doc_bytes"].append(0)
+                rows["partial"].append(state)
+                rows["salt"].append(salt)
+            else:
+                finish_event(rows, asm, cid, ts_us[i], j - i, any_tool,
+                             self.max_event_size, self.with_text)
+                if self.emit_partials:
+                    while len(rows["partial"]) < len(rows["conv_id"]):
+                        rows["partial"].append(None)
+                        rows["salt"].append(-1)
             i = j
 
-        arrays = [
-            pa.array(rows[f.name], f.type) for f in EVENT_SCHEMA
-        ]
+        schema = self._schema()
+        arrays = [pa.array(rows[f.name], f.type) for f in schema]
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def make_merge_partials(with_text: bool = True, with_norm: bool = False,
+                        max_event_size: int | None = None):
+    """Per-conversation merge of salted partial assemblies (tiny groupby:
+    one group per hot conversation, a handful of rows each)."""
+    import pickle
+
+    def merge_partials(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group, sort_keys=[("salt", "ascending")])
+        g = group.take(order)
+        cid = _as_array(g.column("conv_id")).to_pylist()[0]
+        states = [pickle.loads(b) for b in _as_array(g.column("partial")).to_pylist()]
+        base = states[0]
+        asm: EventAssembler = base["asm"]
+        any_tool = base["any_tool"]
+        n_turns = base["n_turns"]
+        for s in states[1:]:
+            asm.merge(s["asm"])
+            any_tool = any_tool or s["any_tool"]
+            n_turns += s["n_turns"]
+        rows = {name: [] for name in EVENT_SCHEMA.names}
+        finish_event(rows, asm, cid, base["ts_first"], n_turns, any_tool,
+                     max_event_size, with_text)
+        arrays = [pa.array(rows[f.name], f.type) for f in EVENT_SCHEMA]
         return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
+
+    merge_partials.__name__ = "merge_partials"
+    return merge_partials
