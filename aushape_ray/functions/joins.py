@@ -1,0 +1,82 @@
+"""Joins for both-sides-large inputs: explicit partitioned hash join.
+
+Pattern (ray_guide 'Joins and lookups'): tag each side with
+bucket = hash(key) % B and a side marker, null-pad to a common schema,
+union the tagged datasets, groupby(bucket), and join the two sides
+pairwise inside map_groups with a pandas merge.  One shuffle of each
+side, no driver materialization.  B bounds per-task memory: choose B so
+(|A| + |B|) / B fits a worker.  Skewed keys: salt hot keys into
+sub-buckets upstream (same recipe as the conv_id salt in
+stages/assemble.py).
+
+Small-side joins should NOT use this — broadcast the small side instead
+(see pipelines/queries.q_mktsegment_orders).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _tag(batch: pa.Table, key: str, side: int, n_buckets: int,
+         pad: list[tuple[str, pa.DataType]]) -> pa.Table:
+    k = batch.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # splitmix-style integer mix, process-stable
+    h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+    bucket = (h % np.uint64(n_buckets)).astype(np.int32)
+    out = batch
+    for name, typ in pad:
+        out = out.append_column(name, pa.nulls(batch.num_rows, typ))
+    out = out.append_column("__bucket", pa.array(bucket, pa.int32()))
+    out = out.append_column("__side", pa.array(
+        np.full(len(bucket), side, np.int8), pa.int8()))
+    return out
+
+
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str, n_buckets: int = 32,
+              how: str = "inner") -> "ray.data.Dataset":
+    """Partitioned hash join of two Datasets on integer keys.
+
+    Non-key column names must be disjoint (rename upstream).  Join
+    columns keep their original names.
+    """
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {left_key, right_key}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    l_pad = [(n, t) for n, t in zip(r_schema.names, r_schema.types)
+             if n not in l_cols]
+    r_pad = [(n, t) for n, t in zip(l_schema.names, l_schema.types)
+             if n not in r_cols]
+
+    lt = left.map_batches(
+        lambda b: _tag(b, left_key, 0, n_buckets, l_pad),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        lambda b: _tag(b, right_key, 1, n_buckets, r_pad),
+        batch_format="pyarrow")
+
+    ordered = sorted(set(l_cols) | set(r_cols))
+
+    def align(b: pa.Table) -> pa.Table:
+        return b.select(ordered + ["__bucket", "__side"])
+
+    lt = lt.map_batches(align, batch_format="pyarrow")
+    rt = rt.map_batches(align, batch_format="pyarrow")
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a = group[group["__side"] == 0][l_cols]
+        b = group[group["__side"] == 1][r_cols]
+        return a.merge(b, left_on=left_key, right_on=right_key, how=how)
+
+    join_bucket.__name__ = "join_bucket"
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")

@@ -361,6 +361,42 @@ def q_t_execve_argv(sf_dir: str):
 # testdata-table queries (classic relational + stream windows)
 # --------------------------------------------------------------------------
 
+def sql_t_execve_argv(path: str) -> str:
+    """Full SQL replica of the execve collector's argv reassembly for
+    valid conversations: whole args (quote-stripped) or hex-slice concat
+    decoded, skipped args filled with '' via generate_series."""
+    return f"""
+WITH {_sql_turns(path)}, {_sql_err(path)},
+args AS (
+  SELECT conv_id,
+         CAST(regexp_extract(key, '^a([0-9]+)', 1) AS INT) AS i,
+         max(CASE WHEN regexp_matches(key, '^a[0-9]+$') THEN
+             CASE WHEN val LIKE '"%"' THEN substr(val, 2, length(val) - 2)
+                  ELSE val END END) AS whole,
+         string_agg(CASE WHEN regexp_matches(key, '^a[0-9]+\\[[0-9]+\\]$')
+                         THEN val END, ''
+                    ORDER BY CAST(nullif(regexp_extract(key,
+                                  '\\[([0-9]+)\\]$', 1), '') AS INT)) AS hexcat
+  FROM exec_tok
+  WHERE regexp_matches(key, '^a[0-9]+(\\[[0-9]+\\])?$')
+  GROUP BY conv_id, i),
+argcs AS (
+  SELECT conv_id, max(CASE WHEN key = 'argc' THEN CAST(val AS INT) END) AS argc
+  FROM exec_tok GROUP BY conv_id
+  HAVING argc IS NOT NULL),
+filled AS (
+  SELECT a.conv_id, gs.i,
+         coalesce(ar.whole, decode(unhex(ar.hexcat)), '') AS v
+  FROM argcs a
+  CROSS JOIN generate_series(0, 255) AS gs(i)
+  LEFT JOIN args ar ON ar.conv_id = a.conv_id AND ar.i = gs.i
+  WHERE gs.i < a.argc)
+SELECT conv_id, string_agg(v, chr(31) ORDER BY i) AS argv
+FROM filled
+WHERE conv_id NOT IN (SELECT conv_id FROM err_convs)
+GROUP BY conv_id"""
+
+
 def q_q1_pricing(sf_dir: str):
     """TPC-H Q1-flavoured pricing summary; money in integer cents."""
     ds = ray.data.read_parquet(
@@ -440,6 +476,99 @@ SELECT c.c_mktsegment,
        sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment"""
+
+
+def q_orders_priority_revenue(sf_dir: str):
+    """Both-sides-large join: lineitem x orders via the explicit
+    partitioned hash join (functions/joins.py), then priority revenue."""
+    from ..functions.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), np.float64)
+        disc = np.asarray(batch.column("l_discount"), np.float64)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_pylist(),
+            "revenue_cents": cents,
+        })
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("revenue_cents", "size"),
+            revenue_cents=("revenue_cents", "sum"))
+        return pa.Table.from_pandas(g[["o_orderpriority", "n_items",
+                                       "revenue_cents"]], preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def sql_orders_priority_revenue() -> str:
+    return """
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
+
+
+def q_events_daily_top_users(sf_dir: str):
+    """Windowed top-k: top-3 users per day by event count (tie-break by
+    user_id), partial counts then per-day head."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000) * 86_400_000_000
+        df = pd.DataFrame({"day_us": day,
+                           "user_id": np.asarray(batch.column("user_id"))})
+        g = df.groupby(["day_us", "user_id"], as_index=False).size()
+        g.columns = ["day_us", "user_id", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["day_us", "user_id"]).aggregate(Sum("n", alias_name="n"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        return g
+
+    topk.__name__ = "topk"
+    out = counts.groupby("day_us").map_groups(topk, batch_format="pandas")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch.column("day_us").cast(pa.int64()).cast(pa.timestamp("us")),
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "n": batch.column("n").cast(pa.int64()),
+            "rank": batch.column("rank").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_daily_top_users() -> str:
+    return """
+WITH c AS (
+  SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+         user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT day, user_id, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rank
+  FROM c)
+SELECT day, user_id, n, rank::BIGINT AS rank FROM r WHERE rank <= 3"""
 
 
 def q_events_tumbling(sf_dir: str):
@@ -616,6 +745,29 @@ def q_doc_lang_id(sf_dir: str):
     ).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def sql_doc_lang_id() -> str:
+    """SQL replica of LangId's sorted-language argmax (strictly-greater
+    update walking de,en,es,fr in order; all-zero -> unknown)."""
+    def flt(lang, words):
+        lst = ",".join(f"'{w}'" for w in sorted(words))
+        return (f"len(list_filter(regexp_extract_all(lower(text), "
+                f"'[a-zà-ÿ]+'), x -> x IN ({lst}))) AS n_{lang}")
+    from ..functions.textops import _LANG_MARKERS
+
+    cols = ",\n       ".join(flt(k, v) for k, v in sorted(_LANG_MARKERS.items()))
+    return f"""
+WITH c AS (
+  SELECT doc_id, {cols}
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'unknown'
+            WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+            WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+            WHEN n_es >= n_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM c"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     from ..functions.textops import fingerprint
 
@@ -715,6 +867,80 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= {SIM_THRESHOLD}"""
 
 
+def q_ann_ivf_recall(sf_dir: str):
+    """Scale-path ANN: LSH/IVF-bucketed search probing only the query's
+    bucket; reports recall@10 vs the exact brute force (rows-only oracle:
+    quality metric, not SQL-expressible)."""
+    from ..functions.ann import IvfIndexer, brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qids = list(range(8))
+    exact = brute_force_topk(ds, query_ids=qids, k=10)
+    exact_sets: dict[int, set] = {}
+    for r in exact.to_pylist():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    first = ds.take(1)[0]
+    n_planes = 4
+    idx = IvfIndexer(dim=len(first["embedding"]), n_planes=n_planes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        return batch.append_column(
+            "bucket", pa.array(idx.bucket_of(mat), pa.int64()))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    q_rows = [r for r in bucketed.take_all() if r["vec_id"] in set(qids)]
+    # multi-probe: each query probes its own bucket plus all Hamming-1
+    # neighbours (standard LSH multi-probe; bounds probed fraction to
+    # (n_planes+1)/2^n_planes of the data)
+    q_probe = {r["vec_id"]: {r["bucket"]} | {r["bucket"] ^ (1 << p)
+                                             for p in range(n_planes)}
+               for r in q_rows}
+    q_vec = {r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in q_rows}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["bucket"].iloc[0]
+        qs = [q for q, probes in q_probe.items() if b in probes]
+        if not qs:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = g["vec_id"].to_numpy(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for q in qs:
+            v = q_vec[q] / max(np.linalg.norm(q_vec[q]), 1e-12)
+            sims = mat @ v
+            order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+            for negs, i in order[:11]:
+                if i == q:
+                    continue
+                out_q.append(q)
+                out_n.append(int(i))
+                out_s.append(float(-negs))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "sim": out_s})
+
+    per_bucket.__name__ = "per_bucket"
+    approx = bucketed.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    hits = 0
+    for q in qids:
+        cand = approx[approx["query_id"] == q]
+        # merge per-bucket partials into the global approximate top-10
+        cand = cand.sort_values(["sim", "neighbor_id"],
+                                ascending=[False, True]).head(10)
+        got = set(cand["neighbor_id"].astype(int))
+        hits += len(got & exact_sets.get(q, set()))
+    return pa.table({
+        "n_queries": pa.array([len(qids)], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+        "hits": pa.array([hits], pa.int64()),
+        "recall_pct": pa.array([hits * 100 // (10 * len(qids))], pa.int64()),
+    })
+
+
 def q_lsh_buckets(sf_dir: str):
     from ..functions.ann import lsh_bucket_stats
 
@@ -756,6 +982,8 @@ def build_registry():
         "t_node_counts": q_t_node_counts,
         "t_execve_argv": q_t_execve_argv,
         "q1_pricing": q_q1_pricing,
+        "orders_priority_revenue": q_orders_priority_revenue,
+        "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
@@ -771,6 +999,7 @@ def build_registry():
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "media_features": q_media_features,
     }
     oracle = {
@@ -783,6 +1012,10 @@ def build_registry():
         "t_path_names": sql_t_path_names(t01),
         "t_node_counts": sql_t_node_counts(t01),
         "q1_pricing": sql_q1_pricing(),
+        "orders_priority_revenue": sql_orders_priority_revenue(),
+        "events_daily_top_users": sql_events_daily_top_users(),
+        "t_execve_argv": sql_t_execve_argv(t01),
+        "doc_lang_id": sql_doc_lang_id(),
         "mktsegment_orders": sql_mktsegment_orders(),
         "events_tumbling": sql_events_tumbling(),
         "events_sessionize": sql_events_sessionize(),

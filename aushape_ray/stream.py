@@ -34,8 +34,16 @@ class StateError(RuntimeError):
 class StreamConverter:
     CREATED, BEGUN, ENDED = "created", "begun", "ended"
 
-    def __init__(self, cfg: PipelineConfig = PipelineConfig()) -> None:
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(),
+                 events_per_doc: int | None = 0) -> None:
+        """events_per_doc (A1 semantics, lib/conv.c:84-172):
+        > 0  count-bounded documents (close when the count is hit);
+        < 0  BYTE-bounded (close when accumulated doc bytes reach -value);
+        0    bare mode: every event is its own document;
+        None one document for the whole stream (closed at end()).
+        """
         self.cfg = cfg
+        self.events_per_doc = events_per_doc
         self.state = self.CREATED
         self.rc = None
         self._cur_conv: str | None = None
@@ -44,6 +52,9 @@ class StreamConverter:
         self._ts_first: int | None = None
         self._n_turns = 0
         self.events_out = 0
+        self._doc_events: list[dict] = []
+        self._doc_bytes = 0
+        self._docs: list[dict] = []
 
     def begin(self) -> None:
         if self.state != self.CREATED:
@@ -85,7 +96,38 @@ class StreamConverter:
             raise StateError(f"end() in state {self.state}")
         if self._cur_conv is not None:
             raise StateError("end() with pending conversation; flush() first")
+        if self._doc_events:  # final epilogue (lib/conv.c:264-301)
+            self._close_doc()
         self.state = self.ENDED
+
+    def drain_documents(self) -> list[dict]:
+        """Completed documents since the last drain (A3 discrete-sink
+        buffering: a document is only visible once whole)."""
+        out, self._docs = self._docs, []
+        return out
+
+    def _add_to_doc(self, ev: dict) -> None:
+        epd = self.events_per_doc
+        if epd == 0:  # bare mode: one event per document
+            self._docs.append({"events": [ev], "n_events": 1,
+                               "n_bytes": ev["doc_bytes"]})
+            return
+        self._doc_events.append(ev)
+        self._doc_bytes += ev["doc_bytes"]
+        if epd is None:
+            return  # single all-stream document, closed at end()
+        if (epd > 0 and len(self._doc_events) >= epd) or \
+           (epd < 0 and self._doc_bytes >= -epd):
+            self._close_doc()
+
+    def _close_doc(self) -> None:
+        self._docs.append({
+            "events": self._doc_events,
+            "n_events": len(self._doc_events),
+            "n_bytes": self._doc_bytes,
+        })
+        self._doc_events = []
+        self._doc_bytes = 0
 
     # -- internals ---------------------------------------------------------
 
@@ -107,6 +149,11 @@ class StreamConverter:
             return None
         doc = trim_doc(doc, self.cfg.max_event_size)
         self.events_out += 1
+        ev = self._event_row(asm, cid, doc)
+        self._add_to_doc(ev)
+        return ev
+
+    def _event_row(self, asm: EventAssembler, cid: str, doc: dict) -> dict:
         return {
             "conv_id": cid,
             "ts_first": self._ts_first,

@@ -64,3 +64,43 @@ def test_flush_is_idempotent_and_empty_conv_dropped():
               "text": "type=EOE", "tool": "", "ts": 1}])
     assert c.flush() == []  # EOE-only conversation -> no event
     c.end()
+
+
+class TestDocumentBatching:
+    """A1 semantics: count-bounded, byte-bounded, bare, all-in-one."""
+
+    def _feed(self, epd):
+        from aushape_ray.fixtures import generate_transcripts
+
+        tb = generate_transcripts(60)
+        c = StreamConverter(PipelineConfig(), events_per_doc=epd)
+        c.begin()
+        c.input(rows_of(tb))
+        c.flush()
+        c.end()
+        return c, c.drain_documents()
+
+    def test_count_bounded(self):
+        c, docs = self._feed(5)
+        assert sum(d["n_events"] for d in docs) == c.events_out
+        assert all(d["n_events"] == 5 for d in docs[:-1])
+        assert docs[-1]["n_events"] <= 5
+
+    def test_byte_bounded(self):
+        c, docs = self._feed(-4096)
+        assert sum(d["n_events"] for d in docs) == c.events_out
+        # every doc except the last crossed the byte bound when closed
+        for d in docs[:-1]:
+            assert d["n_bytes"] >= 4096
+            # and was below it before its last event was added
+            assert d["n_bytes"] - d["events"][-1]["doc_bytes"] < 4096
+
+    def test_bare_mode(self):
+        c, docs = self._feed(0)
+        assert len(docs) == c.events_out
+        assert all(d["n_events"] == 1 for d in docs)
+
+    def test_all_in_one(self):
+        c, docs = self._feed(None)
+        assert len(docs) == 1
+        assert docs[0]["n_events"] == c.events_out
