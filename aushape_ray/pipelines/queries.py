@@ -646,6 +646,51 @@ FROM o GROUP BY user_id"""
 # documents: dedup + text analysis
 # --------------------------------------------------------------------------
 
+def q_events_type_distinct(sf_dir: str):
+    """Distinct operator: ds.unique over the event_type column."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def sql_events_type_distinct() -> str:
+    return "SELECT DISTINCT event_type FROM events"
+
+
+def q_lineitem_top_revenue(sf_dir: str):
+    """Global sort + limit: top-10 line items by revenue cents."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("l_extendedprice"), np.float64)
+        disc = np.asarray(batch.column("l_discount"), np.float64)
+        rev = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "l_linenumber": batch.column("l_linenumber").cast(pa.int64()),
+            "revenue_cents": pa.array(rev, pa.int64()),
+        })
+
+    out = ds.map_batches(cents, batch_format="pyarrow").sort(
+        ["revenue_cents", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False]).limit(10)
+    return out
+
+
+def sql_lineitem_top_revenue() -> str:
+    return """
+SELECT l_orderkey::BIGINT AS l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS revenue_cents
+FROM lineitem
+ORDER BY revenue_cents DESC, l_orderkey, l_linenumber
+LIMIT 10"""
+
+
 def q_doc_dedup_exact(sf_dir: str):
     from ..functions.dedup import exact_dedup_stats
 
@@ -986,6 +1031,8 @@ def build_registry():
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
+        "events_type_distinct": q_events_type_distinct,
+        "lineitem_top_revenue": q_lineitem_top_revenue,
         "events_sessionize": q_events_sessionize,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_keep_first": q_doc_dedup_keep_first,
@@ -1018,6 +1065,8 @@ def build_registry():
         "doc_lang_id": sql_doc_lang_id(),
         "mktsegment_orders": sql_mktsegment_orders(),
         "events_tumbling": sql_events_tumbling(),
+        "events_type_distinct": sql_events_type_distinct(),
+        "lineitem_top_revenue": sql_lineitem_top_revenue(),
         "events_sessionize": sql_events_sessionize(),
         "doc_dedup_exact": sql_doc_dedup_exact(),
         "doc_dedup_keep_first": sql_doc_dedup_keep_first(),
