@@ -646,6 +646,114 @@ FROM o GROUP BY user_id"""
 # documents: dedup + text analysis
 # --------------------------------------------------------------------------
 
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON `props` column (regexp,
+    vectorized-per-batch) and aggregate k by event_type."""
+    import re
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    rx = re.compile(r'"k":\s*([0-9]+)')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = [int(m.group(1)) if (m := rx.search(p or "")) else 0
+              for p in batch.column("props").to_pylist()]
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "k": ks,
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("n", alias_name="n"),
+                                Sum("sum_k", alias_name="sum_k"))
+
+
+def sql_events_props_stats() -> str:
+    return r"""
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(coalesce(CAST(nullif(regexp_extract(props, '"k":\s*([0-9]+)', 1),
+                                '') AS BIGINT), 0))::BIGINT AS sum_k
+FROM events GROUP BY event_type"""
+
+
+def q_t_norm(sf_dir: str):
+    """Normalized subject/action/result view (--with-norm, M5 analogue)
+    for non-error events."""
+    import json
+
+    from ..config import PipelineConfig
+
+    cfg = PipelineConfig(num_parts=16, with_norm=True)
+    ev = events_for(sf_dir, cfg)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        out = {"conv_id": [], "subject": [], "action": [], "result": []}
+        for cid, err, doc in zip(batch.column("conv_id").to_pylist(),
+                                 batch.column("error").to_pylist(),
+                                 batch.column("doc").to_pylist()):
+            if err is not None:
+                continue
+            norm = json.loads(doc).get("norm")
+            if norm is None:
+                continue
+            out["conv_id"].append(cid)
+            out["subject"].append(norm["subject"])
+            out["action"].append(norm["action"])
+            out["result"].append(norm["result"])
+        return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+    return ev.map_batches(proj, batch_format="pyarrow")
+
+
+def sql_t_norm(path: str) -> str:
+    """SQL replica of the norm projection: subject = first uid (turn
+    order) -> user_<v>; action = execve argv0 if present else first
+    syscall name else 'dialog'; result = fail iff any exit != 0."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in SYSCALL_NAMES.items())
+    return f"""
+WITH {_sql_turns(path)}, {_sql_err(path)},
+valid AS (
+  SELECT conv_id FROM turns GROUP BY conv_id
+  HAVING bool_or(kind <> 'EOE')
+     AND conv_id NOT IN (SELECT conv_id FROM err_convs)),
+uid_first AS (
+  SELECT conv_id, 'user_' || regexp_extract(text, ' uid=([0-9]+)', 1) AS subject
+  FROM (SELECT conv_id, text,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+        FROM turns WHERE regexp_matches(text, ' uid=[0-9]+'))
+  WHERE rn = 1),
+sys_first AS (
+  SELECT conv_id, CASE s {cases} ELSE s END AS sysname
+  FROM (SELECT conv_id, regexp_extract(text, ' syscall=([0-9]+)', 1) AS s,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+        FROM turns WHERE regexp_matches(text, ' syscall=[0-9]+'))
+  WHERE rn = 1),
+argv0 AS (
+  SELECT conv_id,
+         max(CASE WHEN key = 'a0' THEN
+             CASE WHEN val LIKE '"%"' THEN substr(val, 2, length(val) - 2)
+                  ELSE val END END) AS a0,
+         bool_or(TRUE) AS has_exec
+  FROM exec_tok GROUP BY conv_id),
+fails AS (
+  SELECT conv_id, bool_or(nullif(regexp_extract(text, ' exit=(-?[0-9]+)', 1),
+                                 '') NOT IN ('0')) AS failed
+  FROM turns GROUP BY conv_id)
+SELECT v.conv_id,
+       coalesce(u.subject, 'unknown') AS subject,
+       coalesce(CASE WHEN a.has_exec THEN a.a0 END, s.sysname, 'dialog') AS action,
+       CASE WHEN coalesce(f.failed, FALSE) THEN 'fail' ELSE 'success' END AS result
+FROM valid v
+LEFT JOIN uid_first u USING (conv_id)
+LEFT JOIN sys_first s USING (conv_id)
+LEFT JOIN argv0 a USING (conv_id)
+LEFT JOIN fails f USING (conv_id)"""
+
+
 def q_events_type_distinct(sf_dir: str):
     """Distinct operator: ds.unique over the event_type column."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -1032,6 +1140,8 @@ def build_registry():
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
         "events_type_distinct": q_events_type_distinct,
+        "events_props_stats": q_events_props_stats,
+        "t_norm": q_t_norm,
         "lineitem_top_revenue": q_lineitem_top_revenue,
         "events_sessionize": q_events_sessionize,
         "doc_dedup_exact": q_doc_dedup_exact,
@@ -1066,6 +1176,8 @@ def build_registry():
         "mktsegment_orders": sql_mktsegment_orders(),
         "events_tumbling": sql_events_tumbling(),
         "events_type_distinct": sql_events_type_distinct(),
+        "events_props_stats": sql_events_props_stats(),
+        "t_norm": sql_t_norm(t01),
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
         "events_sessionize": sql_events_sessionize(),
         "doc_dedup_exact": sql_doc_dedup_exact(),
