@@ -8,8 +8,8 @@ Options mirror the reference CLI surface: --with-norm (aushape
 --with-norm), --no-text (inverse of --with-text), --max-event-size
 (trim cap, min 1024), --events-per-doc (rows per output file),
 --num-parts (shuffle partitions), --resume (per-shard manifest
-checkpointing), --shuffle sort|hash, --general (force the shuffle path
-even for contiguous input).
+checkpointing), --shuffle sort|hash, --contiguous (opt into the
+shuffle-free per-shard fast path).
 
 Owns the Ray session (guarded, local); library code never ray.inits.
 """
@@ -48,9 +48,12 @@ def main(argv: list[str] | None = None) -> int:
                          "jsonl / xml (discrete one-doc-per-line, S4 analogue)")
     ap.add_argument("--resume", action="store_true",
                     help="per-shard manifests; rerun skips finished shards")
-    ap.add_argument("--general", action="store_true",
-                    help="force the conv_id-shuffle path (input not "
-                         "conversation-contiguous per shard)")
+    ap.add_argument("--contiguous", action="store_true",
+                    help="use the shuffle-free per-shard fast path; REQUIRES "
+                         "that no conversation spans input files (guarded by "
+                         "a parquet-footer range check). Default is the "
+                         "general conv_id-shuffle path, correct for any "
+                         "layout.")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -85,17 +88,16 @@ def main(argv: list[str] | None = None) -> int:
             write_routed,
         )
 
-        ds = ray.data.read_parquet(args.input_dir)
-        if args.general:
-            events = build_events(ds, cfg)
-        else:
+        if args.contiguous:
             import glob
 
-            from .pipelines.events_pipeline import _ShardAssembler
+            from .pipelines.events_pipeline import events_from_shards
 
             files = sorted(glob.glob(f"{args.input_dir}/*.parquet"))
-            events = ray.data.from_items([{"path": f} for f in files]).map_batches(
-                _ShardAssembler(cfg), batch_size=1, batch_format="numpy")
+            events = events_from_shards(files, cfg)
+        else:
+            ds = ray.data.read_parquet(args.input_dir)
+            events = build_events(ds, cfg)
         if args.format == "parquet":
             counts = write_routed(events, args.out_dir, cfg)
         else:

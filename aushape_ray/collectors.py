@@ -49,6 +49,14 @@ class CollectError(Exception):
     """A per-conversation semantic violation (latches, never fails a task)."""
 
 
+def _to_int(key: str, raw: str) -> int:
+    """Numeric field parse that latches instead of crashing the task."""
+    try:
+        return int(raw)
+    except (ValueError, TypeError):
+        raise CollectError(f"invalid integer for {key}: {raw!r}") from None
+
+
 def render_fields(fields: Iterable[Field]) -> dict:
     out = {}
     for key, raw, interp in fields:
@@ -76,7 +84,7 @@ class ExecveCollector:
             if key == "argc":
                 if self.argc is not None:
                     raise CollectError("execve: duplicate argc")
-                self.argc = int(raw)
+                self.argc = _to_int("argc", raw)
                 continue
             m = ARG_RE.match(key)
             if m:
@@ -88,7 +96,7 @@ class ExecveCollector:
             if m:
                 i = int(m.group(1))
                 self._check_idx(i)
-                self.lens[i] = int(raw)
+                self.lens[i] = _to_int(key, raw)
                 continue
             m = SLICE_RE.match(key)
             if m:
@@ -128,10 +136,13 @@ class ExecveCollector:
             if i not in self.lens:
                 raise CollectError(f"execve: arg {i} slices without length")
             joined = "".join(parts[j] for j in sorted(parts))
-            if len(joined) != self.lens[i]:
+            # length accounting is in BYTES of the decoded value (the
+            # reference counts raw bytes, lib/execve_coll.c:364-377)
+            got = len(joined.encode("utf-8"))
+            if got != self.lens[i]:
                 raise CollectError(
                     f"execve: arg {i} length mismatch "
-                    f"({len(joined)} != {self.lens[i]})"
+                    f"({got} != {self.lens[i]})"
                 )
             self.args[i] = joined
         # skipped args are filled with "" (lib/execve_coll.c gap fill)
@@ -150,7 +161,7 @@ class PathCollector:
         item = next((raw for key, raw, _ in fields if key == "item"), None)
         if item is None:
             raise CollectError("path: missing item index")
-        idx = int(item)
+        idx = _to_int("item", item)
         if idx > PATH_MAX_ITEM:
             raise CollectError(f"path: item {idx} exceeds {PATH_MAX_ITEM}")
         if idx in self.slots:
@@ -185,11 +196,6 @@ class RepCollector:
 
     def end(self) -> list[dict]:
         return self.items
-
-
-# Deterministic finalization order (disp_coll finalizes in map order,
-# lib/disp_coll.c:236-247); uniq kinds have no end-stage error.
-END_ORDER = (EXECVE_KIND, PATH_KIND) + REP_KINDS
 
 
 class EventAssembler:
@@ -358,7 +364,16 @@ def trim_doc(doc: dict, max_size: int | None) -> dict:
         return doc
     max_size = max(1024, max_size)
     trimmed: list[str] = []
+    # copy-on-write of every list this function pops from: the caller's
+    # doc (and the assembler's texts / collector arrays it references)
+    # must survive intact — the event row's `text` column is the full
+    # per-turn text regardless of doc trimming
     doc = dict(doc)
+    if isinstance(doc.get("text"), list):
+        doc["text"] = list(doc["text"])
+    if isinstance(doc.get("data"), dict):
+        doc["data"] = {k: (list(v) if isinstance(v, list) else v)
+                       for k, v in doc["data"].items()}
     doc["trimmed"] = trimmed
 
     def fits() -> bool:

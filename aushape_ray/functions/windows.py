@@ -17,41 +17,56 @@ import ray.data
 
 
 def tumbling_counts(ds: "ray.data.Dataset", width_s: int = 3600) -> "ray.data.Dataset":
-    """(event_type, window_start) -> n, sum_value.  Partial-aggregated in
-    map_batches; the groupby shuffles only (type, window) partials."""
+    """(event_type, window_start) -> n, sum_cents.  Partial-aggregated in
+    map_batches (only (type, window) partials shuffle); integer-cent sums
+    so results are order-independent and DuckDB-hash-equal."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        win = (ts // (width_s * 1_000_000)) * width_s * 1_000_000
+        win = (ts // (width_s * 1_000_000)) * (width_s * 1_000_000)
+        v = np.asarray(batch.column("value"), np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pylist(),
-            "window_start": win,
-            "value": batch.column("value").to_numpy(zero_copy_only=False),
+            "window_us": win,
+            "cents": cents,
         })
-        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum"))
+        g = df.groupby(["event_type", "window_us"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
     out = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        ["event_type", "window_us"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
 
-    def cast_win(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("window_start")
-        return batch.set_column(i, "window_start",
-                                batch.column("window_start").cast(pa.timestamp("us")))
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": batch.column("window_us").cast(pa.int64()).cast(pa.timestamp("us")),
+            "n": batch.column("n").cast(pa.int64()),
+            "sum_cents": batch.column("sum_cents").cast(pa.int64()),
+        })
 
-    return out.map_batches(cast_win, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800) -> "ray.data.Dataset":
     """user_id -> n_sessions, n_events: a new session starts when the gap
     to the previous event of that user exceeds gap_s."""
 
+    def to_us(batch: pa.Table) -> pa.Table:
+        # explicit Arrow cast to epoch-us BEFORE any pandas conversion:
+        # pandas may coerce timestamp[us] to ns depending on version, which
+        # would silently scale the gap threshold by 1000
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+        })
+
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().astype("int64").to_numpy()
+        ts = np.sort(g["ts_us"].to_numpy(np.int64))
         gaps = np.diff(ts) > gap_s * 1_000_000
         return pd.DataFrame({
             "user_id": [g["user_id"].iloc[0]],
@@ -60,4 +75,5 @@ def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800) -> "ray.data.Dataset":
         })
 
     per_user.__name__ = "per_user"
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "user_id").map_groups(per_user, batch_format="pandas")

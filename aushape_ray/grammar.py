@@ -16,16 +16,18 @@ from __future__ import annotations
 import re
 
 # One audit-style token: key=value where value is a quoted string or a bare
-# non-space run; the key must start a word ((?<!\S): preceded by whitespace
-# or start-of-line).  Key may contain [] for execve slice tokens like a1[0].
+# non-space run that cannot span a newline (so the batched joined-string
+# scan in stages/parse.py is equivalent to per-row parsing even with
+# unbalanced quotes); the key must start a word ((?<!\S): preceded by
+# whitespace or start-of-line).  Key may contain [] for execve slice tokens like a1[0].
 # The lookbehind keeps Python's backtracking engine O(1) per character on
 # non-token runs (e.g. a 256 KiB single-word text) and the {0,63} bound caps
 # the one attempt per word start.  RE2 (DuckDB) has no lookbehind, so
 # TOKEN_REGEX_SQL drops it — identical semantics on space-separated audit
 # records (the only place the SQL form is applied: EXECVE-turn token
 # explosion in the sink-count oracle).
-TOKEN_RE = re.compile(r'(?<!\S)([A-Za-z_][A-Za-z0-9_\[\]]{0,63})=("[^"]*"|\S+)')
-TOKEN_REGEX_SQL = r'([A-Za-z_][A-Za-z0-9_\[\]]{0,63})=("[^"]*"|\S+)'
+TOKEN_RE = re.compile(r'(?<!\S)([A-Za-z_][A-Za-z0-9_\[\]]{0,63})=("[^"\n]*"|\S+)')
+TOKEN_REGEX_SQL = r'([A-Za-z_][A-Za-z0-9_\[\]]{0,63})=("[^"\n]*"|\S+)'
 
 # Pseudo-fields extracted into the envelope, never into the record body
 # (reference skip-list: lib/record.c:45-46).

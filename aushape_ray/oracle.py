@@ -35,11 +35,11 @@ def parse_text(text: str):
     fields = []
     for m in TOKEN_RE.finditer(text):
         key, val = m.group(1), m.group(2)
-        if key == "node":
+        if key == PSEUDO_FIELDS[0]:  # node
             if node is None:
                 node = val
             continue
-        if key == "type":
+        if key == PSEUDO_FIELDS[1]:  # type
             kind = val
             continue
         raw = strip_quotes(val)

@@ -4,11 +4,15 @@ Ray-Data-first composition (SURVEY.md §3 rebuild lifecycle):
 
     read_parquet(transcripts)                       # columns pruned
       -> map_batches(parse_batch, pyarrow, 0-copy)  # stateless tasks
-      -> map_batches(Enricher, concurrency=pool)    # actor pool
-      -> add_part (hash conv_id % P)                # tiny stateless map
+      -> map_batches(enrich_batch)                  # per-worker dicts
+      -> add_part (hash conv_id % P, salted hot)    # tiny stateless map
       -> groupby("part").map_groups(Assemble)       # THE one shuffle
-      -> [sink routing column is on every event row]
-      -> per-sink write_parquet + groupby(sink).count()
+      -> [+ partial-merge groupby when salting]
+      -> per-sink write (parquet hive / jsonl / xml) + sink counts
+
+    A shuffle-free variant (events_contiguous) covers conversation-
+    contiguous shard layouts; per-shard manifests (state.manifest) make
+    runs resumable.
 
 Never calls ray.init(); the caller owns the session.
 """
@@ -164,6 +168,41 @@ def events_for(sf_dir: str, cfg: PipelineConfig = PipelineConfig()) -> "ray.data
     return build_events(read_transcripts(sf_dir, cfg), cfg)
 
 
+def check_shard_contiguity(files: list[str]) -> None:
+    """Cheap parquet-footer guard for the shuffle-free paths: the conv_id
+    min/max ranges of the shards must be pairwise disjoint (a necessary
+    condition for no conversation spanning shards, and sufficient when
+    shards are written conversation-sorted, as log rotation produces).
+    Raises ValueError on overlap; silently passes when footers carry no
+    column statistics (nothing to check against).
+    """
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f)
+        idx = md.schema_arrow.get_field_index("conv_id")
+        if idx < 0:
+            return
+        lo = hi = None
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return  # no stats -> cannot verify, caller asserted it
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            ranges.append((lo, hi, f))
+    ranges.sort()
+    for a, b in zip(ranges, ranges[1:]):
+        if a[1] >= b[0]:
+            raise ValueError(
+                f"shards are not conversation-contiguous: conv_id ranges of "
+                f"{a[2]} and {b[2]} overlap ({a[1]!r} >= {b[0]!r}); use the "
+                f"general shuffle path (build_events / CLI without "
+                f"--contiguous)")
+
+
 class _ShardAssembler:
     """One task per input shard: read -> parse -> enrich -> assemble, no
     shuffle.  Valid ONLY under the contiguity guarantee."""
@@ -209,8 +248,16 @@ def events_contiguous(sf_dir: str, cfg: PipelineConfig = PipelineConfig(),
     import glob as _glob
 
     path = ensure_transcripts(sf_dir)
-    files = sorted(_glob.glob(f"{path}/*.parquet")) * max(1, epochs)
-    ds = ray.data.from_items([{"path": f} for f in files])
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    return events_from_shards(files, cfg, epochs=epochs)
+
+
+def events_from_shards(files: list[str], cfg: PipelineConfig = PipelineConfig(),
+                       epochs: int = 1) -> "ray.data.Dataset":
+    """Shuffle-free assembly over explicit shard files (guarded)."""
+    check_shard_contiguity(files)
+    paths = list(files) * max(1, epochs)
+    ds = ray.data.from_items([{"path": f} for f in paths])
     return ds.map_batches(_ShardAssembler(cfg), batch_size=1,
                           batch_format="numpy")
 
@@ -244,12 +291,13 @@ class JsonlSinkWriter:
             sub = batch.filter(pc.equal(batch.column("sink"), sink))
             d = os.path.join(self.out_dir, sink)
             os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".part-{uuid.uuid4().hex}.tmp")
+            uid = uuid.uuid4().hex
+            tmp = os.path.join(d, f".part-{uid}.tmp")
             with open(tmp, "w", encoding="utf-8") as f:
                 for doc in sub.column(self.column).to_pylist():
                     f.write(doc)
                     f.write("\n")
-            os.replace(tmp, tmp.replace(".tmp", ".jsonl").replace("/.part", "/part"))
+            os.replace(tmp, os.path.join(d, f"part-{uid}.jsonl"))
             counts[sink] = sub.num_rows
         return pa.table({
             "sink": pa.array(list(counts), pa.string()),
@@ -290,12 +338,22 @@ def write_routed(events: "ray.data.Dataset", out_dir: str,
     here: it coalesces on the operator's INPUT row counts, which collapses
     the contiguous path (32 one-row path blocks) into a single write task.
     """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    # remove ONLY the sink=... partition dirs a previous run of this writer
+    # created — write_parquet appends uuid-named files, so a rerun into the
+    # same out_dir would otherwise double-count stale generations
+    for sink in SINKS:
+        d = os.path.join(out_dir, f"sink={sink}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     events.write_parquet(
         out_dir, partition_cols=["sink"], max_rows_per_file=cfg.events_per_doc,
     )
-    import glob
-
-    import pyarrow.parquet as pq
 
     counts: dict[str, int] = {}
     for sink in SINKS:

@@ -25,8 +25,8 @@ from ray.data.aggregate import Sum
 
 from ..config import PipelineConfig
 from ..fixtures import ensure_transcripts, transcripts_glob
-from ..grammar import SYSCALL_NAMES, TOKEN_REGEX_SQL
-from ..stages.enrich import Enricher
+from ..grammar import SYSCALL_NAMES, TEXT_SEP, TOKEN_REGEX_SQL
+from ..stages.enrich import enrich_batch_full
 from ..stages.parse import parse_batch
 from .events_pipeline import events_for, read_transcripts, sink_counts
 
@@ -140,7 +140,7 @@ def _token_interp_counts(sf_dir: str, token_key: str) -> "ray.data.Dataset":
     batch, then a tiny groupby-sum (no row-level shuffle)."""
     ds = read_transcripts(sf_dir).map_batches(
         parse_batch, batch_format="pyarrow", zero_copy_batch=True,
-    ).map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(enrich_batch_full, batch_format="pyarrow")
 
     def partial(batch: pa.Table, key=token_key) -> pa.Table:
         import collections
@@ -198,7 +198,7 @@ def q_t_event_envelope(sf_dir: str):
             "conv_id": batch.column("conv_id"),
             "ts_first": batch.column("ts_first"),
             "n_turns": batch.column("n_turns").cast(pa.int64()),
-            "text_concat": pa.array(["\x1f".join(t) for t in texts], pa.string()),
+            "text_concat": pa.array([TEXT_SEP.join(t) for t in texts], pa.string()),
         })
 
     return ev.map_batches(proj, batch_format="pyarrow")
@@ -293,7 +293,7 @@ def q_t_path_names(sf_dir: str):
             names = [rec["name"][0] for rec in data["path"]]
             out_c.append(cid)
             out_n.append(len(names))
-            out_s.append("\x1f".join(names))
+            out_s.append(TEXT_SEP.join(names))
         return pa.table({
             "conv_id": pa.array(out_c, pa.string()),
             "n_items": pa.array(out_n, pa.int64()),
@@ -348,7 +348,7 @@ def q_t_execve_argv(sf_dir: str):
             if "execve" not in data:
                 continue
             out_c.append(cid)
-            out_a.append("\x1f".join(data["execve"]))
+            out_a.append(TEXT_SEP.join(data["execve"]))
         return pa.table({
             "conv_id": pa.array(out_c, pa.string()),
             "argv": pa.array(out_a, pa.string()),
@@ -572,34 +572,11 @@ SELECT day, user_id, n, rank::BIGINT AS rank FROM r WHERE rank <= 3"""
 
 
 def q_events_tumbling(sf_dir: str):
+    from ..functions.windows import tumbling_counts
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        win = (ts // 3_600_000_000) * 3_600_000_000
-        df = pd.DataFrame({
-            "event_type": batch.column("event_type").to_pylist(),
-            "window_us": win,
-            "cents": np.asarray(_cents(batch.column("value"))),
-        })
-        g = df.groupby(["event_type", "window_us"], as_index=False).agg(
-            n=("cents", "size"), sum_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["event_type", "window_us"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": batch.column("event_type"),
-            "window_start": batch.column("window_us").cast(pa.timestamp("us")),
-            "n": batch.column("n").cast(pa.int64()),
-            "sum_cents": batch.column("sum_cents").cast(pa.int64()),
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return tumbling_counts(ds, width_s=3600)
 
 
 def sql_events_tumbling() -> str:

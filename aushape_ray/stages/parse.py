@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..grammar import TOKEN_RE, strip_quotes
+from ..grammar import PSEUDO_FIELDS, TOKEN_RE, strip_quotes
 
 PARSED_FIELDS = [
     pa.field("node", pa.string()),
@@ -59,11 +59,11 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             row = int(np.searchsorted(starts, pos, side="right")) - 1
             row_end = starts[row + 1] - 1
         key = m.group(1)
-        if key == "node":
+        if key == PSEUDO_FIELDS[0]:  # node -> envelope
             if nodes[row] is None:
                 nodes[row] = m.group(2)
             continue
-        if key == "type":
+        if key == PSEUDO_FIELDS[1]:  # type -> record kind
             kinds[row] = m.group(2)
             continue
         keys.append(key)

@@ -136,6 +136,9 @@ def run_resumable(input_dir: str, out_dir: str,
     matching input fingerprint.  Returns {processed, skipped, sink_counts}.
     """
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    from ..pipelines.events_pipeline import check_shard_contiguity
+
+    check_shard_contiguity(files)  # per-shard assembly needs the guarantee
     done = completed_shards(out_dir)
     todo = []
     skipped = 0

@@ -51,19 +51,34 @@ def _field_xml(name: str, value: list) -> str:
     return f'<field name="{escape_xml(name)}" i="{i}"/>'
 
 
+import re as _re
+
+_NAME_RE = _re.compile(r"[a-z_][a-z0-9_.-]*\Z")
+
+
+def _open_close(kind: str) -> tuple[str, str]:
+    """Element tags for a record kind.  The kind comes from the
+    unvalidated `type=` token, so anything outside the safe name set is
+    wrapped as <record kind="...">."""
+    if _NAME_RE.match(kind):
+        return f"<{kind}>", f"</{kind}>"
+    return f'<record kind="{escape_xml(kind)}">', "</record>"
+
+
 def _record_xml(kind: str, rec) -> str:
+    opn, cls = _open_close(kind)
     if isinstance(rec, dict):  # single record: object of fields
         inner = "".join(_field_xml(k, v) for k, v in rec.items())
-        return f"<{kind}>{inner}</{kind}>"
+        return f"{opn}{inner}{cls}"
     if kind == "execve":  # argv array
         inner = "".join(f"<a>{escape_xml(a)}</a>" for a in rec)
-        return f"<{kind}>{inner}</{kind}>"
+        return f"{opn}{inner}{cls}"
     # repeated / path records: array of field objects
     items = []
     for it in rec:
         inner = "".join(_field_xml(k, v) for k, v in it.items())
         items.append(f"<item>{inner}</item>")
-    return f"<{kind}>{''.join(items)}</{kind}>"
+    return f"{opn}{''.join(items)}{cls}"
 
 
 def render_event_xml(doc: dict) -> str:

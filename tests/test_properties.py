@@ -41,12 +41,13 @@ def test_execve_random_slicing_reassembles(argv, data):
         for cp in cut_points + [len(arg)]:
             pieces.append(arg[prev:cp])
             prev = cp
-        c.add([(f"a{i}_len", str(len(arg)), str(len(arg)))])
+        blen = len(arg.encode("utf-8"))
+        c.add([(f"a{i}_len", str(blen), str(blen))])
         for j, piece in enumerate(pieces):
             hexv = piece.encode("utf-8").hex()
             c.add([(f"a{i}[{j}]", hexv, interpret_field(f"a{i}[{j}]", hexv))])
     out = c.end()
-    # NOTE: slice length accounting is in CHARACTERS of the decoded value
+    # slice length accounting is in BYTES of the decoded value
     assert out == argv
 
 

@@ -103,3 +103,22 @@ def test_xml_sink(ray_session, tiny_transcripts, tmp_path):
                     ET.fromstring(line)
                 n += 1
     assert n == sum(counts.values())
+
+
+def test_media_decoder_disabled_kind_raises():
+    """Multimodal stub: a kind the deployment disables surfaces
+    NotImplementedError from the decode stage (per-actor contract)."""
+    import pyarrow as pa
+
+    from aushape_ray.functions.media import FakeDecoder, synthesize_media
+
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array(["a", "b", "c"], pa.string())})
+    media = synthesize_media(docs)
+    dec = FakeDecoder(allowed_kinds=("image",))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="audio|video"):
+        dec(media)
+    ok = FakeDecoder()(media)
+    assert ok.column("width").to_pylist()[0] >= 64
