@@ -588,6 +588,75 @@ SELECT event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding window (1h width, 30min slide): each event contributes to
+    width/slide windows — flat-mapped contributions, then partial-count
+    aggregation."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    WIDTH, SLIDE = 3_600_000_000, 1_800_000_000
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_pylist()
+        n_per = WIDTH // SLIDE
+        rows_t, rows_w = [], []
+        # window starts covering ts: floor(ts/slide)*slide - k*slide for
+        # k in 0..n_per-1, keeping ts < start + width
+        base = (ts // SLIDE) * SLIDE
+        for k in range(n_per):
+            w = base - k * SLIDE
+            keep = ts < w + WIDTH
+            rows_w.append(w[keep])
+            rows_t.extend([t for t, kp in zip(types, keep) if kp])
+        win = np.concatenate(rows_w) if rows_w else np.array([], np.int64)
+        df = pd.DataFrame({"event_type": rows_t, "window_us": win})
+        g = df.groupby(["event_type", "window_us"], as_index=False).size()
+        g.columns = ["event_type", "window_us", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(contribs, batch_format="pyarrow").groupby(
+        ["event_type", "window_us"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": batch.column("window_us").cast(pa.int64()).cast(pa.timestamp("us")),
+            "n": batch.column("n").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_sliding() -> str:
+    return """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1800000000) * 1800000000 - k.k * 1800000000 AS w,
+         epoch_us(ts) AS tus
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k)
+SELECT event_type, make_timestamp(w) AS window_start, count(*)::BIGINT AS n
+FROM c WHERE tus < w + 3600000000
+GROUP BY event_type, w"""
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Mergeable-sketch distinct count (HyperLogLog, p=12) with the exact
+    value and relative error for context (rows-only: approximate)."""
+    from ..functions.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    exact = len(ds.unique("user_id"))
+    err_bp = abs(est - exact) / max(exact, 1) * 10_000
+    return pa.table({
+        "estimate": pa.array([int(round(est))], pa.int64()),
+        "exact": pa.array([exact], pa.int64()),
+        "rel_err_basis_points": pa.array([int(err_bp)], pa.int64()),
+    })
+
+
 def q_events_sessionize(sf_dir: str):
     from ..functions.windows import sessionize
 
@@ -1121,6 +1190,8 @@ def build_registry():
         "t_norm": q_t_norm,
         "lineitem_top_revenue": q_lineitem_top_revenue,
         "events_sessionize": q_events_sessionize,
+        "events_sliding": q_events_sliding,
+        "hll_distinct_users": q_hll_distinct_users,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_dedup_keep_first": q_doc_dedup_keep_first,
         "doc_token_stats": q_doc_token_stats,
@@ -1157,6 +1228,7 @@ def build_registry():
         "t_norm": sql_t_norm(t01),
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
         "events_sessionize": sql_events_sessionize(),
+        "events_sliding": sql_events_sliding(),
         "doc_dedup_exact": sql_doc_dedup_exact(),
         "doc_dedup_keep_first": sql_doc_dedup_keep_first(),
         "doc_token_stats": sql_doc_token_stats(),
