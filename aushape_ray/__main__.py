@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
                          "a parquet-footer range check). Default is the "
                          "general conv_id-shuffle path, correct for any "
                          "layout.")
+    ap.add_argument("--validate", action="store_true",
+                    help="validate every written document against the "
+                         "normative schema (aushape.schema.json contract); "
+                         "reports n_docs / n_invalid")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -98,6 +102,30 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ds = ray.data.read_parquet(args.input_dir)
             events = build_events(ds, cfg)
+        validation = None
+        if args.validate:
+            import pyarrow as pa
+
+            from .schema import validate_doc
+
+            def vcheck(batch: "pa.Table") -> "pa.Table":
+                n_bad = 0
+                for d in batch.column("doc").to_pylist():
+                    if validate_doc(json.loads(d)):
+                        n_bad += 1
+                return pa.table({
+                    "n_docs": pa.array([batch.num_rows], pa.int64()),
+                    "n_invalid": pa.array([n_bad], pa.int64()),
+                })
+
+            events = events.materialize()  # shared by validate + write
+            from ray.data.aggregate import Sum
+
+            agg = events.map_batches(vcheck, batch_format="pyarrow").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("n_invalid", alias_name="n_invalid"))
+            validation = {"n_docs": int(agg["n_docs"]),
+                          "n_invalid": int(agg["n_invalid"])}
         if args.format == "parquet":
             counts = write_routed(events, args.out_dir, cfg)
         else:
@@ -105,7 +133,10 @@ def main(argv: list[str] | None = None) -> int:
 
             counts = write_jsonl_routed(events, args.out_dir,
                                         xml=(args.format == "xml"))
-        print(json.dumps({"sink_counts": counts}))
+        out = {"sink_counts": counts}
+        if validation is not None:
+            out["validation"] = validation
+        print(json.dumps(out))
     ray.shutdown()
     return 0
 
