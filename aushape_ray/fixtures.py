@@ -231,25 +231,12 @@ def transcripts_glob(sf_dir: str) -> str:
     return transcripts_path(sf_dir) + "/*.parquet"
 
 
-def ensure_transcripts(sf_dir: str) -> str:
-    """Generate (once, atomically) and return the transcript shard dir.
-
-    Shards are split on conversation boundaries; written to a temp dir and
-    renamed into place so concurrent callers race benignly.
-    """
-    path = transcripts_path(sf_dir)
-    if os.path.isdir(path):
-        return path
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    scale = SF_TO_SCALE.get(tag, "small")
-    table = generate_transcripts(SCALES[scale])
-    n_files = SCALE_FILES[scale]
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
-    # split on conversation boundaries (conv ids are contiguous runs)
+def write_shards(table: pa.Table, path: str, n_files: int) -> str:
+    """Atomically write `table` as conversation-contiguous shards under
+    `path` (split points never cut a conversation)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path) or ".")
     conv = table.column("conv_id").to_pylist()
-    import numpy as np
-
     n = len(conv)
     cuts = [0]
     for i in range(1, n_files):
@@ -270,3 +257,14 @@ def ensure_transcripts(sf_dir: str) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)  # someone else won the race
     return path
+
+
+def ensure_transcripts(sf_dir: str) -> str:
+    """Generate (once, atomically) and return the transcript shard dir."""
+    path = transcripts_path(sf_dir)
+    if os.path.isdir(path):
+        return path
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scale = SF_TO_SCALE.get(tag, "small")
+    table = generate_transcripts(SCALES[scale])
+    return write_shards(table, path, SCALE_FILES[scale])
