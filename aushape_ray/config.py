@@ -40,6 +40,11 @@ class PipelineConfig:
     # None = off (a hot conversation is confined to one partition task).
     salt_threshold: int | None = None
     n_salts: int = 8
+    # where tokenization+enrichment runs on the shuffle path: "pre" (before
+    # the exchange; token lists ship through the shuffle) or "post"
+    # (project-early-parse-late: the exchange carries only the raw turn
+    # projection, ~45% fewer bytes; parse runs inside the assemble stage).
+    parse_stage: str = "post"
 
     def __post_init__(self) -> None:
         if self.max_event_size is not None and self.max_event_size < 1024:

@@ -77,18 +77,42 @@ def build_events(ds: "ray.data.Dataset",
     """
     _configure_shuffle(cfg)
 
-    parsed = ds.map_batches(
-        parse_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-    )
-    if cfg.enrich_mode == "actors":
-        enriched = parsed.map_batches(
+    if cfg.parse_stage == "post":
+        # project-early-parse-late: ship only the raw turn projection
+        # through the exchange; tokenize+enrich inside assemble
+        import pyarrow.compute as pc
+
+        def project(batch):
+            import pyarrow as pa
+
+            text = batch.column("text")
+            if text.null_count:
+                text = text.fill_null("")
+            return pa.table({
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "ts": batch.column("ts"),
+                "text": text,
+                "is_tool": pc.equal(batch.column("role"), "tool"),
+            })
+
+        enriched = ds.map_batches(project, batch_format="pyarrow",
+                                  batch_size=cfg.batch_size,
+                                  zero_copy_batch=True)
+    elif cfg.enrich_mode == "actors":
+        enriched = ds.map_batches(
+            parse_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        ).map_batches(
             Enricher, fn_constructor_kwargs={"sparse": True},
             batch_format="pyarrow", batch_size=cfg.batch_size,
             concurrency=cfg.enrich_concurrency,
         )
     else:
-        enriched = parsed.map_batches(
+        enriched = ds.map_batches(
+            parse_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        ).map_batches(
             enrich_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
         )
     hot: dict[str, int] | None = None
@@ -104,6 +128,7 @@ def build_events(ds: "ray.data.Dataset",
             with_text=cfg.with_text, with_norm=cfg.with_norm,
             max_event_size=cfg.max_event_size,
             emit_partials=bool(hot),
+            parse_in_stage=(cfg.parse_stage == "post"),
         ),
         batch_format="pyarrow",
     )

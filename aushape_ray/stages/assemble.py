@@ -128,11 +128,16 @@ class AssemblePartition:
 
     def __init__(self, with_text: bool = True, with_norm: bool = False,
                  max_event_size: int | None = None,
-                 emit_partials: bool = False) -> None:
+                 emit_partials: bool = False,
+                 parse_in_stage: bool = False) -> None:
         self.with_text = with_text
         self.with_norm = with_norm
         self.max_event_size = max_event_size
         self.emit_partials = emit_partials
+        # late-parse mode: the exchange shipped only the raw projection
+        # (conv_id, turn_idx, ts, text, is_tool, part[, salt]); tokenize +
+        # enrich here, after the shuffle
+        self.parse_in_stage = parse_in_stage
         self.__name__ = "assemble_partition"  # map_groups wraps fn by name
 
     def _schema(self) -> pa.Schema:
@@ -141,6 +146,11 @@ class AssemblePartition:
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return self._schema().empty_table()
+        if self.parse_in_stage:
+            from .enrich import enrich_batch
+            from .parse import parse_batch
+
+            group = enrich_batch(parse_batch(group))
         order = pa.compute.sort_indices(
             group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )

@@ -41,6 +41,8 @@ from ..grammar import (
     interpret_field,
 )
 
+SALT_COLUMN = "salt"
+
 _IDENTITY, _SPECIAL = 0, 1
 
 SPARSE_COLUMNS = ["conv_id", "turn_idx", "ts", "text", "node", "kind",
@@ -126,7 +128,8 @@ class Enricher:
         sp_off = pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32())
         sp_idx = pa.ListArray.from_arrays(sp_off, pa.array(pos, pa.int32()))
         sp_val = pa.ListArray.from_arrays(sp_off, pa.array(sp_vals, pa.string()))
-        is_tool = pc.equal(batch.column("role"), "tool")
+        is_tool = (batch.column("is_tool") if "is_tool" in batch.column_names
+                   else pc.equal(batch.column("role"), "tool"))
         cols = {
             "conv_id": batch.column("conv_id"),
             "turn_idx": batch.column("turn_idx"),
@@ -140,6 +143,10 @@ class Enricher:
             "sp_val": sp_val,
             "is_tool": is_tool,
         }
+        # pass through partitioning columns when parsing runs post-shuffle
+        for extra in ("part", SALT_COLUMN):
+            if extra in batch.column_names:
+                cols[extra] = batch.column(extra)
         return pa.table(cols)
 
 
