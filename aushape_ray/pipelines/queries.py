@@ -845,6 +845,104 @@ ORDER BY revenue_cents DESC, l_orderkey, l_linenumber
 LIMIT 10"""
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Semi/anti join via broadcast key set (ray_guide pattern: ship the
+    key set once, filter inside map_batches — no shuffle)."""
+    import ray as _ray
+
+    okeys = set()
+    for b in ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]).iter_batches(
+            batch_format="pyarrow"):
+        okeys.update(b.column("o_custkey").to_pylist())
+    ref = _ray.put(frozenset(okeys))
+
+    class SemiAnti:
+        def __init__(self) -> None:
+            self.keys = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch.column("c_custkey").to_pylist()
+            n_with = sum(1 for k in ks if k in self.keys)
+            return pa.table({
+                "n_with_orders": pa.array([n_with], pa.int64()),
+                "n_without_orders": pa.array([len(ks) - n_with], pa.int64()),
+            })
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(SemiAnti, batch_format="pyarrow", concurrency=(1, 2))
+    agg = parts.aggregate(Sum("n_with_orders", alias_name="n_with_orders"),
+                          Sum("n_without_orders", alias_name="n_without_orders"))
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})
+
+
+def sql_customers_no_orders() -> str:
+    return """
+SELECT count(*) FILTER (c_custkey IN (SELECT o_custkey FROM orders))::BIGINT
+           AS n_with_orders,
+       count(*) FILTER (c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT
+           AS n_without_orders
+FROM customer"""
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact discrete quantiles (p50/p95 of integer cents) per event_type.
+    Per-group sort in map_groups (few groups here; at 100 TB this becomes
+    a mergeable KLL sketch per batch, same emit/merge shape as the HLL in
+    functions/sketches.py)."""
+    import math
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), np.float64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy(np.int64))
+        n = len(v)
+        # DuckDB quantile_disc: sorted[ceil(n*q) - 1]
+        def pick(q):
+            return int(v[max(0, math.ceil(n * q) - 1)])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50_cents": [pick(0.5)],
+            "p95_cents": [pick(0.95)],
+            "n": [n],
+        })
+
+    qtile.__name__ = "qtile"
+    out = ds.map_batches(to_cents, batch_format="pyarrow").groupby(
+        "event_type").map_groups(qtile, batch_format="pandas")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "p50_cents": batch.column("p50_cents").cast(pa.int64()),
+            "p95_cents": batch.column("p95_cents").cast(pa.int64()),
+            "n": batch.column("n").cast(pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def sql_events_quantiles() -> str:
+    return """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type,
+       quantile_disc(cents, 0.5)::BIGINT AS p50_cents,
+       quantile_disc(cents, 0.95)::BIGINT AS p95_cents,
+       count(*)::BIGINT AS n
+FROM c GROUP BY event_type"""
+
+
 def q_doc_dedup_exact(sf_dir: str):
     from ..functions.dedup import exact_dedup_stats
 
@@ -1193,6 +1291,8 @@ def build_registry():
         "events_sliding": q_events_sliding,
         "hll_distinct_users": q_hll_distinct_users,
         "doc_dedup_exact": q_doc_dedup_exact,
+        "customers_no_orders": q_customers_no_orders,
+        "events_quantiles": q_events_quantiles,
         "doc_dedup_keep_first": q_doc_dedup_keep_first,
         "doc_token_stats": q_doc_token_stats,
         "doc_char_stats": q_doc_char_stats,
@@ -1230,6 +1330,8 @@ def build_registry():
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "doc_dedup_exact": sql_doc_dedup_exact(),
+        "customers_no_orders": sql_customers_no_orders(),
+        "events_quantiles": sql_events_quantiles(),
         "doc_dedup_keep_first": sql_doc_dedup_keep_first(),
         "doc_token_stats": sql_doc_token_stats(),
         "doc_char_stats": sql_doc_char_stats(),
