@@ -124,8 +124,8 @@ def main(argv: list[str] | None = None) -> int:
             agg = events.map_batches(vcheck, batch_format="pyarrow").aggregate(
                 Sum("n_docs", alias_name="n_docs"),
                 Sum("n_invalid", alias_name="n_invalid"))
-            validation = {"n_docs": int(agg["n_docs"]),
-                          "n_invalid": int(agg["n_invalid"])}
+            validation = {"n_docs": int(agg["n_docs"] or 0),
+                          "n_invalid": int(agg["n_invalid"] or 0)}
         if args.format == "parquet":
             counts = write_routed(events, args.out_dir, cfg)
         else:

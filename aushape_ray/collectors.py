@@ -57,6 +57,13 @@ def _to_int(key: str, raw: str) -> int:
         raise CollectError(f"invalid integer for {key}: {raw!r}") from None
 
 
+def _to_hex_bytes(key: str, raw: str) -> bytes:
+    try:
+        return bytes.fromhex(raw)
+    except (ValueError, TypeError):
+        raise CollectError(f"invalid hex for {key}: {raw!r}") from None
+
+
 def render_fields(fields: Iterable[Field]) -> dict:
     out = {}
     for key, raw, interp in fields:
@@ -70,7 +77,7 @@ class ExecveCollector:
     def __init__(self) -> None:
         self.argc: int | None = None
         self.args: dict[int, str] = {}
-        self.slices: dict[int, dict[int, str]] = {}
+        self.slices: dict[int, dict[int, bytes]] = {}  # RAW bytes per slice
         self.lens: dict[int, int] = {}
         self.seen = False
 
@@ -102,7 +109,10 @@ class ExecveCollector:
             if m:
                 i, j = int(m.group(1)), int(m.group(2))
                 self._check_idx(i)
-                self.slices.setdefault(i, {})[j] = interp  # hex-decoded
+                # keep RAW BYTES: a slice may split a multibyte UTF-8 char
+                # (the kernel cuts at byte counts); bytes are concatenated
+                # across slices and decoded ONCE at end()
+                self.slices.setdefault(i, {})[j] = _to_hex_bytes(key, raw)
                 continue
             # non-argv fields on an EXECVE record are ignored
 
@@ -135,16 +145,16 @@ class ExecveCollector:
         for i, parts in self.slices.items():
             if i not in self.lens:
                 raise CollectError(f"execve: arg {i} slices without length")
-            joined = "".join(parts[j] for j in sorted(parts))
-            # length accounting is in BYTES of the decoded value (the
-            # reference counts raw bytes, lib/execve_coll.c:364-377)
-            got = len(joined.encode("utf-8"))
-            if got != self.lens[i]:
+            raw = b"".join(parts[j] for j in sorted(parts))
+            # length accounting is in RAW BYTES before decoding (the
+            # reference counts bytes, lib/execve_coll.c:364-377) so slices
+            # may split multibyte characters
+            if len(raw) != self.lens[i]:
                 raise CollectError(
                     f"execve: arg {i} length mismatch "
-                    f"({got} != {self.lens[i]})"
+                    f"({len(raw)} != {self.lens[i]})"
                 )
-            self.args[i] = joined
+            self.args[i] = raw.decode("utf-8", errors="replace")
         # skipped args are filled with "" (lib/execve_coll.c gap fill)
         return [self.args.get(i, "") for i in range(self.argc)]
 

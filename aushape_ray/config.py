@@ -49,3 +49,9 @@ class PipelineConfig:
     def __post_init__(self) -> None:
         if self.max_event_size is not None and self.max_event_size < 1024:
             object.__setattr__(self, "max_event_size", 1024)
+        if self.parse_stage not in ("pre", "post"):
+            raise ValueError(f"parse_stage must be pre|post, got {self.parse_stage!r}")
+        if self.enrich_mode not in ("tasks", "actors"):
+            raise ValueError(f"enrich_mode must be tasks|actors, got {self.enrich_mode!r}")
+        if self.shuffle not in ("sort", "hash"):
+            raise ValueError(f"shuffle must be sort|hash, got {self.shuffle!r}")

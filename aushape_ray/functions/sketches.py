@@ -24,7 +24,16 @@ class HyperLogLog:
 
     @staticmethod
     def _hash64(values) -> np.ndarray:
-        # stable across processes: md5 low 8 bytes per value
+        """Process-stable 64-bit hashes.  Integer inputs use a pure-numpy
+        splitmix64 finalizer (no per-row Python); everything else falls
+        back to md5 per value."""
+        arr = np.asarray(values)
+        if arr.dtype.kind in "iu":
+            x = arr.astype(np.uint64)
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
         out = np.empty(len(values), dtype=np.uint64)
         for i, v in enumerate(values):
             out[i] = int.from_bytes(

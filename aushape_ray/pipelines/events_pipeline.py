@@ -77,7 +77,10 @@ def build_events(ds: "ray.data.Dataset",
     """
     _configure_shuffle(cfg)
 
-    if cfg.parse_stage == "post":
+    # the actor-pool enrich tokenizes before the exchange, so it implies
+    # parse_stage="pre" regardless of the config default
+    late_parse = cfg.parse_stage == "post" and cfg.enrich_mode != "actors"
+    if late_parse:
         # project-early-parse-late: ship only the raw turn projection
         # through the exchange; tokenize+enrich inside assemble
         import pyarrow.compute as pc
@@ -128,7 +131,7 @@ def build_events(ds: "ray.data.Dataset",
             with_text=cfg.with_text, with_norm=cfg.with_norm,
             max_event_size=cfg.max_event_size,
             emit_partials=bool(hot),
-            parse_in_stage=(cfg.parse_stage == "post"),
+            parse_in_stage=late_parse,
         ),
         batch_format="pyarrow",
     )
@@ -208,15 +211,17 @@ def check_shard_contiguity(files: list[str]) -> None:
         md = pq.ParquetFile(f)
         idx = md.schema_arrow.get_field_index("conv_id")
         if idx < 0:
-            return
+            continue  # unverifiable file: skip it, still check the rest
         lo = hi = None
+        verifiable = True
         for rg in range(md.metadata.num_row_groups):
             st = md.metadata.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                return  # no stats -> cannot verify, caller asserted it
+                verifiable = False  # no stats: caller asserted this file
+                break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+        if verifiable and lo is not None:
             ranges.append((lo, hi, f))
     ranges.sort()
     for a, b in zip(ranges, ranges[1:]):
@@ -332,7 +337,17 @@ class JsonlSinkWriter:
 
 def write_jsonl_routed(events: "ray.data.Dataset", out_dir: str,
                        xml: bool = False) -> dict[str, int]:
-    """Routed discrete-sink write: JSON-lines (or XML-lines) per sink."""
+    """Routed discrete-sink write: JSON-lines (or XML-lines) per sink.
+
+    Cleans this writer's per-sink dirs first so a rerun into the same
+    out_dir replaces, not appends, the previous generation."""
+    import os as _os
+    import shutil as _shutil
+
+    for sink in SINKS:
+        d = _os.path.join(out_dir, sink)
+        if _os.path.isdir(d):
+            _shutil.rmtree(d)
     ds = events
     column = "doc"
     if xml:

@@ -767,10 +767,11 @@ valid AS (
   HAVING bool_or(kind <> 'EOE')
      AND conv_id NOT IN (SELECT conv_id FROM err_convs)),
 uid_first AS (
-  SELECT conv_id, 'user_' || regexp_extract(text, ' uid=([0-9]+)', 1) AS subject
+  SELECT conv_id,
+         'user_' || regexp_extract(text, ' (?:a|e)?uid=([0-9]+)', 1) AS subject
   FROM (SELECT conv_id, text,
                row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
-        FROM turns WHERE regexp_matches(text, ' uid=[0-9]+'))
+        FROM turns WHERE regexp_matches(text, ' (a|e)?uid=[0-9]+'))
   WHERE rn = 1),
 sys_first AS (
   SELECT conv_id, CASE s {cases} ELSE s END AS sysname
@@ -791,7 +792,8 @@ fails AS (
   FROM turns GROUP BY conv_id)
 SELECT v.conv_id,
        coalesce(u.subject, 'unknown') AS subject,
-       coalesce(CASE WHEN a.has_exec THEN a.a0 END, s.sysname, 'dialog') AS action,
+       coalesce(CASE WHEN a.has_exec THEN nullif(a.a0, '') END,
+                s.sysname, 'dialog') AS action,
        CASE WHEN coalesce(f.failed, FALSE) THEN 'fail' ELSE 'success' END AS result
 FROM valid v
 LEFT JOIN uid_first u USING (conv_id)

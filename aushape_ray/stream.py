@@ -35,12 +35,17 @@ class StreamConverter:
     CREATED, BEGUN, ENDED = "created", "begun", "ended"
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
-                 events_per_doc: int | None = 0) -> None:
+                 events_per_doc: "int | str | None" = None) -> None:
         """events_per_doc (A1 semantics, lib/conv.c:84-172):
-        > 0  count-bounded documents (close when the count is hit);
-        < 0  BYTE-bounded (close when accumulated doc bytes reach -value);
-        0    bare mode: every event is its own document;
-        None one document for the whole stream (closed at end()).
+        None  document batching DISABLED (default — nothing is buffered,
+              a long-running embedding loop holds only the current
+              conversation);
+        > 0   count-bounded documents (close when the count is hit);
+        < 0   BYTE-bounded (close when accumulated doc bytes reach -value);
+        0     bare mode: every event is its own document;
+        "all" one document for the whole stream (SSIZE_MAX analogue,
+              closed at end()).
+        Completed documents must be consumed via drain_documents().
         """
         self.cfg = cfg
         self.events_per_doc = events_per_doc
@@ -108,13 +113,15 @@ class StreamConverter:
 
     def _add_to_doc(self, ev: dict) -> None:
         epd = self.events_per_doc
+        if epd is None:
+            return  # batching disabled: never buffer
         if epd == 0:  # bare mode: one event per document
             self._docs.append({"events": [ev], "n_events": 1,
                                "n_bytes": ev["doc_bytes"]})
             return
         self._doc_events.append(ev)
         self._doc_bytes += ev["doc_bytes"]
-        if epd is None:
+        if epd == "all":
             return  # single all-stream document, closed at end()
         if (epd > 0 and len(self._doc_events) >= epd) or \
            (epd < 0 and self._doc_bytes >= -epd):

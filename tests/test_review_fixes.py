@@ -153,3 +153,35 @@ def test_contiguity_guard_rejects_overlapping_shards(tmp_path):
     ok_a = _tb([("c1", 0, "user", "t"), ("c2", 0, "user", "t")])
     pq.write_table(ok_a, fa)
     check_shard_contiguity([fa, fc])
+
+
+def test_execve_multibyte_slice_split():
+    """Slices that split a multibyte UTF-8 char reassemble correctly:
+    raw bytes concatenate before the single decode (2nd review, finding 1)."""
+    from aushape_ray.collectors import ExecveCollector
+    from aushape_ray.grammar import interpret_field
+
+    c = ExecveCollector()
+    c.add([("argc", "2", "2"), ("a0", "x", "x"), ("a1_len", "2", "2")])
+    # é = c3 a9 split across two byte-slices
+    c.add([("a1[0]", "c3", interpret_field("a1[0]", "c3"))])
+    c.add([("a1[1]", "a9", interpret_field("a1[1]", "a9"))])
+    assert c.end() == ["x", "é"]
+
+
+def test_jsonl_rerun_replaces_generation(ray_session, tmp_path):
+    """jsonl sink rerun into the same out_dir replaces, not appends
+    (2nd review, finding 4)."""
+    import glob
+
+    from aushape_ray.pipelines.events_pipeline import write_jsonl_routed
+
+    tb = _tb([("c1", 0, "user", "node=h type=MSG hi len=2")])
+    out = str(tmp_path / "sinks")
+    for _ in range(2):
+        counts = write_jsonl_routed(
+            build_events(ray.data.from_arrow(tb), PipelineConfig(num_parts=2)),
+            out)
+    files = glob.glob(f"{out}/*/part-*.jsonl")
+    n_lines = sum(1 for f in files for _ in open(f))
+    assert counts == {"dialog_events": 1} and n_lines == 1

@@ -101,6 +101,11 @@ class TestDocumentBatching:
         assert all(d["n_events"] == 1 for d in docs)
 
     def test_all_in_one(self):
-        c, docs = self._feed(None)
+        c, docs = self._feed("all")
         assert len(docs) == 1
         assert docs[0]["n_events"] == c.events_out
+
+    def test_disabled_by_default_no_buffering(self):
+        c, docs = self._feed(None)
+        assert docs == []
+        assert c._docs == [] and c._doc_events == []  # nothing retained
