@@ -189,6 +189,68 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+# ---------------- connected components (dup clusters) --------------------
+
+def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 8) -> "ray.data.Dataset":
+    """Near-duplicate clusters from verified pairs: distributed connected
+    components via iterative min-label propagation (ray_guide pattern —
+    groupby rounds, no driver union-find).  Converges in O(diameter)
+    rounds; near-dup clusters are shallow, so max_iters=8 covers any
+    realistic component.  Returns (doc_id, cluster_id) where cluster_id is
+    the minimum doc_id of the component."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # initial labels: every node labels itself
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+    labels = labels.map_batches(
+        lambda t: pa.table({
+            "node": t.column("src"),
+            "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
+        }), batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        # propagate: each node offers its label to its neighbours
+        lbl = {r["node"]: r["label"] for r in labels.take_all()}
+        # (broadcasting the label map is fine while the candidate set is
+        # small; at scale this becomes an edges-join-labels groupby round)
+        def offer(batch: pa.Table, lbl=lbl) -> pa.Table:
+            src = batch.column("src").to_pylist()
+            dst = batch.column("dst").to_pylist()
+            return pa.table({
+                "node": pa.array(dst, batch.column("dst").type),
+                "label": pa.array([lbl[s] for s in src],
+                                  batch.column("src").type),
+            })
+
+        offered = edges.map_batches(offer, batch_format="pyarrow")
+        merged = offered.union(labels).groupby("node").aggregate(
+            Min("label", alias_name="label"))
+        new_labels = merged.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow").materialize()
+        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
+        changed = any(new_map[n] != l for n, l in lbl.items())
+        labels = new_labels
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow")
+
+
 # ---------------- SimHash -------------------------------------------------
 
 class SimHasher:

@@ -1102,6 +1102,15 @@ def q_doc_minhash_pairs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH candidates -> Jaccard verify ->
+    connected components (iterative min-label propagation)."""
+    from ..functions.dedup import cluster_pairs
+
+    pairs = q_doc_minhash_pairs(sf_dir)
+    return cluster_pairs(pairs)
+
+
 def q_ann_topk(sf_dir: str):
     from ..functions.ann import brute_force_topk
 
@@ -1303,6 +1312,7 @@ def build_registry():
         "doc_fingerprint": q_doc_fingerprint,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,

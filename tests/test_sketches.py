@@ -36,3 +36,22 @@ def test_hll_small_range_correction():
     h = HyperLogLog()
     h.add_many(["only", "three", "values"])
     assert 2 <= h.estimate() <= 4
+
+
+def test_cluster_pairs_connected_components(ray_session):
+    """Min-label propagation finds the exact components, including a
+    chain that needs multiple rounds."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import cluster_pairs
+
+    # components: {1,2,3,4 chained}, {10,11}, singleton edges none
+    pairs = pa.table({
+        "doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 11], pa.int64()),
+    })
+    out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
