@@ -16,7 +16,7 @@ from collections import defaultdict
 
 import pyarrow as pa
 
-from .collectors import EventAssembler, doc_size, route_sink, trim_doc
+from .collectors import EventAssembler, route_sink, trim_doc
 from .grammar import PSEUDO_FIELDS, TOKEN_RE, interpret_field, strip_quotes
 
 
@@ -75,6 +75,7 @@ def assemble_events(table: pa.Table, with_text: bool = True,
             continue
         doc = trim_doc(doc, max_event_size)
         sink = route_sink(asm.error, any_tool)
+        doc_str = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
         out.append({
             "conv_id": cid,
             "ts_first": ts_first,
@@ -85,8 +86,8 @@ def assemble_events(table: pa.Table, with_text: bool = True,
             "error": asm.error,
             "text": asm.texts if with_text else [],
             "trimmed": doc.get("trimmed", []),
-            "doc": json.dumps(doc, ensure_ascii=False, separators=(",", ":")),
-            "doc_bytes": doc_size(doc),
+            "doc": doc_str,
+            "doc_bytes": len(doc_str.encode("utf-8")),
         })
     return out
 

@@ -23,7 +23,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..collectors import EventAssembler, doc_size, route_sink, trim_doc
+from ..collectors import EventAssembler, route_sink, trim_doc
 from ..oracle import format_time_us
 
 SALT_COLUMN = "salt"  # int32; -1 = unsalted row
@@ -113,8 +113,11 @@ def finish_event(rows: dict, asm: EventAssembler, cid: str, ts_first: int,
     rows["error"].append(asm.error)
     rows["text"].append(asm.texts if with_text else [])
     rows["trimmed"].append(doc.get("trimmed", []))
-    rows["doc"].append(json.dumps(doc, ensure_ascii=False, separators=(",", ":")))
-    rows["doc_bytes"].append(doc_size(doc))
+    doc_str = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+    rows["doc"].append(doc_str)
+    # byte length of the serialized doc (== doc_size(doc), without a
+    # second serialization pass)
+    rows["doc_bytes"].append(len(doc_str.encode("utf-8")))
 
 
 class AssemblePartition:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 
-from .collectors import EventAssembler, doc_size, route_sink, trim_doc
+from .collectors import EventAssembler, route_sink, trim_doc
 from .config import PipelineConfig
 from .oracle import format_time_us, parse_text
 
@@ -161,6 +161,7 @@ class StreamConverter:
         return ev
 
     def _event_row(self, asm: EventAssembler, cid: str, doc: dict) -> dict:
+        doc_str = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
         return {
             "conv_id": cid,
             "ts_first": self._ts_first,
@@ -171,6 +172,6 @@ class StreamConverter:
             "error": asm.error,
             "text": asm.texts if self.cfg.with_text else [],
             "trimmed": doc.get("trimmed", []),
-            "doc": json.dumps(doc, ensure_ascii=False, separators=(",", ":")),
-            "doc_bytes": doc_size(doc),
+            "doc": doc_str,
+            "doc_bytes": len(doc_str.encode("utf-8")),
         }
