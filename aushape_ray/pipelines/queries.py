@@ -657,6 +657,53 @@ def q_hll_distinct_users(sf_dir: str):
     })
 
 
+def q_events_asof_prev_error(sf_dir: str):
+    """As-of join shape (ray_guide): for each event, the most recent PRIOR
+    'error'-type event timestamp of the same user — per-user sort + ffill
+    inside map_groups (pd.merge_asof equivalent on one table)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "is_err": pc.equal(batch.column("event_type"), "error"),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], ignore_index=True)
+        prev = g["ts_us"].where(g["is_err"]).shift(1).ffill()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "prev_error_ts_us": prev.astype("float64"),
+        })
+
+    per_user.__name__ = "per_user"
+    out = ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "user_id").map_groups(per_user, batch_format="pandas")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "prev_error_ts": batch.column("prev_error_ts_us")
+                .cast(pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_asof_prev_error() -> str:
+    return """
+SELECT event_id,
+       max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_error_ts
+FROM events"""
+
+
 def q_events_sessionize(sf_dir: str):
     from ..functions.windows import sessionize
 
@@ -1300,6 +1347,7 @@ def build_registry():
         "lineitem_top_revenue": q_lineitem_top_revenue,
         "events_sessionize": q_events_sessionize,
         "events_sliding": q_events_sliding,
+        "events_asof_prev_error": q_events_asof_prev_error,
         "hll_distinct_users": q_hll_distinct_users,
         "doc_dedup_exact": q_doc_dedup_exact,
         "customers_no_orders": q_customers_no_orders,
@@ -1341,6 +1389,7 @@ def build_registry():
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
+        "events_asof_prev_error": sql_events_asof_prev_error(),
         "doc_dedup_exact": sql_doc_dedup_exact(),
         "customers_no_orders": sql_customers_no_orders(),
         "events_quantiles": sql_events_quantiles(),
