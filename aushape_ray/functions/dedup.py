@@ -191,13 +191,17 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 # ---------------- connected components (dup clusters) --------------------
 
-def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 8) -> "ray.data.Dataset":
+def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64) -> "ray.data.Dataset":
     """Near-duplicate clusters from verified pairs: distributed connected
-    components via iterative min-label propagation (ray_guide pattern —
-    groupby rounds, no driver union-find).  Converges in O(diameter)
-    rounds; near-dup clusters are shallow, so max_iters=8 covers any
-    realistic component.  Returns (doc_id, cluster_id) where cluster_id is
-    the minimum doc_id of the component."""
+    components via iterative min-label propagation (groupby rounds).
+    Iterates until a fixed point (O(component diameter) rounds) and RAISES
+    if max_iters is exhausted before convergence — a partial propagation
+    is not a valid partition.  Returns (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id of the component.
+
+    Each round currently broadcasts the label map driver-side (fine while
+    the candidate set is small); at scale the propagation becomes an
+    edges-join-labels groupby per round."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -218,11 +222,10 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 8) -> "ray.data.Da
             "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
         }), batch_format="pyarrow").materialize()
 
+    lbl = {r["node"]: r["label"] for r in labels.take_all()}
+    converged = False
     for _ in range(max_iters):
         # propagate: each node offers its label to its neighbours
-        lbl = {r["node"]: r["label"] for r in labels.take_all()}
-        # (broadcasting the label map is fine while the candidate set is
-        # small; at scale this becomes an edges-join-labels groupby round)
         def offer(batch: pa.Table, lbl=lbl) -> pa.Table:
             src = batch.column("src").to_pylist()
             dst = batch.column("dst").to_pylist()
@@ -233,17 +236,18 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 8) -> "ray.data.Da
             })
 
         offered = edges.map_batches(offer, batch_format="pyarrow")
-        merged = offered.union(labels).groupby("node").aggregate(
-            Min("label", alias_name="label"))
-        new_labels = merged.map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "label": t.column("label")}),
-            batch_format="pyarrow").materialize()
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
-        changed = any(new_map[n] != l for n, l in lbl.items())
-        labels = new_labels
-        if not changed:
+        labels = offered.union(labels).groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        new_map = {r["node"]: r["label"] for r in labels.take_all()}
+        if new_map == lbl:
+            converged = True
             break
+        lbl = new_map
+
+    if not converged and lbl:
+        raise RuntimeError(
+            f"cluster_pairs did not converge within {max_iters} rounds "
+            f"(component diameter too large) — raise max_iters")
 
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("node"),

@@ -55,3 +55,23 @@ def test_cluster_pairs_connected_components(ray_session):
     out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_pairs_long_chain_converges(ray_session):
+    """A 15-node chain (diameter 14) must converge to ONE component
+    (3rd review: fixed-iteration cap silently returned a broken
+    partition)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import cluster_pairs
+
+    n = 15
+    pairs = pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64()),
+    })
+    out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {i: 0 for i in range(n)}
