@@ -100,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
             files = sorted(glob.glob(f"{args.input_dir}/*.parquet"))
             events = events_from_shards(files, cfg)
         else:
+            # the Dataset snapshots DataContext at creation, so the shuffle
+            # strategy must be selected BEFORE read_parquet (same ordering
+            # as read_transcripts) or --shuffle would be silently ignored
+            from .pipelines.events_pipeline import _configure_shuffle
+
+            _configure_shuffle(cfg)
             ds = ray.data.read_parquet(args.input_dir)
             events = build_events(ds, cfg)
         validation = None

@@ -24,7 +24,14 @@ import ray.data
 
 def _tag(batch: pa.Table, key: str, side: int, n_buckets: int,
          pad: list[tuple[str, pa.DataType]]) -> pa.Table:
-    k = batch.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    col = batch.column(key)
+    if col.null_count:
+        # a null key has no well-defined bucket (NaN astype uint64 is
+        # undefined); SQL join semantics drop null keys anyway — make the
+        # caller filter or fill them explicitly rather than guessing
+        raise ValueError(f"hash_join: key column {key!r} contains "
+                         f"{col.null_count} null(s); filter or fill first")
+    k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
     # splitmix-style integer mix, process-stable
     h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
     bucket = (h % np.uint64(n_buckets)).astype(np.int32)
@@ -71,12 +78,29 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     lt = lt.map_batches(align, batch_format="pyarrow")
     rt = rt.map_batches(align, batch_format="pyarrow")
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        a = group[group["__side"] == 0][l_cols]
-        b = group[group["__side"] == 1][r_cols]
-        return a.merge(b, left_on=left_key, right_on=right_key, how=how)
+    # output schema: left columns then right-only columns, ORIGINAL arrow
+    # types — the null-padded union turns int64 into float64 in pandas, so
+    # the merge result is cast back (NaN from non-inner joins becomes null)
+    type_of = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    type_of.update({n: t for n, t in zip(l_schema.names, l_schema.types)})
+    out_names = l_cols + [c for c in r_cols if c not in l_cols]
+    out_schema = pa.schema([(n, type_of[n]) for n in out_names])
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # split sides while still Arrow: converting the UNIONED table to
+        # pandas would turn every int64 column float64 (padding nulls on
+        # the other side's rows) and silently lose >2^53 precision
+        side = group.column("__side")
+        a = group.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
+        b = group.filter(pc.equal(side, 1)).select(r_cols).to_pandas()
+        m = a.merge(b, left_on=left_key, right_on=right_key, how=how)
+        return pa.Table.from_arrays(
+            [pa.Array.from_pandas(m[n], type=type_of[n]) for n in out_names],
+            schema=out_schema)
 
     join_bucket.__name__ = "join_bucket"
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")

@@ -41,6 +41,9 @@ class HyperLogLog:
         return out
 
     def add_many(self, values) -> None:
+        # drop nulls first: COUNT(DISTINCT) ignores NULLs, and the md5
+        # fallback would otherwise count the string 'None' as a value
+        values = [v for v in values if v is not None]
         if not len(values):
             return
         h = self._hash64(values)

@@ -451,11 +451,13 @@ def q_mktsegment_orders(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch.column("o_custkey").to_pylist()
-            segs = [self.seg.get(k, "UNKNOWN") for k in keys]
+            segs = [self.seg.get(k) for k in keys]
+            # drop orders with no matching customer: INNER join semantics,
+            # matching the oracle even under referential-integrity gaps
             df = pd.DataFrame({
                 "c_mktsegment": segs,
                 "cents": np.asarray(_cents(batch.column("o_totalprice"))),
-            })
+            }).dropna(subset=["c_mktsegment"])
             g = df.groupby("c_mktsegment", as_index=False).agg(
                 n_orders=("cents", "size"), total_cents=("cents", "sum"))
             return pa.Table.from_pandas(g, preserve_index=False)

@@ -153,8 +153,19 @@ def run_resumable(input_dir: str, out_dir: str,
         ds = ray.data.from_items([{"path": f} for f in todo])
         ds.map_batches(_ResumableShardWriter(out_dir, cfg), batch_size=1,
                        batch_format="numpy").materialize()
+    # aggregate ONLY over manifests whose shard is in the current input set:
+    # stale manifests (input files removed/renamed since an earlier run)
+    # must not inflate the totals
+    current = {shard_key(f) for f in files}
     total: dict[str, int] = {}
-    for m in completed_shards(out_dir).values():
+    orphans = []
+    for key, m in completed_shards(out_dir).items():
+        if key not in current:
+            orphans.append(key)
+            continue
         for sink, n in m["sink_counts"].items():
             total[sink] = total.get(sink, 0) + n
-    return {"processed": len(todo), "skipped": skipped, "sink_counts": total}
+    out = {"processed": len(todo), "skipped": skipped, "sink_counts": total}
+    if orphans:
+        out["orphaned_shards"] = sorted(orphans)
+    return out
