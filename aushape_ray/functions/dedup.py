@@ -133,35 +133,65 @@ class MinHasher:
         })
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public constant mix; process-stable)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def explode_bands(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    rows_per_band = (len(sigs[0]) // n_bands) if sigs else 0
-    out_doc, out_band, out_hash = [], [], []
-    for d, s in zip(doc_ids, sigs):
-        for b in range(n_bands):
-            chunk = np.asarray(s[b * rows_per_band:(b + 1) * rows_per_band],
-                               dtype=np.int64).tobytes()
-            out_doc.append(d)
-            out_band.append(b)
-            # process-stable hash (python hash() is seeded per worker)
-            out_hash.append(
-                int.from_bytes(hashlib.md5(chunk).digest()[:8], "little")
-                & ((1 << 62) - 1))
+    """(doc_id, minhash[64]) -> n_bands rows (doc_id, band, band_hash).
+
+    Fully vectorized: the signature matrix is reshaped to
+    (docs, bands, rows_per_band) and the lanes are chained through the
+    splitmix64 mixer — one numpy pass, no per-row Python, no md5.  Equal
+    band slices get equal hashes (the LSH bucketing invariant); the
+    grouping key also folds in the band index downstream."""
+    col = batch.column("minhash")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64())})
+    width = col.type.list_size
+    rows_per_band = width // n_bands
+    sig = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    sig = sig.reshape(n, n_bands, rows_per_band)
+    h = np.zeros((n, n_bands), dtype=np.uint64)
+    for r in range(rows_per_band):
+        h = _mix64(h ^ sig[:, :, r])
+    h &= np.uint64((1 << 62) - 1)  # keep int64-positive
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table({
-        "doc_id": pa.array(out_doc, pa.int64()),
-        "band": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(out_hash, pa.int64()),
+        "doc_id": pa.array(np.repeat(doc_ids, n_bands), pa.int64()),
+        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+        "band_hash": pa.array(h.reshape(-1).view(np.int64), pa.int64()),
     })
 
 
+MAX_BUCKET_PAIRS_N = 512  # all-pairs cap per band bucket
+
+
 def candidate_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(group.column("doc_id").to_pylist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    """All-pairs within one LSH band bucket, with a degenerate-bucket cap:
+    a bucket larger than MAX_BUCKET_PAIRS_N (e.g. a corpus of identical
+    documents all landing in one band hash) would emit O(n^2) pairs in a
+    single task.  Above the cap, emit a STAR from the minimum doc_id
+    instead — O(n) pairs that preserve the connectivity the downstream
+    connected-components clustering needs (transitively equivalent for
+    the near-identical docs that produce such buckets)."""
+    ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+    n = len(ids)
+    if n > MAX_BUCKET_PAIRS_N:
+        a = np.full(n - 1, ids[0], dtype=np.int64)
+        b = ids[1:]
+    else:
+        iu = np.triu_indices(n, k=1)
+        a, b = ids[iu[0]], ids[iu[1]]
     return pa.table({"doc_a": pa.array(a, pa.int64()),
                      "doc_b": pa.array(b, pa.int64())})
 
@@ -258,26 +288,44 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64) -> "ray.data.D
 # ---------------- SimHash -------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over word 3-grams (actor pool)."""
+    """64-bit simhash over word 3-grams (actor pool).
+
+    Vectorized: md5 runs once per UNIQUE gram (memoized across the
+    actor's batches — natural-language grams repeat heavily), and the
+    per-document ±1 bit accumulation is one numpy unpack/sum over the
+    document's gram-hash vector instead of a per-gram Python loop.
+    Output values are identical to the scalar per-gram reference
+    (tests/test_review_fixes.py)."""
 
     def __init__(self) -> None:
         import re
 
         self.word = re.compile(r"\S+")
+        self._memo: dict[bytes, int] = {}
+
+    def _gram_hashes(self, words: list[str]) -> np.ndarray:
+        memo = self._memo
+        out = np.empty(max(0, len(words) - 2), dtype=np.uint64)
+        for i in range(len(out)):
+            g = " ".join(words[i:i + 3]).encode("utf-8")
+            h = memo.get(g)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(g).digest()[:8], "little")
+                if len(memo) < 1_000_000:  # bound actor memory
+                    memo[g] = h
+            out[i] = h
+        return out
 
     def simhash(self, text: str) -> int:
-        words = self.word.findall(text or "")
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i in range(max(0, len(words) - 2)):
-            g = " ".join(words[i:i + 3]).encode("utf-8")
-            h = np.uint64(int.from_bytes(hashlib.md5(g).digest()[:8], "little"))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
+        hs = self._gram_hashes(self.word.findall(text or ""))
+        if not len(hs):
+            return 0
+        # (n_grams, 64) bit matrix via byte unpack; +1/-1 vote per bit
+        bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1, bitorder="little")
+        pos = bits.sum(axis=0, dtype=np.int64)
+        acc = 2 * pos - len(hs)
+        v = int((acc > 0).astype(np.uint64) @
+                (np.uint64(1) << np.arange(64, dtype=np.uint64)))
         return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement int64
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -117,29 +117,61 @@ class LangId:
         })
 
 
+_FP_B, _FP_M = 257, (1 << 61) - 1
+
+
+def _poly_hashes(data: np.ndarray, window: int) -> np.ndarray:
+    """Vectorized polynomial hashes of every `window`-byte window of `data`
+    mod the Mersenne prime 2^61-1.
+
+    data: (n,) uint8.
+    Exploits M Mersenne: x*2^61 === x (mod M), so a 61-bit coefficient
+    times a byte splits into 32-bit halves with cheap shift folds — no
+    Python bigints, value-identical to `(h*B + b) % M` scalar arithmetic.
+    Operates on contiguous shifted slices (no strided window matrix).
+    """
+    M = np.uint64(_FP_M)
+    sh29, sh32, sh61 = np.uint64(29), np.uint64(32), np.uint64(61)
+    mask29 = np.uint64((1 << 29) - 1)
+    n_out = len(data) - window + 1
+    data64 = data.astype(np.uint64)  # one contiguous upcast (uint64*uint8
+    #                                  promotes to float64 on numpy 1.x)
+    acc = np.zeros(n_out, dtype=np.uint64)
+    # byte-pair packing: b[2k]*B^(w-1-2k) + b[2k+1]*B^(w-2-2k)
+    #   = B^(w-2-2k) * (b[2k]*257 + b[2k+1]);  the packed value v < 2^17,
+    # so coeff_hi(29b)*v < 2^46 and coeff_lo(32b)*v < 2^49 both fit, and
+    # window//2 (+1 tail) terms of < 2^61.01 sum safely in ONE accumulator
+    for k in range(0, window - 1, 2):
+        c = pow(_FP_B, window - 2 - k, _FP_M)
+        v = data64[k:k + n_out] * np.uint64(257) + data64[k + 1:k + 1 + n_out]
+        y = np.uint64(c >> 32) * v
+        acc += (y >> sh29) + ((y & mask29) << sh32)
+        acc += np.uint64(c & 0xFFFFFFFF) * v
+    if window % 2:
+        acc += data64[window - 1:window - 1 + n_out]  # coeff B^0 = 1
+    acc = (acc >> sh61) + (acc & M)       # <= M + small
+    return np.where(acc >= M, acc - M, acc)
+
+
 def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
-    """Rolling-hash document fingerprint: min of Rabin-style rolling hashes
-    over byte windows (a winnowing-style representative), deterministic."""
-    B, M = 257, (1 << 61) - 1
+    """Rolling-hash document fingerprint: min of Rabin-style polynomial
+    hashes over byte windows (a winnowing-style representative),
+    deterministic.  Fully vectorized: all window hashes of a document are
+    one numpy pass over a sliding-window view (value-identical to the
+    scalar rolling recurrence, see tests/test_review_fixes.py)."""
     out = []
     for t in batch.column("text").to_pylist():
-        data = (t or "").encode("utf-8")
-        if len(data) < window:
-            h = 0
-            for b in data:
-                h = (h * B + b) % M
-            out.append(h)
+        data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        n = len(data)
+        if n < window:
+            if n == 0:
+                out.append(0)
+                continue
+            h = _poly_hashes(data, n)
+            out.append(int(h[0]))
             continue
-        pw = pow(B, window - 1, M)
-        h = 0
-        for b in data[:window]:
-            h = (h * B + b) % M
-        mn = h
-        for i in range(window, len(data)):
-            h = ((h - data[i - window] * pw) * B + data[i]) % M
-            if h < mn:
-                mn = h
-        out.append(mn)
+        h = _poly_hashes(data, window)
+        out.append(int(h.min()))
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(out, pa.int64()),

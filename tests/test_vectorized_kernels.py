@@ -1,0 +1,168 @@
+"""Parity tests: the vectorized text/dedup kernels must be value-identical
+to their scalar reference recurrences (the round-1 implementations)."""
+
+import hashlib
+import random
+import string
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aushape_ray.functions.dedup import (
+    MAX_BUCKET_PAIRS_N,
+    MinHasher,
+    SimHasher,
+    candidate_pairs,
+    explode_bands,
+)
+from aushape_ray.functions.textops import fingerprint
+
+
+def scalar_fingerprint(t: str, window: int = 8) -> int:
+    """Round-1 scalar rolling-hash reference (textops.py history)."""
+    B, M = 257, (1 << 61) - 1
+    data = (t or "").encode("utf-8")
+    if len(data) < window:
+        h = 0
+        for b in data:
+            h = (h * B + b) % M
+        return h
+    pw = pow(B, window - 1, M)
+    h = 0
+    for b in data[:window]:
+        h = (h * B + b) % M
+    mn = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * B + data[i]) % M
+        if h < mn:
+            mn = h
+    return mn
+
+
+def scalar_simhash(text: str) -> int:
+    """Round-1 per-gram md5 reference."""
+    import re
+
+    words = re.findall(r"\S+", text or "")
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i in range(max(0, len(words) - 2)):
+        g = " ".join(words[i:i + 3]).encode("utf-8")
+        h = np.uint64(int.from_bytes(hashlib.md5(g).digest()[:8], "little"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+EDGE_TEXTS = ["", "a", "short", "exactly8", "ünïcødé tëxt mït multibyte",
+              "\x7f" * 20, "one two three four five", "x" * 4097]
+
+
+def _random_texts(n: int, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    alphabet = string.ascii_letters + string.digits + "     .,!?"
+    return ["".join(rng.choices(alphabet, k=rng.randint(0, 2000)))
+            for _ in range(n)]
+
+
+class TestFingerprintParity:
+    def test_matches_scalar_reference(self):
+        texts = EDGE_TEXTS + _random_texts(150)
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        got = fingerprint(batch).column("fingerprint").to_pylist()
+        want = [scalar_fingerprint(t) for t in texts]
+        assert got == want
+
+    def test_odd_window(self):
+        texts = EDGE_TEXTS + _random_texts(30, seed=7)
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        got = fingerprint(batch, window=7).column("fingerprint").to_pylist()
+        want = [scalar_fingerprint(t, window=7) for t in texts]
+        assert got == want
+
+
+class TestSimhashParity:
+    def test_matches_scalar_reference(self):
+        texts = EDGE_TEXTS + _random_texts(80, seed=3)
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        got = SimHasher()(batch).column("simhash").to_pylist()
+        want = [scalar_simhash(t) for t in texts]
+        assert got == want
+
+    def test_memo_is_consistent_across_batches(self):
+        h = SimHasher()
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["alpha beta gamma delta"], pa.string())})
+        first = h(t).column("simhash").to_pylist()
+        second = h(t).column("simhash").to_pylist()
+        assert first == second == [scalar_simhash("alpha beta gamma delta")]
+
+
+class TestExplodeBands:
+    def _sigs(self, texts):
+        mh = MinHasher()
+        return mh(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_bucket_equivalence(self):
+        # docs with IDENTICAL text share every band hash; unrelated docs
+        # share none (probabilistically certain at 62 bits)
+        sigs = self._sigs(["the quick brown fox jumps over the lazy dog",
+                           "the quick brown fox jumps over the lazy dog",
+                           "entirely different content with other words"])
+        bands = explode_bands(sigs)
+        df = bands.to_pandas().pivot(index="band", columns="doc_id",
+                                     values="band_hash")
+        assert (df[0] == df[1]).all()
+        assert not (df[0] == df[2]).any()
+
+    def test_band_layout(self):
+        sigs = self._sigs(["hello world document"])
+        bands = explode_bands(sigs)
+        assert bands.num_rows == 16
+        assert bands.column("band").to_pylist() == list(range(16))
+        assert all(h >= 0 for h in bands.column("band_hash").to_pylist())
+
+    def test_empty_batch(self):
+        sigs = self._sigs([])
+        out = explode_bands(sigs)
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "band", "band_hash"]
+
+
+class TestCandidatePairCap:
+    def test_small_bucket_all_pairs(self):
+        g = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())})
+        out = candidate_pairs(g)
+        pairs = set(zip(out.column("doc_a").to_pylist(),
+                        out.column("doc_b").to_pylist()))
+        assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    def test_degenerate_bucket_is_linear(self):
+        n = MAX_BUCKET_PAIRS_N + 500
+        g = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+        out = candidate_pairs(g)
+        # star from the minimum id: O(n) pairs, connectivity preserved
+        assert out.num_rows == n - 1
+        assert set(out.column("doc_a").to_pylist()) == {0}
+        assert out.column("doc_b").to_pylist() == list(range(1, n))
+
+
+@pytest.mark.parametrize("n", [0, 1, 5])
+def test_minhash_signature_shape(n):
+    mh = MinHasher()
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array([f"doc number {i} text" for i in range(n)],
+                                   pa.string())})
+    out = mh(t)
+    assert out.num_rows == n
+    assert out.column("minhash").type == pa.list_(pa.int64(), 64)
