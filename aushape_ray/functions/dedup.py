@@ -221,19 +221,43 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 # ---------------- connected components (dup clusters) --------------------
 
-def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64) -> "ray.data.Dataset":
-    """Near-duplicate clusters from verified pairs: distributed connected
-    components via iterative min-label propagation (groupby rounds).
-    Iterates until a fixed point (O(component diameter) rounds) and RAISES
-    if max_iters is exhausted before convergence — a partial propagation
-    is not a valid partition.  Returns (doc_id, cluster_id) where
-    cluster_id is the minimum doc_id of the component.
+def _label_sum(labels: "ray.data.Dataset") -> int:
+    """Distributed checksum for convergence: per-batch int64 partial sums,
+    accumulated in Python ints on the driver (no overflow, no label map).
+    Min-label propagation is monotone decreasing, so the total label sum
+    strictly decreases until (and only until) the fixed point."""
+    parts = labels.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(np.asarray(t.column("label"), dtype=np.int64).sum())],
+            pa.int64())}),
+        batch_format="pyarrow").take_all()
+    return sum(int(r["s"]) for r in parts)
 
-    Each round currently broadcasts the label map driver-side (fine while
-    the candidate set is small); at scale the propagation becomes an
-    edges-join-labels groupby per round."""
+
+def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
+                  n_buckets: int = 16) -> "ray.data.Dataset":
+    """Near-duplicate clusters from verified pairs: DISTRIBUTED connected
+    components via min-label propagation.  Each round is
+
+        edges |><| labels  (partitioned hash_join on src=node)
+          union labels  ->  groupby(node).min(label)        [neighbour step]
+        labels |><| labels (hash_join on label=node)        [pointer jump]
+
+    — no driver-side label map anywhere; the only per-round driver value
+    is an O(1) label-sum checksum.  The pointer-jumping step halves the
+    effective component diameter each round, so convergence takes
+    O(log d) rounds instead of O(d).  RAISES if max_iters is exhausted
+    before the fixed point — a partial propagation is not a valid
+    partition.  Returns (doc_id, cluster_id), cluster_id = min doc_id of
+    the component.
+
+    At cluster scale the edges dataset is materialized once and re-joined
+    per round; a deployment would pre-bucket the edges by hash(src) so
+    only the (small) labels side moves each round."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
+
+    from .joins import hash_join
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a")
@@ -244,37 +268,46 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64) -> "ray.data.D
         })
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    # initial labels: every node labels itself
+    # initial labels: min(self, min neighbour)
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
     labels = labels.map_batches(
         lambda t: pa.table({
             "node": t.column("src"),
             "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
         }), batch_format="pyarrow").materialize()
+    if labels.count() == 0:
+        return labels.map_batches(
+            lambda t: pa.table({"doc_id": t.column("node"),
+                                "cluster_id": t.column("label")}),
+            batch_format="pyarrow")
 
-    lbl = {r["node"]: r["label"] for r in labels.take_all()}
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iters):
-        # propagate: each node offers its label to its neighbours
-        def offer(batch: pa.Table, lbl=lbl) -> pa.Table:
-            src = batch.column("src").to_pylist()
-            dst = batch.column("dst").to_pylist()
-            return pa.table({
-                "node": pa.array(dst, batch.column("dst").type),
-                "label": pa.array([lbl[s] for s in src],
-                                  batch.column("src").type),
-            })
-
-        offered = edges.map_batches(offer, batch_format="pyarrow")
-        labels = offered.union(labels).groupby("node").aggregate(
+        # one exchange per round: the pointer jump is expressed as extra
+        # "jump edges" label(x) -> x, so a single edges|><|labels join
+        # delivers BOTH the neighbour offers and label-of-label offers.
+        # Every node has a jump edge, and its offer label(label(x)) <=
+        # label(x), so the min over offers is monotone and total — no
+        # self-union needed.
+        jump = labels.map_batches(
+            lambda t: pa.table({"src": t.column("label"),
+                                "dst": t.column("node")}),
+            batch_format="pyarrow")
+        offered = hash_join(edges.union(jump), labels, "src", "node",
+                            n_buckets=n_buckets).map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+        labels = offered.groupby("node").aggregate(
             Min("label", alias_name="label")).materialize()
-        new_map = {r["node"]: r["label"] for r in labels.take_all()}
-        if new_map == lbl:
+        s = _label_sum(labels)
+        if s == prev_sum:
             converged = True
             break
-        lbl = new_map
+        prev_sum = s
 
-    if not converged and lbl:
+    if not converged:
         raise RuntimeError(
             f"cluster_pairs did not converge within {max_iters} rounds "
             f"(component diameter too large) — raise max_iters")
@@ -339,20 +372,42 @@ class SimHasher:
 
 # ---------------- n-gram Jaccard near-dup (verify stage) ------------------
 
-class PairVerifier:
-    """Verify candidate pairs by exact shingle Jaccard.  The documents
-    text is broadcast ONCE via ray.put and read per actor (small-side
-    lookup; at 100 TB this becomes a keyed fetch of only candidate docs)."""
+def verify_pairs_jaccard(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
+                         n_buckets: int = 16) -> "ray.data.Dataset":
+    """Attach exact shingle Jaccard to candidate pairs — the scale-true
+    keyed fetch: candidate texts arrive via two partitioned hash joins of
+    the pair list against the documents table (functions/joins.hash_join),
+    so NOTHING is materialized on the driver and no corpus-wide broadcast
+    exists anywhere in the path.  Each join shuffles the documents table
+    once by doc_id; only texts of docs that actually appear in a pair
+    survive the inner join.  (A 100 TB deployment can additionally
+    pre-prune the docs side with a bucketed semi join when the candidate
+    set is far smaller than the corpus.)
 
-    def __init__(self, texts_ref) -> None:
-        import ray
+    pairs: (doc_a:int64, doc_b:int64); docs: (doc_id:int64, text:string).
+    Returns (doc_a, doc_b, jaccard:float64).
+    """
+    from .joins import hash_join
 
-        self.texts: dict[int, str] = ray.get(texts_ref)
+    docs_a = docs.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_id"),
+                            "text_a": t.column("text")}),
+        batch_format="pyarrow")
+    docs_b = docs.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc_id"),
+                            "text_b": t.column("text")}),
+        batch_format="pyarrow")
+    j1 = hash_join(pairs, docs_a, "doc_a", "doc_a", n_buckets=n_buckets)
+    j2 = hash_join(j1, docs_b, "doc_b", "doc_b", n_buckets=n_buckets)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        sims = [jaccard(self.texts.get(x, ""), self.texts.get(y, ""))
-                for x, y in zip(a, b)]
-        out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-        return out
+    def score(batch: pa.Table) -> pa.Table:
+        sims = [jaccard(x, y) for x, y in
+                zip(batch.column("text_a").to_pylist(),
+                    batch.column("text_b").to_pylist())]
+        return pa.table({
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "jaccard": pa.array(sims, pa.float64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")

@@ -1133,22 +1133,65 @@ def q_doc_simhash(sf_dir: str):
 
 
 def q_doc_minhash_pairs(sf_dir: str):
-    """MinHash+LSH candidate pairs verified by exact shingle Jaccard >= 0.5."""
-    import ray as _ray
+    """MinHash+LSH candidate pairs verified by exact shingle Jaccard >= 0.5.
 
-    from ..functions.dedup import PairVerifier, minhash_candidates
+    Scale-true end to end: candidate generation is a band-key groupby and
+    verification fetches only candidate texts via partitioned hash joins
+    (functions/dedup.verify_pairs_jaccard) — no driver materialization,
+    no corpus broadcast."""
+    from ..functions.dedup import minhash_candidates, verify_pairs_jaccard
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    texts = dict(zip(*(docs.to_pandas()[c] for c in ("doc_id", "text"))))
-    ref = _ray.put(texts)
     cands = minhash_candidates(docs)
-    verified = cands.map_batches(PairVerifier, fn_constructor_args=(ref,),
-                                 batch_format="pyarrow", concurrency=(1, 4))
+    verified = verify_pairs_jaccard(cands, docs)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
         .select(["doc_a", "doc_b"]),
         batch_format="pyarrow")
+
+
+def sql_doc_minhash_pairs() -> str:
+    """Exhaustive ground truth for the LSH pipeline: exact 5-gram Jaccard
+    over ALL pairs via an exploded set-similarity join (count shared
+    distinct grams; J = c / (na + nb - c)).  Valid as an equality oracle
+    because on this corpus every true pair has J >= 0.92 (LSH miss
+    probability ~(1-J^4)^16 < 1e-9) and no pair falls in [0.4, 0.5) —
+    the pipeline's candidate recall is total.  The documents are ASCII,
+    so DuckDB char 5-grams equal the pipeline's utf-8 byte shingles."""
+    return """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(length(text)-3, 2)),
+           i -> substring(text, i::INT, 5)))) AS gram
+  FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5"""
+
+
+def sql_doc_dup_clusters() -> str:
+    """Connected components over the oracle pair list via a recursive
+    transitive closure; cluster_id = min doc_id of the component (the
+    same labeling cluster_pairs converges to)."""
+    return f"""
+WITH RECURSIVE pr AS ({sql_doc_minhash_pairs()}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+nodes AS (SELECT DISTINCT src AS node FROM e)
+SELECT n.node AS doc_id,
+       least(n.node, min(r.dst))::BIGINT AS cluster_id
+FROM nodes n LEFT JOIN reach r ON r.src = n.node
+GROUP BY n.node"""
 
 
 def q_doc_dup_clusters(sf_dir: str):
@@ -1401,5 +1444,7 @@ def build_registry():
         "doc_quality": sql_doc_quality(),
         "ann_topk": sql_ann_topk(),
         "emb_sim_pairs": sql_emb_sim_pairs(),
+        "doc_minhash_pairs": sql_doc_minhash_pairs(),
+        "doc_dup_clusters": sql_doc_dup_clusters(),
     }
     return queries, oracle

@@ -75,3 +75,43 @@ def test_cluster_pairs_long_chain_converges(ray_session):
     out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_cluster_pairs_10k_edges_distributed(ray_session):
+    """Larger random graph: the distributed (edges-join-labels +
+    pointer-jumping) propagation must match a union-find ground truth."""
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import cluster_pairs
+
+    rng = random.Random(123)
+    n_nodes, n_edges = 3000, 10_000
+    ea = [rng.randrange(n_nodes) for _ in range(n_edges)]
+    eb = [rng.randrange(n_nodes) for _ in range(n_edges)]
+    pairs = pa.table({"doc_a": pa.array(ea, pa.int64()),
+                      "doc_b": pa.array(eb, pa.int64())})
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in zip(ea, eb):
+        for x in (a, b):
+            truth[x] = find(x)
+
+    out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == truth
