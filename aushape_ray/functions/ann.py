@@ -99,6 +99,73 @@ def brute_force_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     })
 
 
+def _mix_ids(ids: np.ndarray) -> np.ndarray:
+    x = ids.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    return x ^ (x >> np.uint64(33))
+
+
+def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
+                     n_blocks: int = 4) -> "ray.data.Dataset":
+    """EXACT all-pairs cosine >= threshold, distributed — no driver
+    materialization, no corpus broadcast.  Block-pair (theta-join)
+    exchange: rows are hashed into n_blocks blocks; each row is shipped
+    to the n_blocks groups (p,q) its block participates in, ONE groupby
+    delivers both blocks of every unordered block pair to one task, and
+    the task runs a normalized matmul.  Each unordered vector pair
+    occurs in exactly one group, so no dedup pass is needed.
+
+    Replication factor is n_blocks; per-task memory is ~2/n_blocks of
+    the corpus.  At cluster scale choose n_blocks ~ sqrt(2 * tasks) so
+    block pairs saturate the cluster while two blocks fit one worker —
+    this is the honest exact path; the approximate discovery path is
+    lsh_bucket_stats/IvfIndexer probing.
+
+    Returns (vec_a, vec_b) with vec_a < vec_b.
+    """
+    B = n_blocks
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        block = (_mix_ids(ids) % np.uint64(B)).astype(np.int64)
+        reps = np.repeat(np.arange(n), B)
+        xs = np.tile(np.arange(B), n)
+        b = block[reps]
+        p = np.minimum(b, xs)
+        q = np.maximum(b, xs)
+        t = batch.take(pa.array(reps))
+        t = t.append_column("pk", pa.array(p * B + q, pa.int64()))
+        t = t.append_column("side", pa.array((b != p).astype(np.int8), pa.int8()))
+        return t
+
+    import pandas as pd
+
+    def pair_block(g: "pd.DataFrame") -> "pd.DataFrame":
+        side = g["side"].to_numpy()
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mat = _normalize(mat)
+        a = side == 0
+        if not (~a).any():  # diagonal block pair (p == q)
+            sims = mat @ mat.T
+            r, c = np.nonzero(sims >= threshold)
+            keep = ids[r] < ids[c]  # upper triangle once, no self-pairs
+            va, vb = ids[r][keep], ids[c][keep]
+        else:
+            ia, ib = ids[a], ids[~a]
+            sims = mat[a] @ mat[~a].T
+            r, c = np.nonzero(sims >= threshold)
+            va = np.minimum(ia[r], ib[c])
+            vb = np.maximum(ia[r], ib[c])
+        return pd.DataFrame({"vec_a": va.astype(np.int64),
+                             "vec_b": vb.astype(np.int64)})
+
+    pair_block.__name__ = "pair_block"
+    return ds.map_batches(expand, batch_format="pyarrow").groupby(
+        "pk").map_groups(pair_block, batch_format="pandas")
+
+
 class IvfIndexer:
     """LSH/IVF-bucketed scale path: assign each vector to its nearest of C
     random-projection buckets; near-neighbor probes then touch only

@@ -897,32 +897,31 @@ LIMIT 10"""
 
 
 def q_customers_no_orders(sf_dir: str):
-    """Semi/anti join via broadcast key set (ray_guide pattern: ship the
-    key set once, filter inside map_batches — no shuffle)."""
-    import ray as _ray
+    """Semi/anti join, PARTITIONED: distinct order keys (key-only groupby
+    — only keys shuffle), left hash_join against customers, then count
+    matched/unmatched.  The orders side is the large one, so the
+    broadcast-key-set shortcut would scan it onto the driver; the
+    bucketed exchange is the shape that survives 100 TB.  (Genuinely
+    small sides should still broadcast — see q_mktsegment_orders.)"""
+    from ..functions.joins import hash_join
 
-    okeys = set()
-    for b in ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey"]).iter_batches(
-            batch_format="pyarrow"):
-        okeys.update(b.column("o_custkey").to_pylist())
-    ref = _ray.put(frozenset(okeys))
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).groupby("o_custkey").count().map_batches(
+        lambda t: t.select(["o_custkey"]), batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    j = hash_join(cust, okeys, "c_custkey", "o_custkey", how="left")
 
-    class SemiAnti:
-        def __init__(self) -> None:
-            self.keys = _ray.get(ref)
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_without = batch.column("o_custkey").null_count
+        return pa.table({
+            "n_with_orders": pa.array([n - n_without], pa.int64()),
+            "n_without_orders": pa.array([n_without], pa.int64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ks = batch.column("c_custkey").to_pylist()
-            n_with = sum(1 for k in ks if k in self.keys)
-            return pa.table({
-                "n_with_orders": pa.array([n_with], pa.int64()),
-                "n_without_orders": pa.array([len(ks) - n_with], pa.int64()),
-            })
-
-    parts = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-    ).map_batches(SemiAnti, batch_format="pyarrow", concurrency=(1, 2))
+    parts = j.map_batches(partial, batch_format="pyarrow")
     agg = parts.aggregate(Sum("n_with_orders", alias_name="n_with_orders"),
                           Sum("n_without_orders", alias_name="n_without_orders"))
     return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})
@@ -1227,36 +1226,15 @@ FROM ranked WHERE r <= 10"""
 
 def q_emb_sim_pairs(sf_dir: str):
     """Embedding-cosine similar pairs (cosine >= 0.4 on this corpus; the
-    same operator is the near-dup filter at 0.95): block matmul against a
-    broadcast normalized matrix — no shuffle."""
-    import ray as _ray
+    same operator is the near-dup filter at 0.95): EXACT distributed
+    all-pairs via the block-pair exchange (functions/ann.all_pairs_cosine)
+    — one groupby, per-task matmul over two blocks, nothing materialized
+    on the driver, nothing broadcast."""
+    from ..functions.ann import all_pairs_cosine
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    pdf = ds.to_pandas()
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = _ray.put({"ids": ids, "mat": mat})
-
-    class NearDup:
-        def __init__(self) -> None:
-            d = _ray.get(ref)
-            self.ids, self.mat = d["ids"], d["mat"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch.column("vec_id"))
-            b = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
-            sims = b @ self.mat.T
-            r, c = np.nonzero(sims >= SIM_THRESHOLD)
-            keep = bids[r] < self.ids[c]
-            return pa.table({
-                "vec_a": pa.array(bids[r][keep], pa.int64()),
-                "vec_b": pa.array(self.ids[c][keep], pa.int64()),
-            })
-
-    return ds.map_batches(NearDup, batch_format="pyarrow", concurrency=(1, 4))
+    return all_pairs_cosine(ds, SIM_THRESHOLD, n_blocks=4)
 
 
 def sql_emb_sim_pairs() -> str:
@@ -1291,7 +1269,12 @@ def q_ann_ivf_recall(sf_dir: str):
             "bucket", pa.array(idx.bucket_of(mat), pa.int64()))
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
-    q_rows = [r for r in bucketed.take_all() if r["vec_id"] in set(qids)]
+    # fetch ONLY the 8 query rows (distributed filter; never take_all the
+    # full embedding table on the driver)
+    qarr = pa.array(qids, pa.int64())
+    q_rows = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), qarr)),
+        batch_format="pyarrow").take_all()
     # multi-probe: each query probes its own bucket plus all Hamming-1
     # neighbours (standard LSH multi-probe; bounds probed fraction to
     # (n_planes+1)/2^n_planes of the data)
