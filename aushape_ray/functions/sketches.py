@@ -84,6 +84,91 @@ class HyperLogLog:
         return h
 
 
+class KllSketch:
+    """Simplified KLL-style mergeable quantile sketch (Karnin-Lang-Liberty
+    2016, public algorithm) over int64 values.
+
+    Level i holds items of weight 2^i; an over-capacity level is sorted
+    and every other item promoted one level up (deterministic alternating
+    offset instead of the random coin — same rank-error shape, O(k)
+    memory, O(1/k) relative rank error).  Partial sketches are built per
+    batch inside map_batches and merged in a per-group reduce — the
+    shuffle carries O(k log n) ints per group instead of every row: the
+    scale path for quantiles the moment a group outgrows one task
+    (events_quantiles' exact per-group sort covers the small case)."""
+
+    def __init__(self, k: int = 256) -> None:
+        self.k = k
+        self.n = 0
+        self.levels: list[np.ndarray] = [np.array([], np.int64)]
+        self.flips: list[int] = [0]
+
+    def _capacity(self, level: int) -> int:
+        depth = len(self.levels)
+        return max(8, int(self.k * (2.0 / 3.0) ** (depth - level - 1)))
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self._capacity(i):
+                items = np.sort(self.levels[i])
+                m = (len(items) // 2) * 2
+                off = self.flips[i] & 1
+                self.flips[i] ^= 1
+                kept = items[:m][off::2]
+                self.levels[i] = items[m:]  # odd leftover stays
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.array([], np.int64))
+                    self.flips.append(0)
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], kept])
+            i += 1
+
+    def add_many(self, values) -> None:
+        v = np.asarray(values, dtype=np.int64)
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def merge(self, other: "KllSketch") -> None:
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.array([], np.int64))
+            self.flips.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compress()
+
+    def quantile(self, q: float) -> int:
+        """quantile_disc-flavoured: smallest value whose cumulative weight
+        reaches ceil(total * q)."""
+        vals = np.concatenate(self.levels)
+        if not len(vals):
+            raise ValueError("empty sketch")
+        wts = np.concatenate([
+            np.full(len(lv), 1 << i, np.int64)
+            for i, lv in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[order])
+        target = max(1, int(np.ceil(cum[-1] * q)))
+        return int(vals[order][np.searchsorted(cum, target)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self.levels, self.flips))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KllSketch":
+        import pickle
+
+        k, n, levels, flips = pickle.loads(b)
+        s = cls(k)
+        s.n, s.levels, s.flips = n, levels, flips
+        return s
+
+
 def hll_distinct(ds: "ray.data.Dataset", column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column): one sketch per batch, register
     merge of the partials (partials are 4 KiB each — the shuffle carries

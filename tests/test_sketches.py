@@ -115,3 +115,59 @@ def test_cluster_pairs_10k_edges_distributed(ray_session):
     out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == truth
+
+
+class TestKllSketch:
+    def test_quantile_accuracy(self):
+        import numpy as np
+
+        from aushape_ray.functions.sketches import KllSketch
+
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 1_000_000, 200_000)
+        s = KllSketch(k=256)
+        for chunk in np.array_split(data, 37):
+            s.add_many(chunk)
+        srt = np.sort(data)
+        for q in (0.1, 0.5, 0.95, 0.99):
+            est = s.quantile(q)
+            rank = np.searchsorted(srt, est, side="right") / len(srt)
+            assert abs(rank - q) < 0.02, (q, rank)
+
+    def test_merge_matches_single_sketch_error(self):
+        import numpy as np
+
+        from aushape_ray.functions.sketches import KllSketch
+
+        rng = np.random.default_rng(11)
+        data = rng.integers(0, 100_000, 100_000)
+        parts = []
+        for chunk in np.array_split(data, 16):
+            p = KllSketch(k=256)
+            p.add_many(chunk)
+            parts.append(KllSketch.from_bytes(p.to_bytes()))
+        acc = KllSketch(k=256)
+        for p in parts:
+            acc.merge(p)
+        assert acc.n == len(data)
+        srt = np.sort(data)
+        for q in (0.5, 0.95):
+            rank = np.searchsorted(srt, acc.quantile(q), side="right") / len(srt)
+            assert abs(rank - q) < 0.03, (q, rank)
+
+    def test_small_exact(self):
+        from aushape_ray.functions.sketches import KllSketch
+
+        s = KllSketch()
+        s.add_many([5, 1, 9, 3, 7])
+        # below capacity nothing is compacted: quantiles are exact
+        assert s.quantile(0.5) == 5
+        assert s.quantile(1.0) == 9
+
+    def test_empty_raises(self):
+        import pytest
+
+        from aushape_ray.functions.sketches import KllSketch
+
+        with pytest.raises(ValueError):
+            KllSketch().quantile(0.5)
