@@ -42,10 +42,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="split conversations longer than this over "
                          "multiple partitions (salted-key skew handling)")
     ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
-    ap.add_argument("--format", choices=["parquet", "jsonl", "xml"],
+    ap.add_argument("--format", choices=["parquet", "jsonl", "xml", "syslog"],
                     default="parquet",
                     help="sink format: parquet (continuous, S3 analogue), "
-                         "jsonl / xml (discrete one-doc-per-line, S4 analogue)")
+                         "jsonl / xml (discrete one-doc-per-line, S4 "
+                         "analogue), syslog (jsonl with an RFC3164 <PRI> "
+                         "prefix per message)")
+    ap.add_argument("--fold", default="all",
+                    help="fold nesting level into single line: 0/'all' "
+                         "(compact, default here), N, or 'none' (unfold "
+                         "fully); reference default is 4 (lib/conf.c:183). "
+                         "Applies to jsonl/xml sinks")
+    ap.add_argument("--indent", type=int, default=4,
+                    help="spaces per nesting level when unfolded")
+    ap.add_argument("--syslog-facility", default="authpriv",
+                    help="facility name for --format syslog")
+    ap.add_argument("--syslog-priority", default="info",
+                    help="priority name for --format syslog")
     ap.add_argument("--resume", action="store_true",
                     help="per-shard manifests; rerun skips finished shards")
     ap.add_argument("--contiguous", action="store_true",
@@ -135,10 +148,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.format == "parquet":
             counts = write_routed(events, args.out_dir, cfg)
         else:
+            from .foldout import FoldFormat, parse_fold
             from .pipelines.events_pipeline import write_jsonl_routed
 
+            fmt = FoldFormat(fold_level=parse_fold(args.fold),
+                             nest_indent=args.indent)
+            pri = None
+            if args.format == "syslog":
+                from .syslogconf import pri_value
+
+                pri = pri_value(args.syslog_facility, args.syslog_priority)
             counts = write_jsonl_routed(events, args.out_dir,
-                                        xml=(args.format == "xml"))
+                                        xml=(args.format == "xml"),
+                                        fmt=fmt, pri=pri)
         out = {"sink_counts": counts}
         if validation is not None:
             out["validation"] = validation

@@ -302,12 +302,33 @@ class JsonlSinkWriter:
     document per line, the `events_per_doc=0` bare-event mode where each
     event is exactly one message.  Each task appends its batch to per-sink
     part files named by a uuid (atomic tmp+rename), so the write is a
-    single streaming pass with no materialization and no re-execution."""
+    single streaming pass with no materialization and no re-execution.
 
-    def __init__(self, out_dir: str, column: str = "doc") -> None:
+    With a non-compact FoldFormat (--fold / --indent, lib/conf.c:31-81)
+    each part file is instead ONE folded document — a JSON array of
+    events / an <?xml?><log> wrapper — in the reference README.md:22-74
+    shape.  An optional syslog PRI prefix (`<facility*8+priority>`)
+    frames each compact line the way the syslog output would."""
+
+    def __init__(self, out_dir: str, column: str = "doc",
+                 fmt=None, xml: bool = False, pri: "int | None" = None) -> None:
         self.out_dir = out_dir
         self.column = column
+        self.fmt = fmt
+        self.xml = xml
+        self.pri = pri
         self.__name__ = "jsonl_sink_writer"
+
+    def _folded(self, docs: list[str]) -> str:
+        import json
+
+        from ..foldout import render_doc_json, render_doc_xml
+        from ..xmlout import event_node
+
+        objs = [json.loads(d) for d in docs]
+        if self.xml:
+            return render_doc_xml([event_node(o) for o in objs], self.fmt)
+        return render_doc_json(objs, self.fmt)
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
         import os
@@ -316,6 +337,8 @@ class JsonlSinkWriter:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        folded = self.fmt is not None and self.fmt.fold_level != 0
+        ext = "xml" if self.xml else ("json" if folded else "jsonl")
         counts = {}
         for sink in batch.column("sink").unique().to_pylist():
             sub = batch.filter(pc.equal(batch.column("sink"), sink))
@@ -324,10 +347,17 @@ class JsonlSinkWriter:
             uid = uuid.uuid4().hex
             tmp = os.path.join(d, f".part-{uid}.tmp")
             with open(tmp, "w", encoding="utf-8") as f:
-                for doc in sub.column(self.column).to_pylist():
-                    f.write(doc)
+                docs = sub.column(self.column).to_pylist()
+                if folded:
+                    f.write(self._folded(docs))
                     f.write("\n")
-            os.replace(tmp, os.path.join(d, f"part-{uid}.jsonl"))
+                else:
+                    pri = f"<{self.pri}>" if self.pri is not None else ""
+                    for doc in docs:
+                        f.write(pri)
+                        f.write(doc)
+                        f.write("\n")
+            os.replace(tmp, os.path.join(d, f"part-{uid}.{ext}"))
             counts[sink] = sub.num_rows
         return pa.table({
             "sink": pa.array(list(counts), pa.string()),
@@ -336,8 +366,10 @@ class JsonlSinkWriter:
 
 
 def write_jsonl_routed(events: "ray.data.Dataset", out_dir: str,
-                       xml: bool = False) -> dict[str, int]:
-    """Routed discrete-sink write: JSON-lines (or XML-lines) per sink.
+                       xml: bool = False, fmt=None,
+                       pri: "int | None" = None) -> dict[str, int]:
+    """Routed discrete-sink write: JSON-lines (or XML-lines) per sink;
+    folded documents instead when fmt has fold_level != 0.
 
     Cleans this writer's per-sink dirs first so a rerun into the same
     out_dir replaces, not appends, the previous generation."""
@@ -350,13 +382,15 @@ def write_jsonl_routed(events: "ray.data.Dataset", out_dir: str,
             _shutil.rmtree(d)
     ds = events
     column = "doc"
-    if xml:
+    folded = fmt is not None and fmt.fold_level != 0
+    if xml and not folded:
         from ..xmlout import add_xml_column
 
         ds = ds.map_batches(add_xml_column, batch_format="pyarrow")
         column = "doc_xml"
-    parts = ds.map_batches(JsonlSinkWriter(out_dir, column),
-                           batch_format="pyarrow")
+    parts = ds.map_batches(
+        JsonlSinkWriter(out_dir, column, fmt=fmt, xml=xml, pri=pri),
+        batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
     out = parts.groupby("sink").aggregate(Sum("n", alias_name="n")).take_all()

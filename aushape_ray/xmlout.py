@@ -65,36 +65,36 @@ def _open_close(kind: str) -> tuple[str, str]:
     return f'<record kind="{escape_xml(kind)}">', "</record>"
 
 
-def _record_xml(kind: str, rec) -> str:
+def _record_node(kind: str, rec):
+    """XML node tree for one record (foldout.render_xml_node renders it
+    compact or folded; compact output is byte-identical to round 1)."""
     opn, cls = _open_close(kind)
     if isinstance(rec, dict):  # single record: object of fields
-        inner = "".join(_field_xml(k, v) for k, v in rec.items())
-        return f"{opn}{inner}{cls}"
+        return (opn, cls, [_field_xml(k, v) for k, v in rec.items()])
     if kind == "execve":  # argv array
-        inner = "".join(f"<a>{escape_xml(a)}</a>" for a in rec)
-        return f"{opn}{inner}{cls}"
+        return (opn, cls, [f"<a>{escape_xml(a)}</a>" for a in rec])
     # repeated / path records: array of field objects
-    items = []
-    for it in rec:
-        inner = "".join(_field_xml(k, v) for k, v in it.items())
-        items.append(f"<item>{inner}</item>")
-    return f"{opn}{''.join(items)}{cls}"
+    items = [("<item>", "</item>",
+              [_field_xml(k, v) for k, v in it.items()]) for it in rec]
+    return (opn, cls, items)
 
 
-def render_event_xml(doc: dict) -> str:
+def event_node(doc: dict):
+    """Node tree for one event document (levels: event children one in
+    from the event element — matches the reference README shapes)."""
     attrs = [f'serial="{escape_xml(str(doc["serial"]))}"',
              f'time="{escape_xml(doc["time"])}"']
     if doc.get("node"):
         attrs.append(f'node="{escape_xml(doc["node"])}"')
-    parts = [f"<event {' '.join(attrs)}>"]
+    children = []
     if "text" in doc:
-        lines = "".join(f"<line>{escape_xml(t)}</line>" for t in doc["text"])
-        parts.append(f"<text>{lines}</text>")
+        children.append(("<text>", "</text>",
+                         [f"<line>{escape_xml(t)}</line>" for t in doc["text"]]))
     if doc.get("error") is not None and "error" in doc:
-        parts.append(f"<error>{escape_xml(doc['error'])}</error>")
+        children.append(f"<error>{escape_xml(doc['error'])}</error>")
     elif "data" in doc and doc["data"] is not None:
-        recs = "".join(_record_xml(k, v) for k, v in doc["data"].items())
-        parts.append(f"<data>{recs}</data>")
+        children.append(("<data>", "</data>",
+                         [_record_node(k, v) for k, v in doc["data"].items()]))
     if "norm" in doc:
         n = doc["norm"]
         na = [f'subject="{escape_xml(n["subject"])}"',
@@ -102,12 +102,17 @@ def render_event_xml(doc: dict) -> str:
               f'result="{escape_xml(n["result"])}"']
         if "object" in n:
             na.append(f'object="{escape_xml(n["object"])}"')
-        parts.append(f"<norm {' '.join(na)}/>")
+        children.append(f"<norm {' '.join(na)}/>")
     if doc.get("trimmed"):
-        ts = "".join(f"<t>{escape_xml(t)}</t>" for t in doc["trimmed"])
-        parts.append(f"<trimmed>{ts}</trimmed>")
-    parts.append("</event>")
-    return "".join(parts)
+        children.append(("<trimmed>", "</trimmed>",
+                         [f"<t>{escape_xml(t)}</t>" for t in doc["trimmed"]]))
+    return (f"<event {' '.join(attrs)}>", "</event>", children)
+
+
+def render_event_xml(doc: dict, fmt=None) -> str:
+    from .foldout import COMPACT, render_xml_node
+
+    return render_xml_node(event_node(doc), fmt or COMPACT, level=0)
 
 
 def add_xml_column(batch: pa.Table) -> pa.Table:

@@ -96,7 +96,7 @@ def test_xml_sink(ray_session, tiny_transcripts, tmp_path):
                           PipelineConfig(num_parts=8))
     counts = write_jsonl_routed(events, str(tmp_path), xml=True)
     n = 0
-    for f in glob.glob(f"{tmp_path}/*/part-*.jsonl"):
+    for f in glob.glob(f"{tmp_path}/*/part-*.xml"):
         with open(f) as fh:
             for line in fh:
                 if "&#x" not in line:
