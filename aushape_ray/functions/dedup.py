@@ -124,9 +124,34 @@ class MinHasher:
         v = (sh[None, :] * self.a[:, None] + self.b[:, None])
         return v.min(axis=1)
 
+    # budget of shingles hashed per vectorized chunk: bounds the (n_hashes,
+    # total_shingles) temporary to ~64 MiB
+    _CHUNK_SHINGLES = 128_000
+
+    def _signatures_chunk(self, shingle_arrays: list[np.ndarray]) -> np.ndarray:
+        """All docs of a chunk in one broadcastized pass: concatenate the
+        shingle arrays and min-reduce per segment (np.minimum.reduceat) —
+        value-identical to per-doc signature()."""
+        lens = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+        flat = np.concatenate(shingle_arrays)
+        v = flat[None, :] * self.a[:, None] + self.b[:, None]
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        return np.minimum.reduceat(v, offsets, axis=1).T  # (n_docs, n_hashes)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
-        arr = np.stack(sigs) if sigs else np.zeros((0, self.n), np.uint64)
+        shingles = [_shingles(t or "")
+                    for t in batch.column("text").to_pylist()]
+        sigs, cur, budget = [], [], 0
+        for s in shingles:
+            cur.append(s)
+            budget += len(s)
+            if budget >= self._CHUNK_SHINGLES:
+                sigs.append(self._signatures_chunk(cur))
+                cur, budget = [], 0
+        if cur:
+            sigs.append(self._signatures_chunk(cur))
+        arr = (np.concatenate(sigs) if sigs
+               else np.zeros((0, self.n), np.uint64))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "minhash": pa.array(list(arr.astype(np.int64)), pa.list_(pa.int64(), self.n)),

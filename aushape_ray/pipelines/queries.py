@@ -993,6 +993,48 @@ SELECT event_type,
 FROM c GROUP BY event_type"""
 
 
+def q_events_range_join(sf_dir: str):
+    """Keyless range join: for each 'error' event, the number of 'click'
+    events (any user) in the preceding 10 minutes — the interval-overlap
+    shape Ray Data has no native operator for, via the bucketed-time
+    exchange in functions/joins.interval_count_join."""
+    from ..functions.joins import interval_count_join
+
+    W = 600_000_000  # 10 min in us
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "error"))
+        ts = t.column("ts").cast(pa.int64())
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "lo": pc.subtract(ts, pa.scalar(W, pa.int64())),
+            "hi": ts,
+        })
+
+    def to_points(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({"v": t.column("ts").cast(pa.int64())})
+
+    intervals = ds.map_batches(to_intervals, batch_format="pyarrow")
+    points = ds.map_batches(to_points, batch_format="pyarrow")
+    return interval_count_join(intervals, points, width=W,
+                               id_col="event_id", out_col="n_prior_clicks")
+
+
+def sql_events_range_join() -> str:
+    return """
+SELECT e.event_id::BIGINT AS event_id,
+       count(c.event_id)::BIGINT AS n_prior_clicks
+FROM events e LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id"""
+
+
 def q_events_quantiles_sketch(sf_dir: str):
     """Mergeable-quantile scale path: per-batch KLL partial sketches,
     per-group merge — the shuffle carries O(k log n) ints per group, not
@@ -1262,6 +1304,37 @@ def q_doc_dup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def q_doc_dedup_near(sf_dir: str):
+    """End-to-end near-duplicate corpus dedup: MinHash-LSH candidates ->
+    Jaccard verify -> connected components -> keep the minimum doc_id of
+    each cluster; returns the surviving doc_ids.  Victims are removed
+    with a partitioned left anti join (scale-safe even when the dup set
+    is corpus-sized)."""
+    from ..functions.dedup import cluster_pairs
+    from ..functions.joins import hash_join
+
+    clusters = cluster_pairs(q_doc_minhash_pairs(sf_dir))
+    victims = clusters.map_batches(
+        lambda t: pa.table({"victim": t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        ).column("doc_id")}),
+        batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    j = hash_join(docs, victims, "doc_id", "victim", how="left")
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("victim"))).select(["doc_id"]),
+        batch_format="pyarrow")
+
+
+def sql_doc_dedup_near() -> str:
+    return f"""
+SELECT d.doc_id::BIGINT AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({sql_doc_dup_clusters()}) c
+  WHERE c.doc_id <> c.cluster_id)"""
+
+
 def q_ann_topk(sf_dir: str):
     from ..functions.ann import brute_force_topk
 
@@ -1436,6 +1509,7 @@ def build_registry():
         "events_sessionize": q_events_sessionize,
         "events_sliding": q_events_sliding,
         "events_asof_prev_error": q_events_asof_prev_error,
+        "events_range_join": q_events_range_join,
         "hll_distinct_users": q_hll_distinct_users,
         "doc_dedup_exact": q_doc_dedup_exact,
         "customers_no_orders": q_customers_no_orders,
@@ -1450,6 +1524,7 @@ def build_registry():
         "doc_simhash": q_doc_simhash,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_near": q_doc_dedup_near,
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,
@@ -1479,6 +1554,7 @@ def build_registry():
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),
+        "events_range_join": sql_events_range_join(),
         "doc_dedup_exact": sql_doc_dedup_exact(),
         "customers_no_orders": sql_customers_no_orders(),
         "events_quantiles": sql_events_quantiles(),
@@ -1490,5 +1566,6 @@ def build_registry():
         "emb_sim_pairs": sql_emb_sim_pairs(),
         "doc_minhash_pairs": sql_doc_minhash_pairs(),
         "doc_dup_clusters": sql_doc_dup_clusters(),
+        "doc_dedup_near": sql_doc_dedup_near(),
     }
     return queries, oracle

@@ -166,3 +166,57 @@ def test_minhash_signature_shape(n):
     out = mh(t)
     assert out.num_rows == n
     assert out.column("minhash").type == pa.list_(pa.int64(), 64)
+
+
+class TestIntervalCountJoin:
+    def test_counts_and_bucket_boundaries(self, ray_session):
+        import ray.data
+
+        from aushape_ray.functions.joins import interval_count_join
+
+        # width 10; intervals crossing bucket boundaries, empty intervals,
+        # and points exactly on lo (included) / hi (excluded)
+        intervals = pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lo": pa.array([5, 18, 100, 0], pa.int64()),
+            "hi": pa.array([15, 22, 110, 40], pa.int64()),
+        })
+        points = pa.table({
+            "v": pa.array([5, 9, 10, 14, 15, 18, 21, 22, 39], pa.int64()),
+        })
+        out = interval_count_join(
+            ray.data.from_arrow(intervals), ray.data.from_arrow(points),
+            width=10, id_col="id", out_col="n").take_all()
+        got = {r["id"]: r["n"] for r in out}
+        # brute force truth
+        iv = intervals.to_pydict()
+        pv = points.column("v").to_pylist()
+        want = {i: sum(1 for v in pv if lo <= v < hi)
+                for i, lo, hi in zip(iv["id"], iv["lo"], iv["hi"])}
+        assert got == want
+        assert got[3] == 0  # empty interval still present
+
+    def test_matches_bruteforce_random(self, ray_session):
+        import numpy as np
+
+        import ray.data
+
+        from aushape_ray.functions.joins import interval_count_join
+
+        rng = np.random.default_rng(17)
+        n_iv, n_pt, W = 300, 5000, 1000
+        lo = rng.integers(0, 50_000, n_iv)
+        hi = lo + rng.integers(1, W, n_iv)  # bounded intervals
+        v = rng.integers(0, 50_000, n_pt)
+        out = interval_count_join(
+            ray.data.from_arrow(pa.table({
+                "id": pa.array(range(n_iv), pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64())})),
+            ray.data.from_arrow(pa.table({"v": pa.array(v, pa.int64())})),
+            width=W, id_col="id", out_col="n").take_all()
+        got = {r["id"]: r["n"] for r in out}
+        sv = np.sort(v)
+        want = {i: int(np.searchsorted(sv, hi[i]) - np.searchsorted(sv, lo[i]))
+                for i in range(n_iv)}
+        assert got == want
