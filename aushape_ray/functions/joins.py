@@ -113,53 +113,48 @@ def interval_count_join(intervals: "ray.data.Dataset",
     """Range (interval) join Ray Data lacks natively: for each interval
     [lo, hi) count the points whose value falls inside it — NO equi key.
 
-    Bucketed-time exchange: points land in bucket value//width; each
-    interval is replicated to every bucket it overlaps (choose width >=
-    typical interval length so that's <= 2 rows).  One groupby delivers a
-    bucket's points and overlapping intervals to one task, which counts
-    via a sorted searchsorted — the count is naturally clipped to the
-    bucket's points, so summing the per-bucket partials in a second small
-    groupby never double-counts.  Intervals with zero points still emit
-    their bucket rows, so they appear with count 0.
+    ONE exchange: each interval goes to the single bucket of its lower
+    bound (lo // width); each point is replicated to its own bucket AND
+    the previous one, so the task owning bucket b sees every point an
+    interval starting in b can reach.  A per-task sorted searchsorted
+    then counts each interval EXACTLY once — no partial-sum aggregate,
+    no double counting.  Intervals with zero points still appear (their
+    bucket task emits count 0).
 
-    Partitioning assumption: intervals are bounded (hi - lo <= k * width
-    for small k); an unbounded interval would replicate to every bucket.
+    Contract: hi - lo <= width for every interval (raises otherwise) —
+    pick width >= the maximum interval length; larger widths mean fewer,
+    bigger bucket tasks (points are only ever duplicated 2x).
 
     intervals: (id_col:int64, lo:int64, hi:int64); points: (v:int64).
     Returns (id_col, out_col:int64).
     """
-    from ray.data.aggregate import Sum
 
     def tag_points(b: pa.Table) -> pa.Table:
-        v = b.column("v").to_numpy(zero_copy_only=False)
+        v = b.column("v").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bk = v // width
         return pa.table({
-            "__tbucket": pa.array(v // width, pa.int64()),
-            "__side": pa.array(np.ones(len(v), np.int8), pa.int8()),
-            id_col: pa.nulls(len(v), pa.int64()),
-            "lo": pa.nulls(len(v), pa.int64()),
-            "hi": pa.nulls(len(v), pa.int64()),
-            "v": b.column("v").cast(pa.int64()),
+            "__tbucket": pa.array(np.concatenate([bk, bk - 1]), pa.int64()),
+            "__side": pa.array(np.ones(2 * len(v), np.int8), pa.int8()),
+            id_col: pa.nulls(2 * len(v), pa.int64()),
+            "lo": pa.nulls(2 * len(v), pa.int64()),
+            "hi": pa.nulls(2 * len(v), pa.int64()),
+            "v": pa.array(np.concatenate([v, v]), pa.int64()),
         })
 
     def tag_intervals(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        lo = b.column("lo").to_numpy(zero_copy_only=False)
-        hi = b.column("hi").to_numpy(zero_copy_only=False)
-        b0 = lo // width
-        b1 = np.maximum(b0, (hi - 1) // width)  # inclusive last bucket
-        reps = (b1 - b0 + 1).astype(np.int64)
-        idx = np.repeat(np.arange(len(ids)), reps)
-        # bucket sequence per interval: b0[i] + offset
-        off = np.arange(len(idx)) - np.repeat(
-            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
-        buckets = b0[idx] + off
-        n = len(idx)
+        lo = b.column("lo").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi = b.column("hi").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(lo) and int((hi - lo).max()) > width:
+            raise ValueError(
+                f"interval_count_join: interval length "
+                f"{int((hi - lo).max())} exceeds bucket width {width}")
+        n = len(lo)
         return pa.table({
-            "__tbucket": pa.array(buckets, pa.int64()),
+            "__tbucket": pa.array(lo // width, pa.int64()),
             "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
-            id_col: pa.array(ids[idx], pa.int64()),
-            "lo": pa.array(lo[idx], pa.int64()),
-            "hi": pa.array(hi[idx], pa.int64()),
+            id_col: b.column(id_col).cast(pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
             "v": pa.nulls(n, pa.int64()),
         })
 
@@ -168,11 +163,12 @@ def interval_count_join(intervals: "ray.data.Dataset",
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         side = g["__side"].to_numpy()
-        pts = np.sort(g.loc[side == 1, "v"].to_numpy(np.int64))
         ivs = g[side == 0]
         if not len(ivs):
             return pd.DataFrame({id_col: np.array([], np.int64),
                                  out_col: np.array([], np.int64)})
+        # this bucket's + next bucket's points, each exactly once
+        pts = np.sort(g.loc[side == 1, "v"].to_numpy(np.int64))
         lo = ivs["lo"].to_numpy(np.int64)
         hi = ivs["hi"].to_numpy(np.int64)
         cnt = np.searchsorted(pts, hi) - np.searchsorted(pts, lo)
@@ -180,9 +176,8 @@ def interval_count_join(intervals: "ray.data.Dataset",
                              out_col: cnt.astype(np.int64)})
 
     count_bucket.__name__ = "count_bucket"
-    partials = iv.union(pt).groupby("__tbucket").map_groups(
+    out = iv.union(pt).groupby("__tbucket").map_groups(
         count_bucket, batch_format="pandas")
-    out = partials.groupby(id_col).aggregate(Sum(out_col, alias_name=out_col))
 
     def cast(b: pa.Table) -> pa.Table:
         return pa.table({id_col: b.column(id_col).cast(pa.int64()),

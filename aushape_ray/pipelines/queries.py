@@ -1020,7 +1020,11 @@ def q_events_range_join(sf_dir: str):
 
     intervals = ds.map_batches(to_intervals, batch_format="pyarrow")
     points = ds.map_batches(to_points, batch_format="pyarrow")
-    return interval_count_join(intervals, points, width=W,
+    # bucket width is a free knob: any width >= interval length keeps the
+    # replication factor <= 2.  A coarse 6 h bucket turns ~13k tiny
+    # map_groups calls into a few hundred vectorized ones; at cluster
+    # scale pick width so a bucket's points fit one task.
+    return interval_count_join(intervals, points, width=36 * W,
                                id_col="event_id", out_col="n_prior_clicks")
 
 

@@ -122,7 +122,8 @@ def main() -> None:
     timings["flagship_shuffle"] = round(time.time() - t0, 3)
 
     for name in ("q1_pricing", "events_tumbling", "doc_dedup_exact",
-                 "ann_topk", "doc_token_stats"):
+                 "ann_topk", "doc_token_stats", "doc_fingerprint",
+                 "doc_simhash", "emb_sim_pairs", "events_range_join"):
         fn = getattr(Q, f"q_{name}")
         t0 = time.time()
         res = fn(sf_dir)

@@ -178,7 +178,7 @@ class TestIntervalCountJoin:
         # and points exactly on lo (included) / hi (excluded)
         intervals = pa.table({
             "id": pa.array([1, 2, 3, 4], pa.int64()),
-            "lo": pa.array([5, 18, 100, 0], pa.int64()),
+            "lo": pa.array([5, 18, 100, 30], pa.int64()),
             "hi": pa.array([15, 22, 110, 40], pa.int64()),
         })
         points = pa.table({
@@ -195,6 +195,20 @@ class TestIntervalCountJoin:
                 for i, lo, hi in zip(iv["id"], iv["lo"], iv["hi"])}
         assert got == want
         assert got[3] == 0  # empty interval still present
+
+    def test_interval_longer_than_width_raises(self, ray_session):
+        import ray.data
+
+        from aushape_ray.functions.joins import interval_count_join
+
+        iv = pa.table({"id": pa.array([1], pa.int64()),
+                       "lo": pa.array([0], pa.int64()),
+                       "hi": pa.array([25], pa.int64())})
+        pt = pa.table({"v": pa.array([1], pa.int64())})
+        with pytest.raises(Exception, match="exceeds bucket width"):
+            interval_count_join(ray.data.from_arrow(iv),
+                                ray.data.from_arrow(pt), width=10,
+                                id_col="id", out_col="n").take_all()
 
     def test_matches_bruteforce_random(self, ray_session):
         import numpy as np
