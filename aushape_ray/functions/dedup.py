@@ -69,19 +69,33 @@ def exact_dedup_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg  # dict
 
 
-def exact_dedup_keep_first(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Keep min(doc_id) per content hash (hash-partition + per-group first)."""
+def exact_dedup_keep_first(ds: "ray.data.Dataset",
+                           n_parts: int = 64) -> "ray.data.Dataset":
+    """Keep min(doc_id) per content hash.  Hash-partitions on a COARSE
+    key (content hash % n_parts) and reduces each partition with one
+    vectorized pandas groupby-min — one interpreter call per partition
+    instead of one per distinct document."""
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def add_part(t: pa.Table) -> pa.Table:
+        import zlib
 
-        i = pc.index(group.column("doc_id"),
-                     pc.min(group.column("doc_id")).as_py()).as_py()
-        return group.take([i]).select(["doc_id", "content_hash"])
+        part = np.fromiter(
+            (zlib.crc32(h.encode()) % n_parts
+             for h in t.column("content_hash").to_pylist()),
+            dtype=np.int32, count=t.num_rows)
+        return t.select(["doc_id", "content_hash"]).append_column(
+            "part", pa.array(part, pa.int32()))
 
-    keep_first.__name__ = "keep_first"
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+    def keep_first_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min"))
+        return out[["doc_id", "content_hash"]]
+
+    keep_first_partition.__name__ = "keep_first_partition"
+    return hashed.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        keep_first_partition, batch_format="pandas")
 
 
 # ---------------- MinHash + LSH ------------------------------------------
@@ -221,20 +235,85 @@ def candidate_pairs(group: pa.Table) -> pa.Table:
                      "doc_b": pa.array(b, pa.int64())})
 
 
-def minhash_candidates(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """documents -> candidate near-dup pairs (doc_a < doc_b), deduplicated."""
+def _pairs_in_partition(g: pa.Table) -> pa.Table:
+    """Vectorized candidate emission for ALL band buckets co-located in
+    one coarse partition: sort by (band, band_hash, doc_id), find bucket
+    segments with numpy, and emit all-pairs (capped, star fallback) only
+    for segments of size >= 2.  One Python call per PARTITION, not per
+    bucket — per-group map_groups would cost one interpreter call per
+    band bucket (O(corpus) calls)."""
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+    band = g.column("band").to_numpy(zero_copy_only=False)
+    bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bh, band))
+    d, b, h = doc[order], band[order], bh[order]
+    n = len(d)
+    new_seg = np.ones(n, dtype=bool)
+    if n > 1:
+        new_seg[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+    seg_starts = np.nonzero(new_seg)[0]
+    seg_ends = np.append(seg_starts[1:], n)
+    sizes = seg_ends - seg_starts
+    out_a, out_b = [], []
+    for s, e in zip(seg_starts[sizes >= 2], seg_ends[sizes >= 2]):
+        ids = d[s:e]  # ascending (doc_id is the minor sort key)
+        m = e - s
+        if m > MAX_BUCKET_PAIRS_N:
+            out_a.append(np.full(m - 1, ids[0], dtype=np.int64))
+            out_b.append(ids[1:].astype(np.int64))
+        else:
+            iu = np.triu_indices(m, k=1)
+            out_a.append(ids[iu[0]].astype(np.int64))
+            out_b.append(ids[iu[1]].astype(np.int64))
+    a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+    bb = np.concatenate(out_b) if out_b else np.array([], np.int64)
+    return pa.table({"doc_a": pa.array(a, pa.int64()),
+                     "doc_b": pa.array(bb, pa.int64())})
+
+
+def minhash_candidates(ds: "ray.data.Dataset",
+                       n_parts: int = 64) -> "ray.data.Dataset":
+    """documents -> candidate near-dup pairs (doc_a < doc_b), deduplicated.
+
+    Both groupbys use a COARSE partition key (hash of the bucket / pair
+    identity modulo n_parts) so the per-group work is vectorized inside
+    ~n_parts tasks: equal band buckets still co-locate (their rows share
+    the coarse key) and equal pairs still dedup, but the interpreter-call
+    count is O(n_parts), not O(buckets) — the difference between seconds
+    and hours at corpus scale."""
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    candidate_pairs.__name__ = "candidate_pairs"
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        candidate_pairs, batch_format="pyarrow")
 
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.take([0])
+    def add_bucket_part(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_mix64(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
 
-    dedup_pairs.__name__ = "dedup_pairs"
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pyarrow")
+    _pairs_in_partition.__name__ = "pairs_in_partition"
+    pairs = bands.map_batches(add_bucket_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        _pairs_in_partition, batch_format="pyarrow")
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+                % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def dedup_partition(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(keep[:, 0], pa.int64()),
+                         "doc_b": pa.array(keep[:, 1], pa.int64())})
+
+    dedup_partition.__name__ = "dedup_partition"
+    return pairs.map_batches(add_pair_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        dedup_partition, batch_format="pyarrow")
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:
@@ -294,7 +373,8 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     # initial labels: min(self, min neighbour)
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+    labels = edges.groupby("src", num_partitions=n_buckets).aggregate(
+        Min("dst", alias_name="nbr_min"))
     labels = labels.map_batches(
         lambda t: pa.table({
             "node": t.column("src"),
@@ -324,7 +404,7 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
             lambda t: pa.table({"node": t.column("dst"),
                                 "label": t.column("label")}),
             batch_format="pyarrow")
-        labels = offered.groupby("node").aggregate(
+        labels = offered.groupby("node", num_partitions=n_buckets).aggregate(
             Min("label", alias_name="label")).materialize()
         s = _label_sum(labels)
         if s == prev_sum:

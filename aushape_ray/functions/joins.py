@@ -102,8 +102,10 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     join_bucket.__name__ = "join_bucket"
     both = lt.union(rt)
-    return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pyarrow")
+    # partition count = bucket count: the sort exchange otherwise plans
+    # its default ~200 reduce tasks even for a 16-bucket join
+    return both.groupby("__bucket", num_partitions=n_buckets).map_groups(
+        join_bucket, batch_format="pyarrow")
 
 
 def interval_count_join(intervals: "ray.data.Dataset",

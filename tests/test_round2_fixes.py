@@ -1,0 +1,106 @@
+"""Regression tests for the round-2 advisor fixes: stale-manifest totals,
+hash_join null keys + dtype preservation, HLL null handling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestManifestOrphans:
+    def test_stale_manifests_excluded_from_totals(self, ray_session, tmp_path):
+        import shutil
+
+        from aushape_ray.config import PipelineConfig
+        from aushape_ray.fixtures import ensure_transcripts
+        from aushape_ray.state.manifest import run_resumable
+
+        src = ensure_transcripts("/root/testdata/sf0.001")
+        in_dir = tmp_path / "in"
+        out_dir = str(tmp_path / "out")
+        shutil.copytree(src, in_dir)
+        cfg = PipelineConfig(num_parts=4)
+        first = run_resumable(str(in_dir), out_dir, cfg)
+        assert first["processed"] > 0
+
+        # drop one input shard: its manifest is now stale
+        import glob
+        import os
+
+        victim = sorted(glob.glob(str(in_dir / "*.parquet")))[0]
+        os.remove(victim)
+        second = run_resumable(str(in_dir), out_dir, cfg)
+        assert second["processed"] == 0
+        assert second["skipped"] == first["processed"] - 1
+        # totals shrink: the orphaned shard's counts are excluded
+        assert sum(second["sink_counts"].values()) < \
+            sum(first["sink_counts"].values())
+        assert len(second["orphaned_shards"]) == 1
+
+
+class TestHashJoinFixes:
+    def test_null_key_raises(self, ray_session):
+        import ray.data
+
+        from aushape_ray.functions.joins import hash_join
+
+        left = pa.table({"k": pa.array([1, None], pa.int64()),
+                         "a": pa.array([1, 2], pa.int64())})
+        right = pa.table({"k2": pa.array([1], pa.int64()),
+                          "b": pa.array([9], pa.int64())})
+        with pytest.raises(Exception, match="null"):
+            hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                      "k", "k2").take_all()
+
+    def test_left_join_preserves_int64_and_big_values(self, ray_session):
+        import ray.data
+
+        from aushape_ray.functions.joins import hash_join
+
+        big = (1 << 60) + 7  # would corrupt through a float64 roundtrip
+        left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                         "a": pa.array([big, big + 1, big + 2], pa.int64())})
+        right = pa.table({"k2": pa.array([1, 3], pa.int64()),
+                          "b": pa.array([big + 10, big + 30], pa.int64())})
+        out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                        "k", "k2", how="left")
+        t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
+        assert t.schema.field("a").type == pa.int64()
+        assert t.schema.field("b").type == pa.int64()
+        rows = {r["k"]: r for r in t.to_pylist()}
+        assert rows[1]["a"] == big and rows[1]["b"] == big + 10
+        assert rows[2]["b"] is None and rows[2]["k2"] is None
+        assert rows[3]["b"] == big + 30
+
+
+def test_hll_ignores_nulls():
+    from aushape_ray.functions.sketches import HyperLogLog
+
+    a = HyperLogLog()
+    a.add_many(["x", "y", None, None])
+    b = HyperLogLog()
+    b.add_many(["x", "y"])
+    assert (a.registers == b.registers).all()
+
+    empty = HyperLogLog()
+    empty.add_many([None, None])
+    assert empty.estimate() == 0 or (empty.registers == 0).all()
+
+
+def test_mktsegment_inner_join_drops_unmatched(ray_session, tmp_path):
+    """An order whose customer is missing must NOT appear (inner-join
+    parity with the oracle)."""
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_mktsegment_orders
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B"], pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 99], pa.int64()),  # 99: no customer
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_mktsegment_orders(str(tmp_path)).take_all()
+    got = {r["c_mktsegment"]: (r["n_orders"], r["total_cents"]) for r in out}
+    assert got == {"A": (2, 3000), "B": (1, 3000)}
