@@ -52,28 +52,39 @@ def tumbling_counts(ds: "ray.data.Dataset", width_s: int = 3600) -> "ray.data.Da
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800) -> "ray.data.Dataset":
+def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800,
+               n_parts: int = 64) -> "ray.data.Dataset":
     """user_id -> n_sessions, n_events: a new session starts when the gap
-    to the previous event of that user exceeds gap_s."""
+    to the previous event of that user exceeds gap_s.
+
+    Partitions on hash(user_id) % n_parts and processes ALL of a
+    partition's users in one vectorized pandas pass (sort + shift) —
+    per-user map_groups would cost one interpreter call per user, which
+    is O(users) at corpus scale."""
 
     def to_us(batch: pa.Table) -> pa.Table:
         # explicit Arrow cast to epoch-us BEFORE any pandas conversion:
         # pandas may coerce timestamp[us] to ns depending on version, which
         # would silently scale the gap threshold by 1000
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.table({
             "user_id": batch.column("user_id"),
             "ts_us": batch.column("ts").cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts_us"].to_numpy(np.int64))
-        gaps = np.diff(ts) > gap_s * 1_000_000
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(gaps.sum()) + 1],
-            "n_events": [len(ts)],
-        })
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us"], ignore_index=True)
+        same = df["user_id"].eq(df["user_id"].shift())
+        brk = same & (df["ts_us"].diff() > gap_s * 1_000_000)
+        out = (df.assign(brk=brk)
+               .groupby("user_id", sort=False, as_index=False)
+               .agg(n_sessions=("brk", "sum"), n_events=("brk", "size")))
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        return out
 
-    per_user.__name__ = "per_user"
+    per_partition.__name__ = "sessionize_partition"
     return ds.map_batches(to_us, batch_format="pyarrow").groupby(
-        "user_id").map_groups(per_user, batch_format="pandas")
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")

@@ -661,31 +661,40 @@ def q_hll_distinct_users(sf_dir: str):
 
 def q_events_asof_prev_error(sf_dir: str):
     """As-of join shape (ray_guide): for each event, the most recent PRIOR
-    'error'-type event timestamp of the same user — per-user sort + ffill
-    inside map_groups (pd.merge_asof equivalent on one table)."""
+    'error'-type event timestamp of the same user (pd.merge_asof
+    equivalent on one table).  Partitioned on hash(user_id) % P; each
+    task handles ALL its users in one vectorized pass (sort + per-user
+    cython groupby shift/ffill) — no per-user interpreter calls."""
+    N_PARTS = 64
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts",
                                         "event_type"])
 
     def to_us(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.table({
             "event_id": batch.column("event_id").cast(pa.int64()),
             "user_id": batch.column("user_id").cast(pa.int64()),
             "ts_us": batch.column("ts").cast(pa.int64()),
             "is_err": pc.equal(batch.column("event_type"), "error"),
+            "part": pa.array((h % np.uint64(N_PARTS)).astype(np.int32)),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], ignore_index=True)
-        prev = g["ts_us"].where(g["is_err"]).shift(1).ffill()
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+        err_ts = g["ts_us"].where(g["is_err"])
+        by_user = err_ts.groupby(g["user_id"], sort=False)
+        prev = by_user.shift(1).groupby(g["user_id"], sort=False).ffill()
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "prev_error_ts_us": prev.astype("float64"),
         })
 
-    per_user.__name__ = "per_user"
+    per_partition.__name__ = "asof_partition"
     out = ds.map_batches(to_us, batch_format="pyarrow").groupby(
-        "user_id").map_groups(per_user, batch_format="pandas")
+        "part", num_partitions=N_PARTS).map_groups(
+        per_partition, batch_format="pandas")
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
