@@ -362,6 +362,63 @@ def doc_size(doc: dict) -> int:
     return len(json.dumps(doc, ensure_ascii=False, separators=(",", ":")).encode())
 
 
+def dump_trim_tree(doc: dict, fmt=None) -> str:
+    """T4 analogue — debug dump of the trim-priority structure
+    (/root/reference/lib/gbtree.c:694-829 renders
+    {"type":"tree","nodes":[...],"prios":[...]}; the reference prints it
+    fully unfolded with nest_indent=4, gbtree.c:793-797).
+
+    Nodes are this engine's trim units with their serialized byte
+    lengths; prios lists node indices by DROP priority, mirroring
+    trim_doc's order exactly: prio 0 = non-removable envelope + single
+    records, then repeated-record items (dropped third), text lines
+    (dropped second), norm (dropped first) — trim removes from the
+    highest priority down, like aushape_gbtree_trim voids trailing
+    priority levels (gbtree.c:555-606)."""
+    import json as _json
+
+    from .foldout import FOLD_NONE, FoldFormat, render_json
+
+    def blen(v) -> int:
+        return len(_json.dumps(v, ensure_ascii=False,
+                               separators=(",", ":")).encode())
+
+    nodes: list[dict] = []
+    prios: list[list[int]] = [[], [], [], [], []]
+
+    def add(kind: str, path: str, length: int, prio: int) -> None:
+        prios[prio].append(len(nodes))
+        nodes.append({"index": len(nodes), "kind": kind, "path": path,
+                      "len": length})
+
+    env = {k: doc[k] for k in ("serial", "time", "node", "error")
+           if k in doc and doc.get(k) is not None}
+    add("envelope", "", blen(env), 0)
+    data = doc.get("data")
+    if isinstance(data, dict):
+        for k in sorted(data):
+            v = data[k]
+            if isinstance(v, list):
+                for i, item in enumerate(v):
+                    add("item", f"data/{k}/{i}", blen(item), 1)
+            else:
+                add("record", f"data/{k}", blen(v), 0)
+    for i, line in enumerate(doc.get("text") or []):
+        add("text", f"text/{i}", blen(line), 2)
+    if "norm" in doc:
+        add("norm", "norm", blen(doc["norm"]), 3)
+
+    tree = {
+        "type": "tree",
+        "nodes": nodes,
+        "prios": [{"prio": p, "nodes": idxs, "len":
+                   sum(nodes[i]["len"] for i in idxs)}
+                  for p, idxs in enumerate(prios) if idxs],
+    }
+    fmt = fmt or FoldFormat(fold_level=FOLD_NONE, nest_indent=4)
+    return render_json(tree, fmt)
+
+
 def trim_doc(doc: dict, max_size: int | None) -> dict:
     """Deterministic trim-to-size (priority semantics of lib/gbtree.c:555-606).
 

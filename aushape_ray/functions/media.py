@@ -73,6 +73,68 @@ class FakeDecoder:
         return out
 
 
+class Resizer:
+    """Actor-pool resize stage (images): clamps the decoded dimensions to
+    fit a target box preserving aspect ratio and emits a deterministic
+    fake thumbnail payload (sha256-derived, fixed 32 bytes).  STUB: a
+    real deployment swaps `_resize` for PIL/opencv — the schema, actor
+    signature, and shallow-batch mechanics are the real contract."""
+
+    def __init__(self, max_side: int = 128) -> None:
+        self.max_side = max_side
+
+    def _resize(self, w: int, h: int, payload: bytes) -> tuple[int, int, bytes]:
+        scale = min(1.0, self.max_side / max(w, h, 1))
+        thumb = hashlib.sha256(b"thumb" + payload).digest()
+        # dimensionless kinds (audio: 0x0) pass through untouched
+        ow = max(1, int(w * scale)) if w else 0
+        oh = max(1, int(h * scale)) if h else 0
+        return ow, oh, thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_pylist()
+        h = batch.column("height").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = [self._resize(a, b, p) for a, b, p in zip(w, h, payloads)]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "out_width": pa.array([o[0] for o in out], pa.int32()),
+            "out_height": pa.array([o[1] for o in out], pa.int32()),
+            "thumbnail": pa.array([o[2] for o in out], pa.binary()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video/audio): one input row fans
+    out to <= max_frames rows, one per sampled frame at a fixed stride —
+    the row-expansion plumbing a real video pipeline needs (small input
+    batches: output rows multiply by the sample count).  STUB frame
+    bytes (sha256 of payload+index); a real deployment decodes here."""
+
+    def __init__(self, stride: int = 10, max_frames: int = 8) -> None:
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch.column("media_id").to_pylist(), batch.column("kind").to_pylist()
+        frames = batch.column("frames").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_id, o_idx, o_bytes = [], [], []
+        for mid, kind, n, p in zip(ids, kinds, frames, payloads):
+            if kind != "video":
+                continue
+            for fi in range(0, n, self.stride)[: self.max_frames] if isinstance(n, int) else []:
+                o_id.append(mid)
+                o_idx.append(fi)
+                o_bytes.append(hashlib.sha256(p + fi.to_bytes(4, "little")).digest())
+        return pa.table({
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int32()),
+            "frame": pa.array(o_bytes, pa.binary()),
+        })
+
+
 def media_features(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """documents -> synth media -> decoded features.  Small batch_size:
     payload bytes dominate memory, so batches stay shallow."""
@@ -80,3 +142,20 @@ def media_features(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                              batch_size=256)
     return media.map_batches(FakeDecoder, batch_format="pyarrow",
                              batch_size=256, concurrency=(1, 4))
+
+
+def media_frames(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """documents -> media -> decode (keeping payload) -> frame-sample:
+    the full multimodal stage chain; output is one row per sampled
+    frame of each video payload."""
+    media = docs.map_batches(synthesize_media, batch_format="pyarrow",
+                             batch_size=256)
+
+    def decode_keep_payload(batch: pa.Table) -> pa.Table:
+        dec = FakeDecoder()(batch)
+        return dec.append_column("payload", batch.column("payload"))
+
+    decoded = media.map_batches(decode_keep_payload, batch_format="pyarrow",
+                                batch_size=256)
+    return decoded.map_batches(FrameSampler, batch_format="pyarrow",
+                               batch_size=64, concurrency=(1, 4))

@@ -1487,6 +1487,28 @@ def q_media_features(sf_dir: str):
     return media_features(docs)
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame-sampling chain (decode -> sample): one row per sampled
+    frame (rows-only: payloads are deterministic stubs).  Raw frame bytes
+    stay inside the pipeline; the query boundary projects a hex prefix
+    (driver harnesses utf-8-decode string columns, so no raw binary out)."""
+    from ..functions.media import media_frames
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        frames = b.column("frame").to_pylist()
+        return pa.table({
+            "media_id": b.column("media_id"),
+            "frame_idx": b.column("frame_idx"),
+            "n_frame_bytes": pa.array([len(f) for f in frames], pa.int64()),
+            "frame_hex8": pa.array([f[:8].hex() for f in frames], pa.string()),
+        })
+
+    return media_frames(docs).map_batches(proj, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1543,6 +1565,7 @@ def build_registry():
         "lsh_buckets": q_lsh_buckets,
         "ann_ivf_recall": q_ann_ivf_recall,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
     oracle = {
         "t_sink_counts": sql_t_sink_counts(t01),

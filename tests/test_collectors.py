@@ -190,3 +190,36 @@ class TestTrim:
             assert "text" in out["trimmed"]
         orig = self.base_doc()
         assert out.get("text", []) == orig["text"][: len(out.get("text", []))]
+
+
+class TestDumpTrimTree:
+    def test_dump_shape_and_prios(self):
+        import json
+
+        from aushape_ray.collectors import doc_size, dump_trim_tree
+
+        doc = {"serial": "c1", "time": "T", "node": "h",
+               "text": ["line one", "line two"],
+               "data": {"syscall": {"exit": ["0"]},
+                        "path": [{"name": ["/a"]}, {"name": ["/b"]}]},
+               "norm": {"subject": "u", "action": "a", "result": "success"}}
+        out = dump_trim_tree(doc)
+        assert "\n" in out  # reference prints fully unfolded
+        tree = json.loads(out)
+        assert tree["type"] == "tree"
+        kinds = [n["kind"] for n in tree["nodes"]]
+        assert kinds.count("item") == 2      # path items
+        assert kinds.count("text") == 2
+        assert kinds.count("norm") == 1
+        assert kinds.count("record") == 1    # syscall single record
+        assert kinds.count("envelope") == 1
+        # prios ordered; drop order = highest prio first (norm last prio)
+        prios = tree["prios"]
+        assert [p["prio"] for p in prios] == sorted(p["prio"] for p in prios)
+        norm_idx = kinds.index("norm")
+        assert norm_idx in prios[-1]["nodes"]
+        # every node appears in exactly one priority level
+        all_idx = sorted(i for p in prios for i in p["nodes"])
+        assert all_idx == list(range(len(tree["nodes"])))
+        # lengths are positive and bounded by the full doc size
+        assert all(0 < n["len"] <= doc_size(doc) for n in tree["nodes"])

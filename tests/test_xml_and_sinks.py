@@ -122,3 +122,54 @@ def test_media_decoder_disabled_kind_raises():
         dec(media)
     ok = FakeDecoder()(media)
     assert ok.column("width").to_pylist()[0] >= 64
+
+
+def test_media_resize_and_frame_sampling(ray_session):
+    """Resize clamps to the target box preserving aspect; frame sampler
+    fans out one row per sampled frame of video payloads only, at the
+    stride, capped; all outputs deterministic."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.media import (
+        FakeDecoder,
+        FrameSampler,
+        Resizer,
+        media_frames,
+        synthesize_media,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([f"payload {i} " * 10 for i in range(6)], pa.string()),
+    })
+    media = synthesize_media(docs)
+    decoded = FakeDecoder()(media)
+    resized = Resizer(max_side=100)(decoded.append_column(
+        "payload", media.column("payload")))
+    for w, h, ow, oh in zip(decoded.column("width").to_pylist(),
+                            decoded.column("height").to_pylist(),
+                            resized.column("out_width").to_pylist(),
+                            resized.column("out_height").to_pylist()):
+        assert max(ow, oh) <= 100
+        if max(w, h) <= 100:
+            assert (ow, oh) == (w, h)  # no upscale
+        else:  # aspect preserved within rounding
+            assert abs(ow / oh - w / h) < 0.1
+    assert all(len(t) == 32 for t in resized.column("thumbnail").to_pylist())
+
+    sampler = FrameSampler(stride=10, max_frames=8)
+    frames = sampler(decoded.append_column("payload", media.column("payload")))
+    vids = {m: f for m, f, k in zip(decoded.column("media_id").to_pylist(),
+                                    decoded.column("frames").to_pylist(),
+                                    decoded.column("kind").to_pylist())
+            if k == "video"}
+    expect = sum(min(8, (f + 9) // 10) for f in vids.values())
+    assert frames.num_rows == expect
+    assert set(frames.column("media_id").to_pylist()) == set(vids)
+    assert all(i % 10 == 0 for i in frames.column("frame_idx").to_pylist())
+
+    # end-to-end chain over a Dataset
+    out = media_frames(ray.data.from_arrow(docs))
+    assert out.count() == expect
