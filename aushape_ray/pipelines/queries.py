@@ -1317,6 +1317,138 @@ def q_doc_dup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic corpus sampling (train/dev splits, debug slices):
+    keep ~10% by an integer hash of doc_id — pure per-batch filter, no
+    RNG state, identical on any executor and in SQL."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    K, M, T = 2654435761, 1 << 32, 429496729  # Knuth multiplier; 10%
+
+    def pick(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d * K) % M < T
+        return pa.table({"doc_id": pa.array(d[keep], pa.int64())})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sql_doc_sample() -> str:
+    return """
+SELECT doc_id::BIGINT AS doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 429496729"""
+
+
+def q_doc_top_tokens(sf_dir: str):
+    """Vocabulary building: global top-30 tokens by occurrence count —
+    per-batch Counter partials, tiny (token, n) shuffle, deterministic
+    (n desc, token) tie-break."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    import re
+
+    rx = re.compile(r"[a-z]+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for t in b.column("text").to_pylist():
+            c.update(rx.findall(t or ""))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("n", alias_name="n"))
+    return counts.map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "n": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow").sort(
+        ["n", "token"], descending=[True, False]).limit(30)
+
+
+def sql_doc_top_tokens() -> str:
+    return """
+SELECT tok AS token, count(*)::BIGINT AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, '[a-z]+')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 30"""
+
+
+def q_doc_idf(sf_dir: str):
+    """Document frequency per token (the IDF numerator a filtering /
+    weighting pipeline needs): per-batch per-doc DISTINCT tokens ->
+    (token, df) partials -> groupby sum."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    import re
+
+    rx = re.compile(r"[a-z]+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter()
+        for t in b.column("text").to_pylist():
+            c.update(set(rx.findall(t or "")))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("df", alias_name="df"))
+    return out.map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "df": t.column("df").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_doc_idf() -> str:
+    return """
+SELECT tok AS token, count(*)::BIGINT AS df
+FROM (SELECT doc_id,
+             UNNEST(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS tok
+      FROM documents)
+GROUP BY tok"""
+
+
+CONTAMINATION_NEEDLES = ("customer query", "hash value", "window table table",
+                         "benchmark suite answer key")
+
+
+def q_doc_contamination(sf_dir: str):
+    """Decontamination scan: docs containing any needle substring from a
+    broadcast benchmark set (the pre-training hygiene operator).  The
+    needle list is tiny and compiled per actor; output = contaminated
+    docs with their hit count."""
+
+    class Scan:
+        def __init__(self) -> None:
+            self.needles = CONTAMINATION_NEEDLES
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_pylist()
+            hits = [sum(1 for nd in self.needles if nd in (t or ""))
+                    for t in b.column("text").to_pylist()]
+            keep = [(i, h) for i, h in zip(ids, hits) if h]
+            return pa.table({
+                "doc_id": pa.array([i for i, _ in keep], pa.int64()),
+                "n_hits": pa.array([h for _, h in keep], pa.int64()),
+            })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def sql_doc_contamination() -> str:
+    terms = " + ".join(
+        f"CASE WHEN contains(text, '{n}') THEN 1 ELSE 0 END"
+        for n in CONTAMINATION_NEEDLES)
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, ({terms})::BIGINT AS n_hits
+FROM documents
+WHERE {terms} >= 1"""
+
+
 def q_doc_dedup_near(sf_dir: str):
     """End-to-end near-duplicate corpus dedup: MinHash-LSH candidates ->
     Jaccard verify -> connected components -> keep the minimum doc_id of
@@ -1560,6 +1692,10 @@ def build_registry():
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_near": q_doc_dedup_near,
+        "doc_sample": q_doc_sample,
+        "doc_top_tokens": q_doc_top_tokens,
+        "doc_idf": q_doc_idf,
+        "doc_contamination": q_doc_contamination,
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,
@@ -1603,5 +1739,9 @@ def build_registry():
         "doc_minhash_pairs": sql_doc_minhash_pairs(),
         "doc_dup_clusters": sql_doc_dup_clusters(),
         "doc_dedup_near": sql_doc_dedup_near(),
+        "doc_sample": sql_doc_sample(),
+        "doc_top_tokens": sql_doc_top_tokens(),
+        "doc_idf": sql_doc_idf(),
+        "doc_contamination": sql_doc_contamination(),
     }
     return queries, oracle
