@@ -1449,6 +1449,186 @@ FROM documents
 WHERE {terms} >= 1"""
 
 
+def q_events_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: k=100 events PER event_type by
+    integer-hash order (the per-class training-split primitive).
+    Distributed reservoir shape: each batch keeps at most k rows per
+    stratum (partial top-k on the hash), the per-type groupby merges
+    partials and takes the global k — the shuffle carries at most
+    k * n_batches rows per stratum, never the corpus."""
+    K, M = 2654435761, 1 << 32
+    TOP = 100
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_id": b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            "event_type": b.column("event_type").to_pylist(),
+        })
+        df["h"] = (df["event_id"] * K) % M
+        df = df.sort_values(["h", "event_id"]).groupby(
+            "event_type", sort=False).head(TOP)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"]).head(TOP)
+        return g[["event_type", "event_id"]]
+
+    merge.__name__ = "stratum_merge"
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").map_groups(merge, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "event_id": t.column("event_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_events_sample_stratified() -> str:
+    return """
+SELECT event_type, event_id::BIGINT AS event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+  FROM events)
+WHERE rn <= 100"""
+
+
+def q_events_window_anomaly(sf_dir: str):
+    """Windowed anomaly flags: hourly tumbling counts per event_type,
+    flag windows whose count exceeds mean + 2 * stddev_pop of that
+    type's hourly counts.  Composition: tumbling partial-aggregate ->
+    per-type moment partials (n, sum, sum of squares) -> tiny broadcast
+    of per-type thresholds back into a distributed filter.  Exact
+    integer/1e-9-free compare: flag iff (c - mean)^2 > 4 * var with
+    c > mean, all in integer-scaled arithmetic via the moments."""
+    from ..functions.windows import tumbling_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    wins = tumbling_counts(ds, width_s=3600).map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "window_start": t.column("window_start"),
+            "n": t.column("n").cast(pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    def moments(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": b.column("event_type").to_pylist(),
+                           "n": np.asarray(b.column("n"), np.int64)})
+        g = df.groupby("event_type", as_index=False).agg(
+            cnt=("n", "size"), s=("n", "sum"),
+            ss=("n", lambda x: int((x.astype(object) ** 2).sum())))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = wins.map_batches(moments, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("cnt", alias_name="cnt"),
+                                Sum("s", alias_name="s"),
+                                Sum("ss", alias_name="ss")).take_all()
+    # per-type thresholds: tiny (one row per event_type) — broadcast
+    thr = {r["event_type"]: (int(r["cnt"]), int(r["s"]), int(r["ss"]))
+           for r in stats}
+
+    def flag(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        ns = np.asarray(b.column("n"), np.int64)
+        keep = []
+        for i, (t, c) in enumerate(zip(types, ns)):
+            cnt, s, ss = thr[t]
+            # c > mean + 2*sigma  <=>  (c*cnt - s) > 0 and
+            # (c*cnt - s)^2 > 4 * (cnt*ss - s^2)  since cnt^2*var =
+            # cnt*ss - s^2   (exact integer arithmetic)
+            d = int(c) * cnt - s
+            if d > 0 and d * d > 4 * (cnt * ss - s * s):
+                keep.append(i)
+        sub = b.take(pa.array(keep, pa.int32()))
+        return pa.table({
+            "event_type": sub.column("event_type"),
+            "window_start": sub.column("window_start"),
+            "n": sub.column("n").cast(pa.int64()),
+        })
+
+    return wins.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_events_window_anomaly() -> str:
+    return """
+WITH w AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS cnt, sum(n)::BIGINT AS s,
+         sum(n * n)::BIGINT AS ss
+  FROM w GROUP BY event_type)
+SELECT w.event_type, w.window_start, w.n
+FROM w JOIN m USING (event_type)
+WHERE (w.n * m.cnt - m.s) > 0
+  AND (w.n * m.cnt - m.s) * (w.n * m.cnt - m.s)
+      > 4 * (m.cnt * m.ss - m.s * m.s)"""
+
+
+def q_doc_curation(sf_dir: str):
+    """End-to-end C4-style corpus curation: keep documents that pass
+    quality >= 70 AND lang == 'en' AND no benchmark contamination AND
+    are the keep-first representative of their exact-content group —
+    the composed filtering chain a pre-training pipeline runs, each leg
+    reusing the already-tested operator."""
+    from ..functions.dedup import exact_dedup_keep_first
+    from ..functions.joins import hash_join
+    from ..functions.textops import LangId, quality_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    quality = docs.map_batches(quality_score, batch_format="pyarrow")
+    lang = docs.map_batches(LangId, batch_format="pyarrow",
+                            concurrency=(1, 4))
+    q_ok = quality.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pc.greater_equal(t.column("quality"), 70)).column("doc_id")}),
+        batch_format="pyarrow")
+    l_ok = lang.map_batches(
+        lambda t: pa.table({"lid": t.filter(
+            pc.equal(t.column("lang_pred"), "en")).column("doc_id")}),
+        batch_format="pyarrow")
+    keep = exact_dedup_keep_first(docs).map_batches(
+        lambda t: pa.table({"kid": t.column("doc_id")}),
+        batch_format="pyarrow")
+    contaminated = q_doc_contamination(sf_dir).map_batches(
+        lambda t: pa.table({"cid": t.column("doc_id")}),
+        batch_format="pyarrow")
+
+    j = hash_join(q_ok, l_ok, "doc_id", "lid")            # quality AND lang
+    j = hash_join(j.map_batches(lambda t: t.select(["doc_id"]),
+                                batch_format="pyarrow"),
+                  keep, "doc_id", "kid")                   # AND dedup rep
+    j = hash_join(j.map_batches(lambda t: t.select(["doc_id"]),
+                                batch_format="pyarrow"),
+                  contaminated, "doc_id", "cid", how="left")  # ANTI contam
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("cid"))).select(["doc_id"]),
+        batch_format="pyarrow")
+
+
+def sql_doc_curation() -> str:
+    terms = " + ".join(
+        f"CASE WHEN contains(text, '{n}') THEN 1 ELSE 0 END"
+        for n in CONTAMINATION_NEEDLES)
+    return f"""
+WITH q AS ({sql_doc_quality().strip()}),
+l AS ({sql_doc_lang_id().strip()}),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+c AS (SELECT doc_id FROM documents WHERE {terms} >= 1)
+SELECT d.doc_id::BIGINT AS doc_id
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id AND q.quality >= 70
+JOIN l ON l.doc_id = d.doc_id AND l.lang_pred = 'en'
+JOIN k ON k.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM c)"""
+
+
 def q_doc_dedup_near(sf_dir: str):
     """End-to-end near-duplicate corpus dedup: MinHash-LSH candidates ->
     Jaccard verify -> connected components -> keep the minimum doc_id of
@@ -1696,6 +1876,9 @@ def build_registry():
         "doc_top_tokens": q_doc_top_tokens,
         "doc_idf": q_doc_idf,
         "doc_contamination": q_doc_contamination,
+        "doc_curation": q_doc_curation,
+        "events_sample_stratified": q_events_sample_stratified,
+        "events_window_anomaly": q_events_window_anomaly,
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,
@@ -1743,5 +1926,8 @@ def build_registry():
         "doc_top_tokens": sql_doc_top_tokens(),
         "doc_idf": sql_doc_idf(),
         "doc_contamination": sql_doc_contamination(),
+        "doc_curation": sql_doc_curation(),
+        "events_sample_stratified": sql_events_sample_stratified(),
+        "events_window_anomaly": sql_events_window_anomaly(),
     }
     return queries, oracle
