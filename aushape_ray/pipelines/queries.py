@@ -397,6 +397,162 @@ WHERE conv_id NOT IN (SELECT conv_id FROM err_convs)
 GROUP BY conv_id"""
 
 
+def q_t_kind_bigrams(sf_dir: str):
+    """Record-kind transition counts (Markov bigrams over each
+    conversation's ordered turn stream — the log-sequence analysis op).
+    Coarse-partitioned on hash(conv_id): each task sorts its
+    conversations once and counts transitions vectorized (turn_idx is
+    gapless per conversation, so a shift-compare finds exactly the
+    consecutive pairs); global groupby sums the partials."""
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        import zlib
+
+        conv = b.column("conv_id").to_pylist()
+        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
+                           dtype=np.int32, count=len(conv))
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "kind": b.column("kind"),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        same = g["conv_id"].eq(g["conv_id"].shift())
+        consec = same & g["turn_idx"].eq(g["turn_idx"].shift() + 1)
+        df = pd.DataFrame({"from_kind": g["kind"].shift(),
+                           "to_kind": g["kind"]})[consec.to_numpy()]
+        out = df.groupby(["from_kind", "to_kind"], as_index=False).size()
+        out.columns = ["from_kind", "to_kind", "n"]
+        return out
+
+    bigrams.__name__ = "bigrams_partition"
+    parts = ds.map_batches(project, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        bigrams, batch_format="pandas")
+    out = parts.groupby(["from_kind", "to_kind"]).aggregate(
+        Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda t: pa.table({"from_kind": t.column("from_kind"),
+                            "to_kind": t.column("to_kind"),
+                            "n": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_t_kind_bigrams(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)}
+SELECT a.kind AS from_kind, b.kind AS to_kind, count(*)::BIGINT AS n
+FROM turns a JOIN turns b
+  ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY 1, 2"""
+
+
+def q_t_field_histogram(sf_dir: str):
+    """Global field-key histogram over every parsed token in the corpus
+    (dynamic-schema observability; also a corpus-wide parser parity
+    check against the SQL tokenizer).  Per-batch Counter over the
+    flattened tok_keys lists; only (key, n) partials shuffle."""
+    ds = read_transcripts(sf_dir).map_batches(
+        parse_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import collections
+
+        keys = b.column("tok_keys").combine_chunks()
+        flat = keys.flatten().to_pylist() if b.num_rows else []
+        c = collections.Counter(flat)
+        return pa.table({"key": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "key").aggregate(Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda t: pa.table({"key": t.column("key"),
+                            "n": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_t_field_histogram(path: str) -> str:
+    return f"""
+SELECT key, count(*)::BIGINT AS n
+FROM (
+  SELECT regexp_extract(u.tok, '^([A-Za-z_][A-Za-z0-9_\\[\\]]*)=', 1) AS key
+  FROM read_parquet('{path}') t,
+       UNNEST(regexp_extract_all(t.text, '{TOKEN_REGEX_SQL}')) AS u(tok))
+WHERE key NOT IN ('node', 'type')
+GROUP BY key"""
+
+
+def q_events_funnel(sf_dir: str):
+    """Conversion funnel: users with a click, and users with a purchase
+    within 1 hour AFTER a click.  Per-user-partition vectorized (same
+    cython groupby ffill shape as the as-of join); only two counters
+    leave each partition."""
+    N_PARTS = 64
+    WINDOW_US = 3_600_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_type": b.column("event_type"),
+            "part": pa.array((h % np.uint64(N_PARTS)).astype(np.int32)),
+        })
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        # event_type as the tie-break: 'click' < 'purchase', so an
+        # equal-timestamp click is visible to the purchase (matching the
+        # oracle's c.ts <= e.ts)
+        g = g.sort_values(["user_id", "ts_us", "event_type"],
+                          ignore_index=True)
+        is_click = g["event_type"].eq("click")
+        prev_click = g["ts_us"].where(is_click).groupby(
+            g["user_id"], sort=False).ffill()
+        conv = (g["event_type"].eq("purchase")
+                & (g["ts_us"] - prev_click <= WINDOW_US)
+                & prev_click.notna())
+        click_users = g.loc[is_click, "user_id"].nunique()
+        conv_users = g.loc[conv.to_numpy(), "user_id"].nunique()
+        return pd.DataFrame({"n_click_users": [int(click_users)],
+                             "n_converted_users": [int(conv_users)]})
+
+    funnel.__name__ = "funnel_partition"
+    parts = ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        funnel, batch_format="pandas")
+    agg = parts.aggregate(
+        Sum("n_click_users", alias_name="n_click_users"),
+        Sum("n_converted_users", alias_name="n_converted_users"))
+    return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in agg.items()})
+
+
+def sql_events_funnel() -> str:
+    return """
+SELECT count(DISTINCT user_id) FILTER (event_type = 'click')::BIGINT
+           AS n_click_users,
+       count(DISTINCT CASE WHEN converted THEN user_id END)::BIGINT
+           AS n_converted_users
+FROM (
+  SELECT user_id, event_type,
+         event_type = 'purchase'
+         AND EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts <= e.ts
+             AND epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000) AS converted
+  FROM events e)"""
+
+
 def q_q1_pricing(sf_dir: str):
     """TPC-H Q1-flavoured pricing summary; money in integer cents."""
     ds = ray.data.read_parquet(
@@ -1857,6 +2013,9 @@ def build_registry():
         "events_sliding": q_events_sliding,
         "events_asof_prev_error": q_events_asof_prev_error,
         "events_range_join": q_events_range_join,
+        "events_funnel": q_events_funnel,
+        "t_kind_bigrams": q_t_kind_bigrams,
+        "t_field_histogram": q_t_field_histogram,
         "hll_distinct_users": q_hll_distinct_users,
         "doc_dedup_exact": q_doc_dedup_exact,
         "customers_no_orders": q_customers_no_orders,
@@ -1910,6 +2069,9 @@ def build_registry():
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),
         "events_range_join": sql_events_range_join(),
+        "events_funnel": sql_events_funnel(),
+        "t_kind_bigrams": sql_t_kind_bigrams(t01),
+        "t_field_histogram": sql_t_field_histogram(t01),
         "doc_dedup_exact": sql_doc_dedup_exact(),
         "customers_no_orders": sql_customers_no_orders(),
         "events_quantiles": sql_events_quantiles(),
