@@ -166,6 +166,90 @@ def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
         "pk").map_groups(pair_block, batch_format="pandas")
 
 
+def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, iters: int = 10,
+               tol: float = 1e-6):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Iterative-broadcast shape: centroids (k x d floats — tiny) are
+    ray.put once per round; each batch assigns its vectors with one
+    matmul and emits per-cluster PARTIALS (count, vector sum, squared
+    error), so the per-round exchange is k rows per batch regardless of
+    corpus size.  New centroids are reduced with a k-row groupby and the
+    loop stops when the max centroid shift drops below tol.
+
+    Deterministic init: the k lowest vec_ids.  Returns (centroids
+    ndarray, sizes ndarray, inertia float, n_rounds).
+    """
+    import pyarrow.compute as pc
+
+    first = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), k)),
+        batch_format="pyarrow").take_all()
+    first.sort(key=lambda r: r["vec_id"])
+    centroids = np.stack([np.asarray(r["embedding"], np.float64)
+                          for r in first])
+    if len(centroids) < k:
+        raise ValueError(f"need vec_ids 0..{k-1} for deterministic init")
+
+    dim = centroids.shape[1]
+    n_rounds = 0
+    for _ in range(iters):
+        n_rounds += 1
+        ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)  # (k, d)
+            mat = np.stack(batch.column("embedding").to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            # squared L2 via the expansion: argmin over centroids
+            d2 = (mat * mat).sum(1)[:, None] - 2 * mat @ c.T + (c * c).sum(1)[None, :]
+            assign = d2.argmin(axis=1)
+            err = d2[np.arange(len(mat)), assign]
+            rows = {"cluster": [], "n": [], "sse": [], "vsum": []}
+            for ci in np.unique(assign):
+                sel = assign == ci
+                rows["cluster"].append(int(ci))
+                rows["n"].append(int(sel.sum()))
+                rows["sse"].append(float(err[sel].sum()))
+                rows["vsum"].append(mat[sel].sum(axis=0).tolist())
+            return pa.table({
+                "cluster": pa.array(rows["cluster"], pa.int32()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sse": pa.array(rows["sse"], pa.float64()),
+                "vsum": pa.array(rows["vsum"], pa.list_(pa.float64(), dim)),
+            })
+
+        from ray.data.aggregate import Sum
+
+        def merge(g: "pa.Table") -> "pa.Table":
+            vs = np.stack(g.column("vsum").to_numpy(zero_copy_only=False)).sum(axis=0)
+            return pa.table({
+                "cluster": g.column("cluster").slice(0, 1),
+                "n": pa.array([int(np.asarray(g.column("n")).sum())], pa.int64()),
+                "sse": pa.array([float(np.asarray(g.column("sse")).sum())], pa.float64()),
+                "vsum": pa.array([vs.tolist()], pa.list_(pa.float64(), dim)),
+            })
+
+        merge.__name__ = "kmeans_merge"
+        reduced = ds.map_batches(partials, batch_format="pyarrow").groupby(
+            "cluster", num_partitions=min(k, 8)).map_groups(
+            merge, batch_format="pyarrow").take_all()  # k tiny rows
+
+        new_centroids = centroids.copy()
+        sizes = np.zeros(k, np.int64)
+        inertia = 0.0
+        for r in reduced:
+            ci = r["cluster"]
+            sizes[ci] = r["n"]
+            inertia += r["sse"]
+            new_centroids[ci] = np.asarray(r["vsum"], np.float64) / max(r["n"], 1)
+        shift = float(np.abs(new_centroids - centroids).max())
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, sizes, inertia, n_rounds
+
+
 class IvfIndexer:
     """LSH/IVF-bucketed scale path: assign each vector to its nearest of C
     random-projection buckets; near-neighbor probes then touch only

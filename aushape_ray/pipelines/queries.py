@@ -1938,6 +1938,24 @@ def q_ann_ivf_recall(sf_dir: str):
     })
 
 
+def q_emb_kmeans(sf_dir: str):
+    """Distributed k-means over the embeddings (rows-only: float
+    reduction order varies run to run, so cluster sizes/inertia are
+    approximate-deterministic; k rows with inertia reported in-band)."""
+    from ..functions.ann import kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    centroids, sizes, inertia, rounds = kmeans_fit(ds, k=8, iters=12)
+    return pa.table({
+        "cluster": pa.array(range(len(sizes)), pa.int64()),
+        "size": pa.array(sizes, pa.int64()),
+        "inertia_total_e3": pa.array(
+            [int(inertia * 1000)] * len(sizes), pa.int64()),
+        "rounds": pa.array([rounds] * len(sizes), pa.int64()),
+    })
+
+
 def q_lsh_buckets(sf_dir: str):
     from ..functions.ann import lsh_bucket_stats
 
@@ -2041,6 +2059,7 @@ def build_registry():
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,
+        "emb_kmeans": q_emb_kmeans,
         "ann_ivf_recall": q_ann_ivf_recall,
         "media_features": q_media_features,
         "media_frames": q_media_frames,

@@ -171,3 +171,35 @@ class TestKllSketch:
 
         with pytest.raises(ValueError):
             KllSketch().quantile(0.5)
+
+
+def test_kmeans_recovers_separated_blobs(ray_session):
+    """Distributed Lloyd's iterations must recover well-separated blobs
+    exactly (sizes and near-zero within-blob inertia)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.ann import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    vecs, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(40):
+            vecs.append(c + rng.normal(0, 0.05, 3))
+            ids.append(ci + 3 * j)  # vec_ids 0,1,2 = one seed per blob
+    order = np.argsort(ids)
+    t = pa.table({
+        "vec_id": pa.array(np.asarray(ids)[order], pa.int64()),
+        "embedding": pa.array([vecs[i].tolist() for i in order],
+                              pa.list_(pa.float64(), 3)),
+    })
+    cents, sizes, inertia, rounds = kmeans_fit(
+        ray.data.from_arrow(t), k=3, iters=10)
+    assert sorted(sizes.tolist()) == [40, 40, 40]
+    assert inertia < 40 * 3 * 3 * 0.05 ** 2 * 10  # tight within-blob error
+    # each fitted centroid is near one true center
+    for c in centers:
+        assert np.min(np.linalg.norm(cents - c, axis=1)) < 0.2
