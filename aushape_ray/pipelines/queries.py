@@ -489,6 +489,86 @@ WHERE key NOT IN ('node', 'type')
 GROUP BY key"""
 
 
+def q_events_hot_users(sf_dir: str):
+    """Skew diagnostics: the 10 hottest keys by row count (the pre-pass
+    that feeds salted-key handling — same sweep as
+    events_pipeline._find_hot_convs, exposed as an operator).  Partial
+    value_counts per batch; only (key, n) partials shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column("user_id").combine_chunks().value_counts()
+        return pa.table({
+            "user_id": vc.field("values").cast(pa.int64()),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Sum("n", alias_name="n"))
+    return counts.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id").cast(pa.int64()),
+                            "n": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow").sort(
+        ["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def sql_events_hot_users() -> str:
+    return """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 10"""
+
+
+def q_events_latest_by_user(sf_dir: str):
+    """Compaction / upsert-resolution: the single latest event per user
+    (max ts, event_id tie-break) — the CDC keep-latest primitive.
+    Per-batch partial argmax per user, then a coarse-partition reduce;
+    at most one row per (user, batch) ever shuffles."""
+    N_PARTS = 64
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_id": b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            "user_id": b.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "ts_us": b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        })
+        df = df.sort_values(["user_id", "ts_us", "event_id"]).groupby(
+            "user_id", sort=False, as_index=False).last()
+        h = (df["user_id"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        df["part"] = (h % np.uint64(N_PARTS)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"]).groupby(
+            "user_id", sort=False, as_index=False).last()
+        return g[["user_id", "event_id", "ts_us"]]
+
+    reduce_part.__name__ = "latest_reduce"
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        reduce_part, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts": t.column("ts_us").cast(pa.int64()).cast(pa.timestamp("us")),
+        }), batch_format="pyarrow")
+
+
+def sql_events_latest_by_user() -> str:
+    return """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts
+FROM (SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1"""
+
+
 def q_events_funnel(sf_dir: str):
     """Conversion funnel: users with a click, and users with a purchase
     within 1 hour AFTER a click.  Per-user-partition vectorized (same
@@ -2032,6 +2112,8 @@ def build_registry():
         "events_asof_prev_error": q_events_asof_prev_error,
         "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
+        "events_hot_users": q_events_hot_users,
+        "events_latest_by_user": q_events_latest_by_user,
         "t_kind_bigrams": q_t_kind_bigrams,
         "t_field_histogram": q_t_field_histogram,
         "hll_distinct_users": q_hll_distinct_users,
@@ -2089,6 +2171,8 @@ def build_registry():
         "events_asof_prev_error": sql_events_asof_prev_error(),
         "events_range_join": sql_events_range_join(),
         "events_funnel": sql_events_funnel(),
+        "events_hot_users": sql_events_hot_users(),
+        "events_latest_by_user": sql_events_latest_by_user(),
         "t_kind_bigrams": sql_t_kind_bigrams(t01),
         "t_field_histogram": sql_t_field_histogram(t01),
         "doc_dedup_exact": sql_doc_dedup_exact(),
