@@ -113,11 +113,9 @@ def render_xml_node(node, fmt: FoldFormat = COMPACT, level: int = 0) -> str:
     if not children:
         return opn + cls
     parts = [opn]
-    first = True
     for ch in children:
         parts.append(fmt.opening(level + 1))
         parts.append(render_xml_node(ch, fmt, level + 1))
-        first = False
     parts.append(fmt.closing(level))
     parts.append(cls)
     return "".join(parts)

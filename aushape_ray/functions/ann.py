@@ -142,17 +142,28 @@ def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
     import pandas as pd
 
     def pair_block(g: "pd.DataFrame") -> "pd.DataFrame":
+        # diagonal-ness must come from the GROUP KEY, not the side
+        # composition: an off-diagonal group whose partner block is
+        # globally empty contains only side-0 rows and must emit nothing
+        # (treating it as diagonal would re-emit block p's pairs once
+        # per empty partner)
+        pk = int(g["pk"].iloc[0])
+        diagonal = (pk // B) == (pk % B)
         side = g["side"].to_numpy()
         ids = g["vec_id"].to_numpy(np.int64)
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        mat = _normalize(mat)
-        a = side == 0
-        if not (~a).any():  # diagonal block pair (p == q)
+        empty = pd.DataFrame({"vec_a": np.array([], np.int64),
+                              "vec_b": np.array([], np.int64)})
+        if diagonal:
+            mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
             sims = mat @ mat.T
             r, c = np.nonzero(sims >= threshold)
             keep = ids[r] < ids[c]  # upper triangle once, no self-pairs
             va, vb = ids[r][keep], ids[c][keep]
         else:
+            a = side == 0
+            if not a.any() or a.all():
+                return empty  # one side of the block pair is empty
+            mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
             ia, ib = ids[a], ids[~a]
             sims = mat[a] @ mat[~a].T
             r, c = np.nonzero(sims >= threshold)
@@ -182,6 +193,11 @@ def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, iters: int = 10,
     """
     import pyarrow.compute as pc
 
+    # pin the input once: the loop re-reads it every round, and without
+    # this each Lloyd iteration would re-execute the whole upstream
+    # pipeline (parquet read included) — same reason cluster_pairs
+    # materializes its edges
+    ds = ds.materialize()
     first = ds.map_batches(
         lambda t: t.filter(pc.less(t.column("vec_id"), k)),
         batch_format="pyarrow").take_all()

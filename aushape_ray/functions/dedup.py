@@ -235,44 +235,55 @@ def candidate_pairs(group: pa.Table) -> pa.Table:
                      "doc_b": pa.array(b, pa.int64())})
 
 
-def _pairs_in_partition(g: pa.Table) -> pa.Table:
+def _make_pairs_in_partition(cap: "int | None"):
     """Vectorized candidate emission for ALL band buckets co-located in
     one coarse partition: sort by (band, band_hash, doc_id), find bucket
-    segments with numpy, and emit all-pairs (capped, star fallback) only
-    for segments of size >= 2.  One Python call per PARTITION, not per
-    bucket — per-group map_groups would cost one interpreter call per
-    band bucket (O(corpus) calls)."""
-    doc = g.column("doc_id").to_numpy(zero_copy_only=False)
-    band = g.column("band").to_numpy(zero_copy_only=False)
-    bh = g.column("band_hash").to_numpy(zero_copy_only=False)
-    order = np.lexsort((doc, bh, band))
-    d, b, h = doc[order], band[order], bh[order]
-    n = len(d)
-    new_seg = np.ones(n, dtype=bool)
-    if n > 1:
-        new_seg[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
-    seg_starts = np.nonzero(new_seg)[0]
-    seg_ends = np.append(seg_starts[1:], n)
-    sizes = seg_ends - seg_starts
-    out_a, out_b = [], []
-    for s, e in zip(seg_starts[sizes >= 2], seg_ends[sizes >= 2]):
-        ids = d[s:e]  # ascending (doc_id is the minor sort key)
-        m = e - s
-        if m > MAX_BUCKET_PAIRS_N:
-            out_a.append(np.full(m - 1, ids[0], dtype=np.int64))
-            out_b.append(ids[1:].astype(np.int64))
-        else:
-            iu = np.triu_indices(m, k=1)
-            out_a.append(ids[iu[0]].astype(np.int64))
-            out_b.append(ids[iu[1]].astype(np.int64))
-    a = np.concatenate(out_a) if out_a else np.array([], np.int64)
-    bb = np.concatenate(out_b) if out_b else np.array([], np.int64)
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(bb, pa.int64())})
+    segments with numpy, and emit pairs only for segments of size >= 2.
+    One Python call per PARTITION, not per bucket — per-group map_groups
+    would cost one interpreter call per band bucket (O(corpus) calls).
+
+    cap=None emits ALL pairs of every bucket (exact — required when the
+    pair list itself is the product, e.g. the oracle-checked
+    doc_minhash_pairs); cap=N emits a linear star from the minimum
+    doc_id for buckets larger than N (bounded work; preserves the
+    connectivity downstream clustering needs, but drops non-star pairs
+    of degenerate buckets)."""
+
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        d, b, h = doc[order], band[order], bh[order]
+        n = len(d)
+        new_seg = np.ones(n, dtype=bool)
+        if n > 1:
+            new_seg[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        seg_starts = np.nonzero(new_seg)[0]
+        seg_ends = np.append(seg_starts[1:], n)
+        sizes = seg_ends - seg_starts
+        out_a, out_b = [], []
+        for s, e in zip(seg_starts[sizes >= 2], seg_ends[sizes >= 2]):
+            ids = d[s:e]  # ascending (doc_id is the minor sort key)
+            m = e - s
+            if cap is not None and m > cap:
+                out_a.append(np.full(m - 1, ids[0], dtype=np.int64))
+                out_b.append(ids[1:].astype(np.int64))
+            else:
+                iu = np.triu_indices(m, k=1)
+                out_a.append(ids[iu[0]].astype(np.int64))
+                out_b.append(ids[iu[1]].astype(np.int64))
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        bb = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(bb, pa.int64())})
+
+    pairs_in_partition.__name__ = "pairs_in_partition"
+    return pairs_in_partition
 
 
-def minhash_candidates(ds: "ray.data.Dataset",
-                       n_parts: int = 64) -> "ray.data.Dataset":
+def minhash_candidates(ds: "ray.data.Dataset", n_parts: int = 64,
+                       cap: "int | None" = None) -> "ray.data.Dataset":
     """documents -> candidate near-dup pairs (doc_a < doc_b), deduplicated.
 
     Both groupbys use a COARSE partition key (hash of the bucket / pair
@@ -280,7 +291,12 @@ def minhash_candidates(ds: "ray.data.Dataset",
     ~n_parts tasks: equal band buckets still co-locate (their rows share
     the coarse key) and equal pairs still dedup, but the interpreter-call
     count is O(n_parts), not O(buckets) — the difference between seconds
-    and hours at corpus scale."""
+    and hours at corpus scale.
+
+    cap: None (default) = exact all-pairs per bucket; set
+    MAX_BUCKET_PAIRS_N at corpus scale when the pairs only feed
+    clustering/dedup (star fallback bounds degenerate buckets while
+    preserving connectivity — see _make_pairs_in_partition)."""
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
@@ -291,10 +307,9 @@ def minhash_candidates(ds: "ray.data.Dataset",
                 % np.uint64(n_parts)).astype(np.int32)
         return t.append_column("part", pa.array(part, pa.int32()))
 
-    _pairs_in_partition.__name__ = "pairs_in_partition"
     pairs = bands.map_batches(add_bucket_part, batch_format="pyarrow").groupby(
         "part", num_partitions=n_parts).map_groups(
-        _pairs_in_partition, batch_format="pyarrow")
+        _make_pairs_in_partition(cap), batch_format="pyarrow")
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -22,6 +22,14 @@ import pyarrow as pa
 import ray.data
 
 
+def hash_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    """Shared splitmix-style partition hash for integer keys: the ONE
+    place the mix lives, so every coarse-partition stage (sessionize,
+    as-of, funnel, keep-latest, ...) buckets identically."""
+    h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(n_parts)).astype(np.int32)
+
+
 def _tag(batch: pa.Table, key: str, side: int, n_buckets: int,
          pad: list[tuple[str, pa.DataType]]) -> pa.Table:
     col = batch.column(key)
@@ -79,8 +87,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     rt = rt.map_batches(align, batch_format="pyarrow")
 
     # output schema: left columns then right-only columns, ORIGINAL arrow
-    # types — the null-padded union turns int64 into float64 in pandas, so
-    # the merge result is cast back (NaN from non-inner joins becomes null)
+    # types — values are gathered from the Arrow sides by row index (see
+    # join_bucket), so types survive exactly; unmatched rows become nulls
     type_of = {n: t for n, t in zip(r_schema.names, r_schema.types)}
     type_of.update({n: t for n, t in zip(l_schema.names, l_schema.types)})
     out_names = l_cols + [c for c in r_cols if c not in l_cols]
@@ -89,16 +97,32 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     def join_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # split sides while still Arrow: converting the UNIONED table to
-        # pandas would turn every int64 column float64 (padding nulls on
-        # the other side's rows) and silently lose >2^53 precision
+        # NO value column ever passes through pandas: the merge runs on
+        # (key, row-index) frames only, and the output rows are gathered
+        # from the original Arrow tables with take() — float64 upcasts
+        # (null padding, or pandas' own upcast of a non-inner merge's
+        # unmatched rows) can therefore never round a >2^53 int
         side = group.column("__side")
-        a = group.filter(pc.equal(side, 0)).select(l_cols).to_pandas()
-        b = group.filter(pc.equal(side, 1)).select(r_cols).to_pandas()
-        m = a.merge(b, left_on=left_key, right_on=right_key, how=how)
-        return pa.Table.from_arrays(
-            [pa.Array.from_pandas(m[n], type=type_of[n]) for n in out_names],
-            schema=out_schema)
+        a = group.filter(pc.equal(side, 0)).select(l_cols)
+        b = group.filter(pc.equal(side, 1)).select(r_cols)
+        ak = pd.DataFrame({
+            "k": a.column(left_key).to_numpy(zero_copy_only=False),
+            "__ia": np.arange(a.num_rows, dtype=np.int64)})
+        bk = pd.DataFrame({
+            "k": b.column(right_key).to_numpy(zero_copy_only=False),
+            "__ib": np.arange(b.num_rows, dtype=np.int64)})
+        m = ak.merge(bk, on="k", how=how)
+        # unmatched side indices are NaN; as nullable Int64 they become
+        # null take-indices, which Arrow take() turns into null rows
+        ia = pa.array(m["__ia"].astype("Int64"), from_pandas=True)
+        ib = pa.array(m["__ib"].astype("Int64"), from_pandas=True)
+        at = a.take(ia)
+        bt = b.take(ib)
+        cols = {n: at.column(n) for n in l_cols}
+        for n in r_cols:
+            if n not in cols:
+                cols[n] = bt.column(n)
+        return pa.table({n: cols[n] for n in out_names}).cast(out_schema)
 
     join_bucket.__name__ = "join_bucket"
     both = lt.union(rt)
@@ -163,23 +187,28 @@ def interval_count_join(intervals: "ray.data.Dataset",
     pt = points.map_batches(tag_points, batch_format="pyarrow")
     iv = intervals.map_batches(tag_intervals, batch_format="pyarrow")
 
-    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["__side"].to_numpy()
-        ivs = g[side == 0]
-        if not len(ivs):
-            return pd.DataFrame({id_col: np.array([], np.int64),
-                                 out_col: np.array([], np.int64)})
+    def count_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # stay Arrow: a pandas conversion of the null-padded union would
+        # upcast id/lo/hi/v to float64 and round values above 2^53
+        side = g.column("__side")
+        ivs = g.filter(pc.equal(side, 0))
+        if not ivs.num_rows:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
         # this bucket's + next bucket's points, each exactly once
-        pts = np.sort(g.loc[side == 1, "v"].to_numpy(np.int64))
-        lo = ivs["lo"].to_numpy(np.int64)
-        hi = ivs["hi"].to_numpy(np.int64)
+        pts = np.sort(g.filter(pc.equal(side, 1)).column("v")
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        lo = ivs.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = ivs.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
         cnt = np.searchsorted(pts, hi) - np.searchsorted(pts, lo)
-        return pd.DataFrame({id_col: ivs[id_col].to_numpy(np.int64),
-                             out_col: cnt.astype(np.int64)})
+        return pa.table({id_col: ivs.column(id_col).cast(pa.int64()),
+                         out_col: pa.array(cnt.astype(np.int64), pa.int64())})
 
     count_bucket.__name__ = "count_bucket"
     out = iv.union(pt).groupby("__tbucket").map_groups(
-        count_bucket, batch_format="pandas")
+        count_bucket, batch_format="pyarrow")
 
     def cast(b: pa.Table) -> pa.Table:
         return pa.table({id_col: b.column(id_col).cast(pa.int64()),

@@ -139,9 +139,13 @@ def _poly_hashes(data: np.ndarray, window: int) -> np.ndarray:
     acc = np.zeros(n_out, dtype=np.uint64)
     # byte-pair packing: b[2k]*B^(w-1-2k) + b[2k+1]*B^(w-2-2k)
     #   = B^(w-2-2k) * (b[2k]*257 + b[2k+1]);  the packed value v < 2^17,
-    # so coeff_hi(29b)*v < 2^46 and coeff_lo(32b)*v < 2^49 both fit, and
-    # window//2 (+1 tail) terms of < 2^61.01 sum safely in ONE accumulator
-    for k in range(0, window - 1, 2):
+    # so coeff_hi(29b)*v < 2^46 and coeff_lo(32b)*v < 2^49 both fit.
+    # Each pair adds < 2^61.01 to the accumulator, so it must be FOLDED
+    # back below 2^61 every 6 pairs — without that, window > ~14 would
+    # silently wrap uint64 (each fold is two shifts, mod-M preserving)
+    for pair_i, k in enumerate(range(0, window - 1, 2)):
+        if pair_i and pair_i % 6 == 0:
+            acc = (acc >> sh61) + (acc & M)
         c = pow(_FP_B, window - 2 - k, _FP_M)
         v = data64[k:k + n_out] * np.uint64(257) + data64[k + 1:k + 1 + n_out]
         y = np.uint64(c >> 32) * v

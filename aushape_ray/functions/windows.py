@@ -66,12 +66,13 @@ def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800,
         # explicit Arrow cast to epoch-us BEFORE any pandas conversion:
         # pandas may coerce timestamp[us] to ns depending on version, which
         # would silently scale the gap threshold by 1000
+        from .joins import hash_part
+
         uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.table({
             "user_id": batch.column("user_id"),
             "ts_us": batch.column("ts").cast(pa.int64()),
-            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            "part": pa.array(hash_part(uid, n_parts)),
         })
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:

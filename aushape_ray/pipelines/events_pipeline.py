@@ -349,6 +349,10 @@ class JsonlSinkWriter:
             with open(tmp, "w", encoding="utf-8") as f:
                 docs = sub.column(self.column).to_pylist()
                 if folded:
+                    # the folded document is ONE syslog message: the PRI
+                    # frame (when configured) prefixes it like any other
+                    if self.pri is not None:
+                        f.write(f"<{self.pri}>")
                     f.write(self._folded(docs))
                     f.write("\n")
                 else:

@@ -535,11 +535,11 @@ def q_events_latest_by_user(sf_dir: str):
             "user_id": b.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False),
             "ts_us": b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
         })
+        from ..functions.joins import hash_part
+
         df = df.sort_values(["user_id", "ts_us", "event_id"]).groupby(
             "user_id", sort=False, as_index=False).last()
-        h = (df["user_id"].to_numpy().astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        df["part"] = (h % np.uint64(N_PARTS)).astype(np.int32)
+        df["part"] = hash_part(df["user_id"].to_numpy(), N_PARTS)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -580,13 +580,14 @@ def q_events_funnel(sf_dir: str):
                                columns=["user_id", "ts", "event_type"])
 
     def to_us(b: pa.Table) -> pa.Table:
+        from ..functions.joins import hash_part
+
         uid = b.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.table({
             "user_id": b.column("user_id").cast(pa.int64()),
             "ts_us": b.column("ts").cast(pa.int64()),
             "event_type": b.column("event_type"),
-            "part": pa.array((h % np.uint64(N_PARTS)).astype(np.int32)),
+            "part": pa.array(hash_part(uid, N_PARTS)),
         })
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
@@ -907,14 +908,15 @@ def q_events_asof_prev_error(sf_dir: str):
                                         "event_type"])
 
     def to_us(batch: pa.Table) -> pa.Table:
+        from ..functions.joins import hash_part
+
         uid = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.table({
             "event_id": batch.column("event_id").cast(pa.int64()),
             "user_id": batch.column("user_id").cast(pa.int64()),
             "ts_us": batch.column("ts").cast(pa.int64()),
             "is_err": pc.equal(batch.column("event_type"), "error"),
-            "part": pa.array((h % np.uint64(N_PARTS)).astype(np.int32)),
+            "part": pa.array(hash_part(uid, N_PARTS)),
         })
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:

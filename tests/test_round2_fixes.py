@@ -61,8 +61,11 @@ class TestHashJoinFixes:
                          "a": pa.array([big, big + 1, big + 2], pa.int64())})
         right = pa.table({"k2": pa.array([1, 3], pa.int64()),
                           "b": pa.array([big + 10, big + 30], pa.int64())})
+        # n_buckets=1 forces matched AND unmatched rows into ONE bucket:
+        # a pandas-level merge would upcast the right columns to float64
+        # there and silently round big back to 2^60
         out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
-                        "k", "k2", how="left")
+                        "k", "k2", how="left", n_buckets=1)
         t = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow")])
         assert t.schema.field("a").type == pa.int64()
         assert t.schema.field("b").type == pa.int64()
@@ -104,3 +107,26 @@ def test_mktsegment_inner_join_drops_unmatched(ray_session, tmp_path):
     out = q_mktsegment_orders(str(tmp_path)).take_all()
     got = {r["c_mktsegment"]: (r["n_orders"], r["total_cents"]) for r in out}
     assert got == {"A": (2, 3000), "B": (1, 3000)}
+
+
+def test_all_pairs_cosine_with_empty_blocks(ray_session):
+    """Vectors that all hash to ONE block must not produce duplicate
+    pairs from the off-diagonal groups whose partner blocks are empty."""
+    import numpy as np
+
+    import ray.data
+
+    from aushape_ray.functions.ann import _mix_ids, all_pairs_cosine
+
+    # find ids that share a block at n_blocks=4
+    ids = [i for i in range(200)
+           if int(_mix_ids(np.array([i], np.int64))[0] % 4) == 0][:3]
+    assert len(ids) == 3
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float64(), 2)),
+    })
+    out = all_pairs_cosine(ray.data.from_arrow(t), 0.9, n_blocks=4).take_all()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in out]
+    assert sorted(pairs) == sorted(set(pairs))  # no duplicates
+    assert len(pairs) == 3  # C(3,2) identical vectors

@@ -234,3 +234,31 @@ class TestIntervalCountJoin:
         want = {i: int(np.searchsorted(sv, hi[i]) - np.searchsorted(sv, lo[i]))
                 for i in range(n_iv)}
         assert got == want
+
+
+def test_pairs_partition_exact_vs_star_modes():
+    from aushape_ray.functions.dedup import _make_pairs_in_partition
+
+    n = 600
+    g = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "band": pa.array([0] * n, pa.int32()),
+                  "band_hash": pa.array([7] * n, pa.int64())})
+    exact = _make_pairs_in_partition(None)(g)
+    assert exact.num_rows == n * (n - 1) // 2
+    star = _make_pairs_in_partition(512)(g)
+    assert star.num_rows == n - 1
+    assert set(star.column("doc_a").to_pylist()) == {0}
+
+
+def test_fingerprint_large_window_matches_scalar():
+    """window > 14 exercises the periodic accumulator fold (uint64 would
+    wrap without it)."""
+    from aushape_ray.functions.textops import fingerprint
+
+    texts = ["\xff" * 200, "high bytes \xf0\xee\xdd " * 30, "x" * 64]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    for w in (16, 32, 33):
+        got = fingerprint(batch, window=w).column("fingerprint").to_pylist()
+        want = [scalar_fingerprint(t, window=w) for t in texts]
+        assert got == want, f"window={w}"
