@@ -353,8 +353,39 @@ def _label_sum(labels: "ray.data.Dataset") -> int:
     return sum(int(r["s"]) for r in parts)
 
 
+def _unionfind_block(batch: pa.Table) -> pa.Table:
+    """Single-task connected components: classic union-find with path
+    halving over one edge block.  Runs in a REMOTE task (never the
+    driver) — the small-graph fast path of cluster_pairs."""
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
+    })
+
+
 def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
-                  n_buckets: int = 16) -> "ray.data.Dataset":
+                  n_buckets: int = 16,
+                  small_threshold: int = 1_000_000) -> "ray.data.Dataset":
     """Near-duplicate clusters from verified pairs: DISTRIBUTED connected
     components via min-label propagation.  Each round is
 
@@ -387,6 +418,13 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
         })
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # small-graph fast path: below the threshold the whole edge set goes
+    # through ONE remote union-find task (identical min-label output) —
+    # 4+ shuffle rounds of fixed overhead buy nothing for a graph that
+    # fits a single task; the iterative exchange below is the scale path
+    if edges.count() <= small_threshold:
+        return edges.repartition(1).map_batches(
+            _unionfind_block, batch_format="pyarrow", batch_size=None)
     # initial labels: min(self, min neighbour)
     labels = edges.groupby("src", num_partitions=n_buckets).aggregate(
         Min("dst", alias_name="nbr_min"))

@@ -52,9 +52,13 @@ def test_cluster_pairs_connected_components(ray_session):
         "doc_a": pa.array([1, 2, 3, 10], pa.int64()),
         "doc_b": pa.array([2, 3, 4, 11], pa.int64()),
     })
-    out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
-    got = {r["doc_id"]: r["cluster_id"] for r in out}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # both the single-task union-find fast path and the iterative
+    # distributed propagation must produce the identical labeling
+    for thr in (1_000_000, 0):
+        out = cluster_pairs(ray.data.from_arrow(pairs),
+                            small_threshold=thr).take_all()
+        assert {r["doc_id"]: r["cluster_id"] for r in out} == want, thr
 
 
 def test_cluster_pairs_long_chain_converges(ray_session):
@@ -72,9 +76,11 @@ def test_cluster_pairs_long_chain_converges(ray_session):
         "doc_a": pa.array(list(range(n - 1)), pa.int64()),
         "doc_b": pa.array(list(range(1, n)), pa.int64()),
     })
-    out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
-    got = {r["doc_id"]: r["cluster_id"] for r in out}
-    assert got == {i: 0 for i in range(n)}
+    for thr in (1_000_000, 0):
+        out = cluster_pairs(ray.data.from_arrow(pairs),
+                            small_threshold=thr).take_all()
+        assert {r["doc_id"]: r["cluster_id"] for r in out} == \
+            {i: 0 for i in range(n)}, thr
 
 
 def test_cluster_pairs_10k_edges_distributed(ray_session):
@@ -112,7 +118,9 @@ def test_cluster_pairs_10k_edges_distributed(ray_session):
         for x in (a, b):
             truth[x] = find(x)
 
-    out = cluster_pairs(ray.data.from_arrow(pairs)).take_all()
+    # force the ITERATIVE distributed path (the point of this test)
+    out = cluster_pairs(ray.data.from_arrow(pairs),
+                        small_threshold=0).take_all()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == truth
 
