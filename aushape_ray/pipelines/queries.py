@@ -1820,17 +1820,24 @@ def q_doc_curation(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    quality = docs.map_batches(quality_score, batch_format="pyarrow")
-    lang = docs.map_batches(LangId, batch_format="pyarrow",
-                            concurrency=(1, 4))
-    q_ok = quality.map_batches(
-        lambda t: pa.table({"doc_id": t.filter(
-            pc.greater_equal(t.column("quality"), 70)).column("doc_id")}),
-        batch_format="pyarrow")
-    l_ok = lang.map_batches(
-        lambda t: pa.table({"lid": t.filter(
-            pc.equal(t.column("lang_pred"), "en")).column("doc_id")}),
-        batch_format="pyarrow")
+
+    class QualityAndLang:
+        """Per-row predicates fuse into ONE scan (quality + lang share
+        the batch); only the joins that genuinely need another dataset
+        (dedup representative, contamination) shuffle."""
+
+        def __init__(self) -> None:
+            self.lang = LangId()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = quality_score(t)
+            lg = self.lang(t)
+            ok = pc.and_(pc.greater_equal(q.column("quality"), 70),
+                         pc.equal(lg.column("lang_pred"), "en"))
+            return pa.table({"doc_id": t.filter(ok).column("doc_id")})
+
+    ql_ok = docs.map_batches(QualityAndLang, batch_format="pyarrow",
+                             concurrency=(1, 4))
     keep = exact_dedup_keep_first(docs).map_batches(
         lambda t: pa.table({"kid": t.column("doc_id")}),
         batch_format="pyarrow")
@@ -1838,10 +1845,7 @@ def q_doc_curation(sf_dir: str):
         lambda t: pa.table({"cid": t.column("doc_id")}),
         batch_format="pyarrow")
 
-    j = hash_join(q_ok, l_ok, "doc_id", "lid")            # quality AND lang
-    j = hash_join(j.map_batches(lambda t: t.select(["doc_id"]),
-                                batch_format="pyarrow"),
-                  keep, "doc_id", "kid")                   # AND dedup rep
+    j = hash_join(ql_ok, keep, "doc_id", "kid")               # AND dedup rep
     j = hash_join(j.map_batches(lambda t: t.select(["doc_id"]),
                                 batch_format="pyarrow"),
                   contaminated, "doc_id", "cid", how="left")  # ANTI contam

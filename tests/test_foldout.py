@@ -147,3 +147,28 @@ def test_folded_and_syslog_sinks(ray_session, tmp_path):
     f = glob.glob(str(tmp_path / "sys" / "*" / "part-*.jsonl"))[0]
     lines = open(f).read().splitlines()
     assert lines and all(ln.startswith("<86>{") for ln in lines)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+json_scalars = st.one_of(st.none(), st.booleans(),
+                         st.integers(-2**31, 2**31),
+                         st.text(max_size=20))
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4)),
+    max_leaves=20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(obj=json_values, fold=st.integers(0, 6), indent=st.integers(0, 6))
+def test_fold_render_roundtrips_and_compact_matches_dumps(obj, fold, indent):
+    """Any fold/indent rendering must parse back to the identical value,
+    and fold=0 must be byte-identical to compact json.dumps."""
+    out = render_json(obj, FoldFormat(fold_level=fold, nest_indent=indent))
+    assert json.loads(out) == obj
+    assert render_json(obj, COMPACT) == json.dumps(
+        obj, ensure_ascii=False, separators=(",", ":"))
