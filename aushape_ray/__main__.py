@@ -106,12 +106,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         if args.contiguous:
-            import glob
-
             from .pipelines.events_pipeline import events_from_shards
+            from .state.manifest import find_shards
 
-            files = sorted(glob.glob(f"{args.input_dir}/*.parquet"))
-            events = events_from_shards(files, cfg)
+            events = events_from_shards(find_shards(args.input_dir), cfg)
         else:
             # the Dataset snapshots DataContext at creation, so the shuffle
             # strategy must be selected BEFORE read_parquet (same ordering

@@ -30,6 +30,21 @@ import ray.data
 from ..config import PipelineConfig
 
 
+def find_shards(input_dir: str) -> list[str]:
+    """Input shard discovery: *.parquet directly in input_dir, falling
+    back to a recursive sweep (generators often nest shards one level
+    down).  Raises on an empty result — silently processing zero shards
+    would report empty sink counts as if the run succeeded."""
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        files = sorted(glob.glob(os.path.join(input_dir, "**", "*.parquet"),
+                                 recursive=True))
+    if not files:
+        raise FileNotFoundError(
+            f"no *.parquet shards under {input_dir!r} (searched recursively)")
+    return files
+
+
 def shard_key(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
@@ -135,7 +150,7 @@ def run_resumable(input_dir: str, out_dir: str,
     """Process all input shards, skipping ones already completed with a
     matching input fingerprint.  Returns {processed, skipped, sink_counts}.
     """
-    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    files = find_shards(input_dir)
     from ..pipelines.events_pipeline import check_shard_contiguity
 
     check_shard_contiguity(files)  # per-shard assembly needs the guarantee
