@@ -2024,6 +2024,89 @@ def q_ann_ivf_recall(sf_dir: str):
     })
 
 
+def q_ann_ivf_kmeans_recall(sf_dir: str):
+    """IVF with a LEARNED coarse quantizer: k-means centroids partition
+    the vectors, each query probes its 2 nearest cells, per-cell top-k
+    merges into the approximate answer; reports recall@10 vs exact brute
+    force (rows-only quality metric).  The trained-quantizer upgrade of
+    q_ann_ivf_recall's random hyperplanes."""
+    import ray as _ray
+
+    from ..functions.ann import brute_force_topk, kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qids = list(range(8))
+    exact = brute_force_topk(ds, query_ids=qids, k=10)
+    exact_sets: dict[int, set] = {}
+    for r in exact.to_pylist():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    centroids, _, _, _ = kmeans_fit(ds, k=16, iters=5)
+    cref = _ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        mat = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        d2 = ((mat * mat).sum(1)[:, None] - 2 * mat @ c.T
+              + (c * c).sum(1)[None, :])
+        return batch.append_column(
+            "cell", pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()))
+
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+    qarr = pa.array(qids, pa.int64())
+    q_rows = cells.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), qarr)),
+        batch_format="pyarrow").take_all()
+    q_vec = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+             for r in q_rows}
+    q_probe: dict[int, set] = {}
+    for r in q_rows:
+        v = q_vec[r["vec_id"]]
+        d2 = ((centroids - v) ** 2).sum(axis=1)
+        q_probe[r["vec_id"]] = set(np.argsort(d2)[:2].tolist())
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        qs = [q for q, probes in q_probe.items() if cell in probes]
+        if not qs:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "sim": []})
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = g["vec_id"].to_numpy(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for q in qs:
+            v = q_vec[q] / max(np.linalg.norm(q_vec[q]), 1e-12)
+            sims = mat @ v
+            order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+            for negs, i in order[:11]:
+                if i == q:
+                    continue
+                out_q.append(q)
+                out_n.append(int(i))
+                out_s.append(float(-negs))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "sim": out_s})
+
+    per_cell.__name__ = "per_cell"
+    approx = cells.groupby("cell", num_partitions=16).map_groups(
+        per_cell, batch_format="pandas").to_pandas()
+    hits = 0
+    for q in qids:
+        cand = approx[approx["query_id"] == q].sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]).head(10)
+        hits += len(set(cand["neighbor_id"].astype(int))
+                    & exact_sets.get(q, set()))
+    return pa.table({
+        "n_queries": pa.array([len(qids)], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+        "hits": pa.array([hits], pa.int64()),
+        "recall_pct": pa.array([hits * 100 // (10 * len(qids))], pa.int64()),
+    })
+
+
 def q_emb_kmeans(sf_dir: str):
     """Distributed k-means over the embeddings (rows-only: float
     reduction order varies run to run, so cluster sizes/inertia are
@@ -2148,6 +2231,7 @@ def build_registry():
         "emb_sim_pairs": q_emb_sim_pairs,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
+        "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
