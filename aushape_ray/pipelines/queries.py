@@ -1555,6 +1555,34 @@ def q_doc_dup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def q_doc_normalize(sf_dir: str):
+    """Text normalization (lowercase + whitespace collapse + trim — the
+    cleaning pass before tokenization/dedup), verified by md5 digest so
+    the oracle checks every byte of every normalized document."""
+    import hashlib as _hl
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def norm(b: pa.Table) -> pa.Table:
+        out = [_hl.md5(ws.sub(" ", (t or "").lower()).strip()
+                       .encode("utf-8")).hexdigest()
+               for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "norm_md5": pa.array(out, pa.string())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(norm, batch_format="pyarrow")
+
+
+def sql_doc_normalize() -> str:
+    return r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5
+FROM documents"""
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic corpus sampling (train/dev splits, debug slices):
     keep ~10% by an integer hash of doc_id — pure per-batch filter, no
@@ -2107,6 +2135,63 @@ def q_ann_ivf_kmeans_recall(sf_dir: str):
     })
 
 
+def q_emb_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embedding column (the 4x storage
+    shrink a 100 TB vector corpus wants): global per-dimension min/max
+    from distributed partials, then a broadcast-scale quantize pass;
+    reports reconstruction quality in-band (rows-only: float metrics).
+    Output: one row with mean |err| and mean cosine(original, dequant)
+    in integer basis points."""
+    import ray as _ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def minmax_partial(b: pa.Table) -> pa.Table:
+        mat = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        return pa.table({
+            "lo": pa.array([mat.min(axis=0).tolist()],
+                           pa.list_(pa.float64(), mat.shape[1])),
+            "hi": pa.array([mat.max(axis=0).tolist()],
+                           pa.list_(pa.float64(), mat.shape[1])),
+        })
+
+    parts = ds.map_batches(minmax_partial, batch_format="pyarrow").take_all()
+    lo = np.min([np.asarray(r["lo"]) for r in parts], axis=0)
+    hi = np.max([np.asarray(r["hi"]) for r in parts], axis=0)
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    ref = _ray.put({"lo": lo, "scale": scale})
+
+    def quant_metrics(b: pa.Table) -> pa.Table:
+        p = _ray.get(ref)
+        mat = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.clip(np.round((mat - p["lo"]) / p["scale"]), 0, 255)
+        deq = q * p["scale"] + p["lo"]
+        err = np.abs(mat - deq).mean(axis=1)
+        num = (mat * deq).sum(axis=1)
+        den = np.linalg.norm(mat, axis=1) * np.linalg.norm(deq, axis=1)
+        cos = num / np.maximum(den, 1e-12)
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "sum_abs_err": pa.array([float(err.sum())], pa.float64()),
+            "sum_cos": pa.array([float(cos.sum())], pa.float64()),
+        })
+
+    agg = ds.map_batches(quant_metrics, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_abs_err", alias_name="sum_abs_err"),
+        Sum("sum_cos", alias_name="sum_cos"))
+    n = int(agg["n"])
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "mean_abs_err_e6": pa.array(
+            [int(agg["sum_abs_err"] / max(n, 1) * 1e6)], pa.int64()),
+        "mean_cos_bp": pa.array(
+            [int(agg["sum_cos"] / max(n, 1) * 10_000)], pa.int64()),
+    })
+
+
 def q_emb_kmeans(sf_dir: str):
     """Distributed k-means over the embeddings (rows-only: float
     reduction order varies run to run, so cluster sizes/inertia are
@@ -2221,6 +2306,8 @@ def build_registry():
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_near": q_doc_dedup_near,
         "doc_sample": q_doc_sample,
+        "doc_normalize": q_doc_normalize,
+        "emb_quantize_int8": q_emb_quantize_int8,
         "doc_top_tokens": q_doc_top_tokens,
         "doc_idf": q_doc_idf,
         "doc_contamination": q_doc_contamination,
@@ -2278,6 +2365,7 @@ def build_registry():
         "doc_dup_clusters": sql_doc_dup_clusters(),
         "doc_dedup_near": sql_doc_dedup_near(),
         "doc_sample": sql_doc_sample(),
+        "doc_normalize": sql_doc_normalize(),
         "doc_top_tokens": sql_doc_top_tokens(),
         "doc_idf": sql_doc_idf(),
         "doc_contamination": sql_doc_contamination(),
