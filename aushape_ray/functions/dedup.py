@@ -212,27 +212,7 @@ def explode_bands(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
     })
 
 
-MAX_BUCKET_PAIRS_N = 512  # all-pairs cap per band bucket
-
-
-def candidate_pairs(group: pa.Table) -> pa.Table:
-    """All-pairs within one LSH band bucket, with a degenerate-bucket cap:
-    a bucket larger than MAX_BUCKET_PAIRS_N (e.g. a corpus of identical
-    documents all landing in one band hash) would emit O(n^2) pairs in a
-    single task.  Above the cap, emit a STAR from the minimum doc_id
-    instead — O(n) pairs that preserve the connectivity the downstream
-    connected-components clustering needs (transitively equivalent for
-    the near-identical docs that produce such buckets)."""
-    ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
-    n = len(ids)
-    if n > MAX_BUCKET_PAIRS_N:
-        a = np.full(n - 1, ids[0], dtype=np.int64)
-        b = ids[1:]
-    else:
-        iu = np.triu_indices(n, k=1)
-        a, b = ids[iu[0]], ids[iu[1]]
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(b, pa.int64())})
+MAX_BUCKET_PAIRS_N = 512  # star-fallback cap per band bucket (cap= arg)
 
 
 def _make_pairs_in_partition(cap: "int | None"):

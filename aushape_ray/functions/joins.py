@@ -40,9 +40,7 @@ def _tag(batch: pa.Table, key: str, side: int, n_buckets: int,
         raise ValueError(f"hash_join: key column {key!r} contains "
                          f"{col.null_count} null(s); filter or fill first")
     k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-    # splitmix-style integer mix, process-stable
-    h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-    bucket = (h % np.uint64(n_buckets)).astype(np.int32)
+    bucket = hash_part(k, n_buckets)
     out = batch
     for name, typ in pad:
         out = out.append_column(name, pa.nulls(batch.num_rows, typ))

@@ -349,10 +349,6 @@ class JsonlSinkWriter:
             with open(tmp, "w", encoding="utf-8") as f:
                 docs = sub.column(self.column).to_pylist()
                 if folded:
-                    # the folded document is ONE syslog message: the PRI
-                    # frame (when configured) prefixes it like any other
-                    if self.pri is not None:
-                        f.write(f"<{self.pri}>")
                     f.write(self._folded(docs))
                     f.write("\n")
                 else:
@@ -376,9 +372,17 @@ def write_jsonl_routed(events: "ray.data.Dataset", out_dir: str,
     folded documents instead when fmt has fold_level != 0.
 
     Cleans this writer's per-sink dirs first so a rerun into the same
-    out_dir replaces, not appends, the previous generation."""
+    out_dir replaces, not appends, the previous generation.
+
+    pri (syslog framing) requires compact documents: a <PRI> prefix on a
+    multi-line folded document would be neither valid JSON for the
+    folded-file consumers nor line-framed syslog — rejected explicitly."""
     import os as _os
     import shutil as _shutil
+
+    if pri is not None and fmt is not None and fmt.fold_level != 0:
+        raise ValueError("syslog <PRI> framing requires compact output "
+                         "(--fold all); folded documents are multi-line")
 
     for sink in SINKS:
         d = _os.path.join(out_dir, sink)

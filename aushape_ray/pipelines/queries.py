@@ -1562,7 +1562,10 @@ def q_doc_normalize(sf_dir: str):
     import hashlib as _hl
     import re
 
-    ws = re.compile(r"\s+")
+    # EXPLICIT class, identical semantics in Python re and RE2: Python's
+    # \s is Unicode-aware (NBSP, \x85, \u2000+) while RE2's is ASCII —
+    # spelling them the same would NOT compute the same digest
+    ws = re.compile(r"[ \t\n\r\f]+")
 
     def norm(b: pa.Table) -> pa.Table:
         out = [_hl.md5(ws.sub(" ", (t or "").lower()).strip()
@@ -1579,7 +1582,7 @@ def q_doc_normalize(sf_dir: str):
 def sql_doc_normalize() -> str:
     return r"""
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_md5
 FROM documents"""
 
 
@@ -2082,7 +2085,9 @@ def q_ann_ivf_kmeans_recall(sf_dir: str):
         return batch.append_column(
             "cell", pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()))
 
-    cells = ds.map_batches(assign, batch_format="pyarrow")
+    # pin: cells is consumed twice (query-row filter + per-cell groupby);
+    # unmaterialized it would re-read + re-assign the whole table each time
+    cells = ds.map_batches(assign, batch_format="pyarrow").materialize()
     qarr = pa.array(qids, pa.int64())
     q_rows = cells.map_batches(
         lambda t: t.filter(pc.is_in(t.column("vec_id"), qarr)),

@@ -45,7 +45,16 @@ def find_shards(input_dir: str) -> list[str]:
     return files
 
 
-def shard_key(path: str) -> str:
+def shard_key(path: str, input_dir: "str | None" = None) -> str:
+    """Manifest/output key for one input shard.  Keyed by the path
+    RELATIVE to input_dir (separators flattened) so that nested shard
+    layouts with repeated basenames (shard-00/part-0.parquet,
+    shard-01/part-0.parquet — exactly what the recursive find_shards
+    fallback discovers) cannot collide and clobber each other's outputs."""
+    if input_dir:
+        rel = os.path.relpath(path, input_dir)
+        if not rel.startswith(".."):
+            return os.path.splitext(rel)[0].replace(os.sep, "__")
     return os.path.splitext(os.path.basename(path))[0]
 
 
@@ -81,9 +90,11 @@ def completed_shards(out_dir: str) -> dict[str, dict]:
 class _ResumableShardWriter:
     """One task per shard: assemble + write + manifest (all shard-local)."""
 
-    def __init__(self, out_dir: str, cfg: PipelineConfig) -> None:
+    def __init__(self, out_dir: str, cfg: PipelineConfig,
+                 input_dir: "str | None" = None) -> None:
         self.out_dir = out_dir
         self.cfg = cfg
+        self.input_dir = input_dir
         self.__name__ = "resumable_shard"
 
     def __call__(self, batch) -> pa.Table:
@@ -97,7 +108,7 @@ class _ResumableShardWriter:
 
         rows = {"shard": [], "n_events": [], "sec": []}
         for path in batch["path"]:
-            key = shard_key(path)
+            key = shard_key(path, self.input_dir)
             t0 = time.time()
             table = pq.read_table(path)
             events = AssemblePartition(
@@ -158,7 +169,7 @@ def run_resumable(input_dir: str, out_dir: str,
     todo = []
     skipped = 0
     for f in files:
-        key = shard_key(f)
+        key = shard_key(f, input_dir)
         m = done.get(key)
         if m and m.get("input") == fingerprint(f):
             skipped += 1
@@ -166,12 +177,13 @@ def run_resumable(input_dir: str, out_dir: str,
             todo.append(f)
     if todo:
         ds = ray.data.from_items([{"path": f} for f in todo])
-        ds.map_batches(_ResumableShardWriter(out_dir, cfg), batch_size=1,
+        ds.map_batches(_ResumableShardWriter(out_dir, cfg, input_dir),
+                       batch_size=1,
                        batch_format="numpy").materialize()
     # aggregate ONLY over manifests whose shard is in the current input set:
     # stale manifests (input files removed/renamed since an earlier run)
     # must not inflate the totals
-    current = {shard_key(f) for f in files}
+    current = {shard_key(f, input_dir) for f in files}
     total: dict[str, int] = {}
     orphans = []
     for key, m in completed_shards(out_dir).items():

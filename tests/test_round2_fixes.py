@@ -130,3 +130,86 @@ def test_all_pairs_cosine_with_empty_blocks(ray_session):
     pairs = [(r["vec_a"], r["vec_b"]) for r in out]
     assert sorted(pairs) == sorted(set(pairs))  # no duplicates
     assert len(pairs) == 3  # C(3,2) identical vectors
+
+
+def test_nested_shards_with_same_basename_do_not_collide(ray_session, tmp_path):
+    """Recursive shard discovery + relative-path keys: two nested shards
+    named part-0.parquet must both survive resume with separate outputs
+    and manifests."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.state.manifest import find_shards, run_resumable, shard_key
+
+    in_dir = tmp_path / "in"
+    for sub, conv in (("shard-00", "c1"), ("shard-01", "c2")):
+        d = in_dir / sub
+        d.mkdir(parents=True)
+        pq.write_table(pa.table({
+            "conv_id": pa.array([conv] * 2, pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"], pa.string()),
+            "text": pa.array([f"node=h type=MSG m={conv}"] * 2, pa.string()),
+            "tool": pa.array(["", ""], pa.string()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }), str(d / "part-0.parquet"))
+
+    files = find_shards(str(in_dir))
+    assert len(files) == 2
+    keys = {shard_key(f, str(in_dir)) for f in files}
+    assert keys == {"shard-00__part-0", "shard-01__part-0"}
+
+    out_dir = str(tmp_path / "out")
+    res = run_resumable(str(in_dir), out_dir, PipelineConfig(num_parts=2))
+    assert res["processed"] == 2
+    assert sum(res["sink_counts"].values()) == 2  # one event per shard
+    assert len(glob.glob(f"{out_dir}/shards/*/sink=*.parquet")) == 2
+    # resume skips BOTH (no collision-induced reprocessing)
+    res2 = run_resumable(str(in_dir), out_dir, PipelineConfig(num_parts=2))
+    assert res2["processed"] == 0 and res2["skipped"] == 2
+    assert "orphaned_shards" not in res2
+
+
+def test_folded_syslog_rejected(ray_session, tmp_path):
+    import ray.data
+
+    from aushape_ray.foldout import FoldFormat
+    from aushape_ray.pipelines.events_pipeline import write_jsonl_routed
+
+    ds = ray.data.from_items([{"sink": "tool_events", "doc": "{}"}])
+    with pytest.raises(ValueError, match="compact"):
+        write_jsonl_routed(ds, str(tmp_path), fmt=FoldFormat(fold_level=4),
+                           pri=86)
+
+
+def test_doc_normalize_whitespace_class_matches_duckdb(tmp_path):
+    """The explicit [ \\t\\n\\r\\f] class must digest identically in
+    Python and DuckDB even for texts with Unicode whitespace / vertical
+    tabs that Python's \\s would treat differently."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import sql_doc_normalize
+
+    texts = ["a  b\tc", " lead trail ", "nb sp", "vert\x0btab",
+             "mixed   line \t sep", "UPPER Case"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f]+")
+    want = {i: hashlib.md5(ws.sub(" ", t.lower()).strip().encode()).hexdigest()
+            for i, t in enumerate(texts)}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    got = {int(r[0]): r[1] for r in con.sql(sql_doc_normalize()).fetchall()}
+    assert got == want

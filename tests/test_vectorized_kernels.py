@@ -13,7 +13,7 @@ from aushape_ray.functions.dedup import (
     MAX_BUCKET_PAIRS_N,
     MinHasher,
     SimHasher,
-    candidate_pairs,
+    _make_pairs_in_partition,
     explode_bands,
 )
 from aushape_ray.functions.textops import fingerprint
@@ -140,17 +140,23 @@ class TestExplodeBands:
 
 
 class TestCandidatePairCap:
+    @staticmethod
+    def _bucket(ids):
+        n = len(ids)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band": pa.array([0] * n, pa.int32()),
+                         "band_hash": pa.array([7] * n, pa.int64())})
+
     def test_small_bucket_all_pairs(self):
-        g = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64())})
-        out = candidate_pairs(g)
+        out = _make_pairs_in_partition(MAX_BUCKET_PAIRS_N)(self._bucket([3, 1, 2]))
         pairs = set(zip(out.column("doc_a").to_pylist(),
                         out.column("doc_b").to_pylist()))
         assert pairs == {(1, 2), (1, 3), (2, 3)}
 
     def test_degenerate_bucket_is_linear(self):
         n = MAX_BUCKET_PAIRS_N + 500
-        g = pa.table({"doc_id": pa.array(range(n), pa.int64())})
-        out = candidate_pairs(g)
+        out = _make_pairs_in_partition(MAX_BUCKET_PAIRS_N)(
+            self._bucket(list(range(n))))
         # star from the minimum id: O(n) pairs, connectivity preserved
         assert out.num_rows == n - 1
         assert set(out.column("doc_a").to_pylist()) == {0}
