@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="validate every written document against the "
                          "normative schema (aushape.schema.json contract); "
                          "reports n_docs / n_invalid")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the Ray Data execution stats of the event "
+                         "pipeline to stderr after the run (per-operator "
+                         "wall/cpu times — the per-stage tuning feedback)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -162,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"sink_counts": counts}
         if validation is not None:
             out["validation"] = validation
+        if args.stats:
+            print(events.stats(), file=sys.stderr)
         print(json.dumps(out))
     ray.shutdown()
     return 0
