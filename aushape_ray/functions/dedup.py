@@ -508,6 +508,97 @@ class SimHasher:
         })
 
 
+def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
+                  n_parts: int = 64) -> "ray.data.Dataset":
+    """SimHash near-dup pairs: EXACT set of (doc_a < doc_b) whose 64-bit
+    simhashes differ in <= max_hamming bits, found by 16-bit banding.
+
+    Pigeonhole guarantee: with 4 disjoint 16-bit bands, any pair within
+    Hamming distance 3 shares at least one unchanged band — so banding
+    has total recall for max_hamming <= 3 (the classic rotate-and-band
+    simhash dedup).  Candidates group on (band, band_value) with the
+    same coarse-partition vectorized emission as MinHash-LSH; the
+    Hamming verify fetches signatures via two partitioned hash joins
+    (8-byte values — far cheaper than text) and popcounts vectorized.
+    """
+    from .joins import hash_join
+
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sig = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(sig)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        vals = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            vals[b::4] = ((sig >> np.uint64(16 * b)) &
+                          np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc, 4), pa.int64()),
+            "band": pa.array(bands),
+            "band_hash": pa.array(vals, pa.int64()),
+        })
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def add_bucket_part(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_mix64(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    pairs = bands.map_batches(add_bucket_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        _make_pairs_in_partition(None), batch_format="pyarrow")
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+                % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def dedup_partition(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(keep[:, 0], pa.int64()),
+                         "doc_b": pa.array(keep[:, 1], pa.int64())})
+
+    dedup_partition.__name__ = "dedup_partition"
+    cand = pairs.map_batches(add_pair_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        dedup_partition, batch_format="pyarrow")
+
+    sig_a = sigs.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_id"),
+                            "sig_a": t.column("simhash")}),
+        batch_format="pyarrow")
+    sig_b = sigs.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc_id"),
+                            "sig_b": t.column("simhash")}),
+        batch_format="pyarrow")
+    j = hash_join(cand, sig_a, "doc_a", "doc_a", n_buckets=16)
+    j = hash_join(j, sig_b, "doc_b", "doc_b", n_buckets=16)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sa = t.column("sig_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = t.column("sig_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        x = sa ^ sb
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_a": t.column("doc_a").filter(pa.array(keep)),
+            "doc_b": t.column("doc_b").filter(pa.array(keep)),
+            "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------- n-gram Jaccard near-dup (verify stage) ------------------
 
 def verify_pairs_jaccard(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",

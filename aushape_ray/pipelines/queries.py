@@ -1484,6 +1484,18 @@ def q_doc_simhash(sf_dir: str):
     ).map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash banded near-dup pairs (exact for Hamming <= 3 by the
+    4x16-bit pigeonhole; rows-only: md5-based signatures are not
+    SQL-computable — set-parity vs a brute-force all-pairs reference is
+    tested in tests/test_vectorized_kernels.py)."""
+    from ..functions.dedup import simhash_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return simhash_pairs(docs)
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     """MinHash+LSH candidate pairs verified by exact shingle Jaccard >= 0.5.
 
@@ -2307,6 +2319,7 @@ def build_registry():
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_near": q_doc_dedup_near,

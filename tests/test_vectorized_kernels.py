@@ -268,3 +268,34 @@ def test_fingerprint_large_window_matches_scalar():
         got = fingerprint(batch, window=w).column("fingerprint").to_pylist()
         want = [scalar_fingerprint(t, window=w) for t in texts]
         assert got == want, f"window={w}"
+
+
+def test_simhash_pairs_matches_bruteforce(ray_session):
+    """Banded simhash pair discovery must equal the brute-force set of
+    pairs with Hamming distance <= 3 (pigeonhole: 4x16-bit bands give
+    total recall at that radius)."""
+    import ray.data
+
+    from aushape_ray.functions.dedup import SimHasher, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field all day long")
+    texts = [base, base, base + " extra", base.replace("lazy", "busy"),
+             "entirely different words about data processing engines",
+             "another unrelated document talking about file systems",
+             base.replace("quick", "swift").replace("dog", "cat")]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_pairs(ray.data.from_arrow(t)).take_all()}
+
+    sh = SimHasher()
+    sigs = [sh.simhash(x) for x in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            ham = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                want[(i, j)] = ham
+    assert got == want
+    assert want, "fixture must contain at least one near-dup pair"
