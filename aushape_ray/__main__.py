@@ -99,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.resume:
         from .state.manifest import run_resumable
 
+        if args.stats:
+            print("--stats: not applicable with --resume (per-shard tasks, "
+                  "no single Dataset plan); see the per-shard manifests for "
+                  "timings", file=sys.stderr)
         res = run_resumable(args.input_dir, args.out_dir, cfg)
         print(json.dumps(res))
     else:
@@ -123,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
             _configure_shuffle(cfg)
             ds = ray.data.read_parquet(args.input_dir)
             events = build_events(ds, cfg)
+        if args.stats:
+            # execute the event pipeline NOW so stats() reflects it on
+            # every output format (the jsonl/xml writers execute derived
+            # datasets, which would leave the events plan unexecuted and
+            # stats() empty); downstream consumers reuse the result
+            events = events.materialize()
         validation = None
         if args.validate:
             import pyarrow as pa

@@ -215,6 +215,41 @@ def explode_bands(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
 MAX_BUCKET_PAIRS_N = 512  # star-fallback cap per band bucket (cap= arg)
 
 
+
+def _add_band_bucket_part(t: pa.Table, n_parts: int) -> pa.Table:
+    """Coarse partition key for (band, band_hash) bucket co-location —
+    shared by the MinHash and SimHash candidate generators."""
+    band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    part = (_mix64(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(n_parts)).astype(np.int32)
+    return t.append_column("part", pa.array(part, pa.int32()))
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
+    """Distinct (doc_a, doc_b) via coarse-partitioned vectorized unique —
+    shared by the MinHash and SimHash candidate generators."""
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+                % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def dedup_partition(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        keep = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(keep[:, 0], pa.int64()),
+                         "doc_b": pa.array(keep[:, 1], pa.int64())})
+
+    dedup_partition.__name__ = "dedup_partition"
+    return pairs.map_batches(add_pair_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        dedup_partition, batch_format="pyarrow")
+
+
 def _make_pairs_in_partition(cap: "int | None"):
     """Vectorized candidate emission for ALL band buckets co-located in
     one coarse partition: sort by (band, band_hash, doc_id), find bucket
@@ -279,36 +314,12 @@ def minhash_candidates(ds: "ray.data.Dataset", n_parts: int = 64,
     preserving connectivity — see _make_pairs_in_partition)."""
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
-
-    def add_bucket_part(t: pa.Table) -> pa.Table:
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (_mix64(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
-                % np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part, pa.int32()))
-
-    pairs = bands.map_batches(add_bucket_part, batch_format="pyarrow").groupby(
+    pairs = bands.map_batches(
+        lambda t: _add_band_bucket_part(t, n_parts),
+        batch_format="pyarrow").groupby(
         "part", num_partitions=n_parts).map_groups(
         _make_pairs_in_partition(cap), batch_format="pyarrow")
-
-    def add_pair_part(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
-                % np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part, pa.int32()))
-
-    def dedup_partition(g: pa.Table) -> pa.Table:
-        a = g.column("doc_a").to_numpy(zero_copy_only=False)
-        b = g.column("doc_b").to_numpy(zero_copy_only=False)
-        keep = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"doc_a": pa.array(keep[:, 0], pa.int64()),
-                         "doc_b": pa.array(keep[:, 1], pa.int64())})
-
-    dedup_partition.__name__ = "dedup_partition"
-    return pairs.map_batches(add_pair_part, batch_format="pyarrow").groupby(
-        "part", num_partitions=n_parts).map_groups(
-        dedup_partition, batch_format="pyarrow")
+    return _dedup_pairs(pairs, n_parts)
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:
@@ -509,7 +520,8 @@ class SimHasher:
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
-                  n_parts: int = 64) -> "ray.data.Dataset":
+                  n_parts: int = 64,
+                  cap: "int | None" = None) -> "ray.data.Dataset":
     """SimHash near-dup pairs: EXACT set of (doc_a < doc_b) whose 64-bit
     simhashes differ in <= max_hamming bits, found by 16-bit banding.
 
@@ -523,8 +535,15 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     """
     from .joins import hash_join
 
+    if max_hamming > 3:
+        raise ValueError("simhash_pairs: 4x16-bit banding only guarantees "
+                         "total recall for max_hamming <= 3; use more/"
+                         f"narrower bands for radius {max_hamming}")
+    # materialize: the signature stage feeds THREE branches (bands +
+    # both sides of the verify join); unmaterialized it would re-run the
+    # md5-per-gram computation three times
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=(1, 8)).materialize()
 
     def to_bands(t: pa.Table) -> pa.Table:
         sig = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -542,36 +561,17 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         })
 
     bands = sigs.map_batches(to_bands, batch_format="pyarrow")
-
-    def add_bucket_part(t: pa.Table) -> pa.Table:
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (_mix64(bh ^ (band * np.uint64(0x9E3779B97F4A7C15)))
-                % np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part, pa.int32()))
-
-    pairs = bands.map_batches(add_bucket_part, batch_format="pyarrow").groupby(
+    # NOTE: 16-bit band values collide by CHANCE (expected bucket size
+    # n/65536 per band), so candidate volume grows ~n^2/2^17 on huge
+    # corpora even with no true near-dups — pass cap=MAX_BUCKET_PAIRS_N
+    # at corpus scale to bound degenerate buckets (star fallback keeps
+    # connectivity but drops pair-list completeness, as in MinHash)
+    pairs = bands.map_batches(
+        lambda t: _add_band_bucket_part(t, n_parts),
+        batch_format="pyarrow").groupby(
         "part", num_partitions=n_parts).map_groups(
-        _make_pairs_in_partition(None), batch_format="pyarrow")
-
-    def add_pair_part(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
-                % np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part, pa.int32()))
-
-    def dedup_partition(g: pa.Table) -> pa.Table:
-        a = g.column("doc_a").to_numpy(zero_copy_only=False)
-        b = g.column("doc_b").to_numpy(zero_copy_only=False)
-        keep = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"doc_a": pa.array(keep[:, 0], pa.int64()),
-                         "doc_b": pa.array(keep[:, 1], pa.int64())})
-
-    dedup_partition.__name__ = "dedup_partition"
-    cand = pairs.map_batches(add_pair_part, batch_format="pyarrow").groupby(
-        "part", num_partitions=n_parts).map_groups(
-        dedup_partition, batch_format="pyarrow")
+        _make_pairs_in_partition(cap), batch_format="pyarrow")
+    cand = _dedup_pairs(pairs, n_parts)
 
     sig_a = sigs.map_batches(
         lambda t: pa.table({"doc_a": t.column("doc_id"),
