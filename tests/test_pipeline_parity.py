@@ -71,3 +71,23 @@ def test_sink_counts_dataset_agg(ray_session, tiny_transcripts, oracle_events):
     pdf = sink_counts(events).to_pandas()
     got = dict(zip(pdf["sink"], pdf["count()"]))
     assert {k: int(v) for k, v in got.items()} == oracle_sink_counts(oracle_events)
+
+
+def test_driver_entry_contract(ray_session):
+    """__ray_entry__ smoke: entry() produces rows with a stable schema;
+    every oracle key has a query; registry is non-trivial."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    import ray.data
+
+    r = e.entry()
+    assert isinstance(r, ray.data.Dataset)
+    t = r.schema()
+    assert {"conv_id", "sink", "doc"} <= set(t.names)
+    assert r.count() > 0
+    qs, sql = e.queries(), e.oracle_sql()
+    assert set(sql) <= set(qs)
+    assert len(qs) >= 55 and len(sql) >= 45

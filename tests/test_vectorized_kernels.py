@@ -216,15 +216,16 @@ class TestIntervalCountJoin:
                                 ray.data.from_arrow(pt), width=10,
                                 id_col="id", out_col="n").take_all()
 
-    def test_matches_bruteforce_random(self, ray_session):
+    @pytest.mark.parametrize("seed,W", [(17, 1000), (23, 137), (5, 7919)])
+    def test_matches_bruteforce_random(self, ray_session, seed, W):
         import numpy as np
 
         import ray.data
 
         from aushape_ray.functions.joins import interval_count_join
 
-        rng = np.random.default_rng(17)
-        n_iv, n_pt, W = 300, 5000, 1000
+        rng = np.random.default_rng(seed)
+        n_iv, n_pt = 300, 5000
         lo = rng.integers(0, 50_000, n_iv)
         hi = lo + rng.integers(1, W, n_iv)  # bounded intervals
         v = rng.integers(0, 50_000, n_pt)
