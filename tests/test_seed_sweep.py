@@ -23,3 +23,60 @@ def test_pipeline_matches_oracle_other_seeds(ray_session, seed):
         e = oracle[r["conv_id"]]
         assert r["doc"] == e["doc"], (seed, r["conv_id"])
         assert r["sink"] == e["sink"]
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_transcript_analytics_match_duckdb_other_seeds(ray_session, seed,
+                                                       tmp_path):
+    """The round-2 transcript analytics (kind-transition bigrams, global
+    field-key histogram) must match their DuckDB oracles on corpora from
+    OTHER generator seeds, not just the driver's fixture."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import (
+        q_t_field_histogram,
+        q_t_kind_bigrams,
+        sql_t_field_histogram,
+        sql_t_kind_bigrams,
+    )
+
+    tb = generate_transcripts(200, seed=seed)
+    d = tmp_path / "transcripts_small"
+    d.mkdir()
+    pq.write_table(tb, str(d / "part-0.parquet"))
+    # queries resolve the corpus via ensure_transcripts(sf_dir) ->
+    # <cache>/<basename>; point them at tmp by making the layout match
+    sf_dir = str(tmp_path)
+
+    import aushape_ray.fixtures as fx
+
+    orig = fx.ensure_transcripts
+    try:
+        fx.ensure_transcripts = lambda _sf: str(d)
+        import aushape_ray.pipelines.events_pipeline as ep
+
+        ep_orig = ep.ensure_transcripts
+        ep.ensure_transcripts = lambda _sf: str(d)
+        try:
+            got_b = q_t_kind_bigrams(sf_dir).to_pandas()
+            got_h = q_t_field_histogram(sf_dir).to_pandas()
+        finally:
+            ep.ensure_transcripts = ep_orig
+    finally:
+        fx.ensure_transcripts = orig
+
+    con = duckdb.connect()
+    path = str(d / "*.parquet")
+    exp_b = con.sql(sql_t_kind_bigrams(path)).df()
+    exp_h = con.sql(sql_t_field_histogram(path)).df()
+
+    def canon(df, cols):
+        return df.sort_values(cols, ignore_index=True)
+
+    got_b = canon(got_b, ["from_kind", "to_kind"])
+    exp_b = canon(exp_b, ["from_kind", "to_kind"])
+    assert got_b.equals(exp_b), seed
+    got_h = canon(got_h, ["key"])
+    exp_h = canon(exp_h, ["key"])
+    assert got_h.equals(exp_h), seed
