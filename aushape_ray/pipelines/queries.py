@@ -777,14 +777,25 @@ def q_events_daily_top_users(sf_dir: str):
     counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["day_us", "user_id"]).aggregate(Sum("n", alias_name="n"))
 
+    # coarse day-hash partitions, vectorized multi-day top-k per task
+    # (per-day map_groups would cost one interpreter call per day)
+    N_PARTS = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..functions.joins import hash_part
+
+        day = t.column("day_us").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(hash_part(day, N_PARTS)))
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rank"] = g.index + 1
-        return g
+        g = g.sort_values(["day_us", "n", "user_id"],
+                          ascending=[True, False, True], ignore_index=True)
+        g["rank"] = g.groupby("day_us", sort=False).cumcount() + 1
+        return g[g["rank"] <= 3][["day_us", "user_id", "n", "rank"]]
 
     topk.__name__ = "topk"
-    out = counts.groupby("day_us").map_groups(topk, batch_format="pandas")
+    out = counts.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(topk, batch_format="pandas")
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
