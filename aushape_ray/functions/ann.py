@@ -173,8 +173,11 @@ def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
                              "vec_b": vb.astype(np.int64)})
 
     pair_block.__name__ = "pair_block"
+    # reduce-task count = the actual group cardinality (B*(B+1)/2 block
+    # pairs), not the sort exchange's ~200-task default
     return ds.map_batches(expand, batch_format="pyarrow").groupby(
-        "pk").map_groups(pair_block, batch_format="pandas")
+        "pk", num_partitions=B * (B + 1) // 2).map_groups(
+        pair_block, batch_format="pandas")
 
 
 def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, iters: int = 10,

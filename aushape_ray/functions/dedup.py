@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -152,11 +153,31 @@ class MinHasher:
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
         return np.minimum.reduceat(v, offsets, axis=1).T  # (n_docs, n_hashes)
 
+    def _signature_large(self, s: np.ndarray) -> np.ndarray:
+        """One oversized document, min-reduced slice by slice so the
+        (n_hashes, slice) temporary stays within the chunk budget.  Min over
+        a union of slices == min over the whole array, so this is
+        value-identical to signature()."""
+        mins = np.full(self.n, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for i in range(0, len(s), self._CHUNK_SHINGLES):
+            sl = s[i: i + self._CHUNK_SHINGLES]
+            v = (sl[None, :] * self.a[:, None] + self.b[:, None]).min(axis=1)
+            np.minimum(mins, v, out=mins)
+        return mins
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         shingles = [_shingles(t or "")
                     for t in batch.column("text").to_pylist()]
         sigs, cur, budget = [], [], 0
         for s in shingles:
+            if len(s) >= self._CHUNK_SHINGLES:
+                # flush smaller docs first to keep output order, then
+                # handle the oversized doc on its own bounded path
+                if cur:
+                    sigs.append(self._signatures_chunk(cur))
+                    cur, budget = [], 0
+                sigs.append(self._signature_large(s)[None, :])
+                continue
             cur.append(s)
             budget += len(s)
             if budget >= self._CHUNK_SHINGLES:

@@ -133,7 +133,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 def interval_count_join(intervals: "ray.data.Dataset",
                         points: "ray.data.Dataset",
                         width: int, id_col: str = "id",
-                        out_col: str = "n") -> "ray.data.Dataset":
+                        out_col: str = "n",
+                        num_partitions: int = 32) -> "ray.data.Dataset":
     """Range (interval) join Ray Data lacks natively: for each interval
     [lo, hi) count the points whose value falls inside it — NO equi key.
 
@@ -205,7 +206,11 @@ def interval_count_join(intervals: "ray.data.Dataset",
                          out_col: pa.array(cnt.astype(np.int64), pa.int64())})
 
     count_bucket.__name__ = "count_bucket"
-    out = iv.union(pt).groupby("__tbucket").map_groups(
+    # num_partitions = reduce-task count for the sort exchange; size it to
+    # cluster parallelism (default 32) instead of the ~200-task default —
+    # bucket cardinality is data-dependent but tasks should track slots
+    out = iv.union(pt).groupby(
+        "__tbucket", num_partitions=num_partitions).map_groups(
         count_bucket, batch_format="pyarrow")
 
     def cast(b: pa.Table) -> pa.Table:

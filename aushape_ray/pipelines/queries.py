@@ -684,11 +684,14 @@ def q_mktsegment_orders(sf_dir: str):
 
     class JoinSeg:
         def __init__(self) -> None:
-            self.seg = _ray.get(seg_ref)
+            # broadcast dict -> pd.Series once per actor; per-batch lookups
+            # are then one vectorized reindex (cython hash probe), not a
+            # per-row Python .get() loop
+            self.seg = pd.Series(_ray.get(seg_ref), dtype="object")
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            segs = [self.seg.get(k) for k in keys]
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            segs = self.seg.reindex(keys).to_numpy()
             # drop orders with no matching customer: INNER join semantics,
             # matching the oracle even under referential-integrity gaps
             df = pd.DataFrame({
@@ -1619,16 +1622,24 @@ def q_doc_sample(sf_dir: str):
 
     def pick(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (d * K) % M < T
+        # mask BEFORE multiplying: residue < 2^32 so residue*K fits uint64
+        # exactly (no silent int64 wraparound); floor-mod keeps the residue
+        # non-negative for any doc_id, matching the SQL form below.
+        r = (d % M).astype(np.uint64)
+        keep = (r * np.uint64(K)) % np.uint64(M) < np.uint64(T)
         return pa.table({"doc_id": pa.array(d[keep], pa.int64())})
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
 def sql_doc_sample() -> str:
+    # ((x % M + M) % M) = python floor-mod; HUGEINT multiply avoids DuckDB's
+    # BIGINT overflow error for doc_id >= ~2^32 — exact parity with the
+    # masked uint64 arithmetic in q_doc_sample for ALL int64 doc_ids.
     return """
 SELECT doc_id::BIGINT AS doc_id FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 < 429496729"""
+WHERE (((doc_id % 4294967296 + 4294967296) % 4294967296)::HUGEINT
+       * 2654435761) % 4294967296 < 429496729"""
 
 
 def q_doc_top_tokens(sf_dir: str):
@@ -2352,7 +2363,20 @@ def build_registry():
         "media_features": q_media_features,
         "media_frames": q_media_frames,
     }
-    oracle = {
+    oracle = _build_oracle(t01)
+    # The driver records CORRECTNESS rows for only the first 50 registry
+    # entries.  Order oracle-backed queries first (every one of them must
+    # land inside the checked window), rows-only queries after — so adding
+    # a new SQL-backed query can never silently push an existing one out
+    # of driver coverage.
+    ordered = {k: queries[k] for k in queries if k in oracle}
+    ordered.update({k: queries[k] for k in queries if k not in oracle})
+    assert list(ordered)[: len(oracle)] == [k for k in ordered if k in oracle]
+    return ordered, oracle
+
+
+def _build_oracle(t01):
+    return {
         "t_sink_counts": sql_t_sink_counts(t01),
         "t_event_envelope": sql_t_event_envelope(t01),
         "t_turn_kind_counts": sql_t_turn_kind_counts(t01),
@@ -2402,4 +2426,3 @@ def build_registry():
         "events_sample_stratified": sql_events_sample_stratified(),
         "events_window_anomaly": sql_events_window_anomaly(),
     }
-    return queries, oracle
