@@ -395,31 +395,143 @@ def _unionfind_block(batch: pa.Table) -> pa.Table:
     })
 
 
+def _split_edge_block(tbl: pa.Table, n_buckets: int) -> list[pa.Table]:
+    """Map side of the one-time edge bucketing: slice one edge block into
+    n_buckets sub-tables by hash(src) (runs as a remote task,
+    num_returns=n_buckets)."""
+    from .joins import hash_part
+
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    bucket = hash_part(src, n_buckets)
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+    counts = np.bincount(bucket, minlength=n_buckets)
+    out, off = [], 0
+    for c in counts:
+        out.append(sorted_tbl.slice(off, int(c)))
+        off += int(c)
+    return out
+
+
+def _concat_edge_parts(*tables: pa.Table) -> pa.Table:
+    """Reduce side of the one-time edge bucketing."""
+    return pa.concat_tables(tables).combine_chunks()
+
+
+class _OfferBucket:
+    """Per-bucket label-offer task for cluster_pairs.
+
+    Holds the object refs of the STATIC per-bucket edge blocks; each
+    round's task fetches its own bucket's block zero-copy from the object
+    store (plasma caches it per node across rounds), so the edge set is
+    never re-shuffled — only label rows and jump edges move.  Emits a
+    bucket-local partial min(label) per dst to shrink the final exchange.
+    """
+
+    __name__ = "offer_bucket"
+
+    def __init__(self, bucket_refs: list) -> None:
+        self.bucket_refs = bucket_refs
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        b = int(group.column("__bucket")[0].as_py())
+        eb = _ray.get(self.bucket_refs[b])
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        lab = kind == 0
+        # label rows: node -> current label, sorted for searchsorted probe
+        order = np.argsort(k[lab], kind="stable")
+        lab_nodes = k[lab][order]
+        lab_vals = v[lab][order]
+        # offers flow over static edges + this round's jump edges
+        src = np.concatenate(
+            [eb.column("src").to_numpy(zero_copy_only=False), k[~lab]])
+        dst = np.concatenate(
+            [eb.column("dst").to_numpy(zero_copy_only=False), v[~lab]])
+        pos = np.searchsorted(lab_nodes, src)
+        # every edge src is a labelled node routed to this same bucket; a
+        # miss means the bucketing broke — fail loudly, a silent wrong
+        # gather would corrupt the partition
+        if len(src) and (len(lab_nodes) == 0 or not np.array_equal(
+                lab_nodes[np.minimum(pos, len(lab_nodes) - 1)], src)):
+            raise RuntimeError("cluster_pairs: edge src missing from its "
+                               "bucket's label rows")
+        offer = lab_vals[pos]
+        # bucket-local partial min per dst
+        o = np.argsort(dst, kind="stable")
+        d, ol = dst[o], offer[o]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], d[1:] != d[:-1]])) if len(d) else \
+            np.empty(0, np.int64)
+        mins = np.minimum.reduceat(ol, bounds) if len(d) else ol
+        return pa.table({"node": pa.array(d[bounds], pa.int64()),
+                         "label": pa.array(mins, pa.int64())})
+
+
+def _min_label_by_node(ds: "ray.data.Dataset",
+                       n_buckets: int) -> "ray.data.Dataset":
+    """groupby(node).min(label) as a coarse-bucket vectorized exchange.
+
+    Ray's generic sort-based aggregate measured ~30x slower than this at
+    ~2M rows (10s vs 0.3s per round): one hash_part tag, one
+    groupby(__bucket) exchange, and an argsort + minimum.reduceat segment
+    min inside each partition task."""
+    from .joins import hash_part
+
+    def tag(tb: pa.Table) -> pa.Table:
+        node = tb.column("node").to_numpy(zero_copy_only=False)
+        return tb.append_column(
+            "__bucket", pa.array(hash_part(node, n_buckets), pa.int32()))
+
+    def bucket_min(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        label = g.column("label").to_numpy(zero_copy_only=False)
+        o = np.argsort(node, kind="stable")
+        n2, l2 = node[o], label[o]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], n2[1:] != n2[:-1]]))
+        return pa.table({
+            "node": pa.array(n2[bounds], pa.int64()),
+            "label": pa.array(np.minimum.reduceat(l2, bounds), pa.int64()),
+        })
+
+    bucket_min.__name__ = "bucket_min"
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "__bucket", num_partitions=n_buckets).map_groups(
+        bucket_min, batch_format="pyarrow")
+
+
 def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
                   n_buckets: int = 16,
                   small_threshold: int = 1_000_000) -> "ray.data.Dataset":
     """Near-duplicate clusters from verified pairs: DISTRIBUTED connected
-    components via min-label propagation.  Each round is
+    components via min-label propagation with STATIC pre-bucketed edges.
 
-        edges |><| labels  (partitioned hash_join on src=node)
-          union labels  ->  groupby(node).min(label)        [neighbour step]
-        labels |><| labels (hash_join on label=node)        [pointer jump]
+    The edge set is hash-partitioned by hash(src) ONCE into n_buckets
+    Arrow tables pinned in the object store (a two-stage raw-Ray split +
+    concat — the Dataset API cannot express a statically-partitioned,
+    re-readable side).  Each round then shuffles only the small side:
+
+        labels -> (label rows keyed by node) ∪ (jump edges label(x)->x
+                   keyed by label)  — one groupby(__bucket) exchange
+        bucket task: static edges ∪ jump edges |><| label rows,
+                     emit partial min(label) per dst
+        groupby(node).min(label)  -> next labels
 
     — no driver-side label map anywhere; the only per-round driver value
-    is an O(1) label-sum checksum.  The pointer-jumping step halves the
-    effective component diameter each round, so convergence takes
-    O(log d) rounds instead of O(d).  RAISES if max_iters is exhausted
-    before the fixed point — a partial propagation is not a valid
-    partition.  Returns (doc_id, cluster_id), cluster_id = min doc_id of
-    the component.
-
-    At cluster scale the edges dataset is materialized once and re-joined
-    per round; a deployment would pre-bucket the edges by hash(src) so
-    only the (small) labels side moves each round."""
+    is an O(1) label-sum checksum.  The jump edges halve the effective
+    component diameter each round (pointer jumping), so convergence takes
+    O(log d) rounds.  RAISES if max_iters is exhausted before the fixed
+    point — a partial propagation is not a valid partition.  Returns
+    (doc_id, cluster_id), cluster_id = min doc_id of the component."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
 
-    from .joins import hash_join
+    import ray as _ray
+
+    from .joins import hash_part
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a")
@@ -437,13 +549,18 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
     if edges.count() <= small_threshold:
         return edges.repartition(1).map_batches(
             _unionfind_block, batch_format="pyarrow", batch_size=None)
-    # initial labels: min(self, min neighbour)
-    labels = edges.groupby("src", num_partitions=n_buckets).aggregate(
-        Min("dst", alias_name="nbr_min"))
+    # initial labels: min(self, min neighbour) — vectorized segment-min
+    # exchange (edges are symmetric, so every node appears as a src)
+    labels = _min_label_by_node(
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("src"),
+                                "label": t.column("dst")}),
+            batch_format="pyarrow"),
+        n_buckets)
     labels = labels.map_batches(
         lambda t: pa.table({
-            "node": t.column("src"),
-            "label": pc.min_element_wise(t.column("src"), t.column("nbr_min")),
+            "node": t.column("node"),
+            "label": pc.min_element_wise(t.column("node"), t.column("label")),
         }), batch_format="pyarrow").materialize()
     if labels.count() == 0:
         return labels.map_batches(
@@ -451,26 +568,44 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
                                 "cluster_id": t.column("label")}),
             batch_format="pyarrow")
 
+    # one-time edge bucketing: split every edge block by hash(src), then
+    # concat per bucket — after this the edges NEVER move again
+    split_remote = _ray.remote(num_returns=n_buckets)(_split_edge_block)
+    concat_remote = _ray.remote(_concat_edge_parts)
+    parts = [split_remote.remote(ref, n_buckets)
+             for ref in edges.to_arrow_refs()]
+    bucket_refs = [concat_remote.remote(*[p[b] for p in parts])
+                   for b in range(n_buckets)]
+    offer_bucket = _OfferBucket(bucket_refs)
+
+    def round_rows(t: pa.Table) -> pa.Table:
+        # per label row (node -> label), emit BOTH the label row (keyed by
+        # node, kind 0) and the jump edge label(x) -> x (keyed by label,
+        # kind 1).  Every node has a jump edge and its offer
+        # label(label(x)) <= label(x), so the min over offers is monotone
+        # and total — no self-union needed.
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        label = t.column("label").to_numpy(zero_copy_only=False)
+        key = np.concatenate([node, label])
+        return pa.table({
+            "__bucket": pa.array(hash_part(key, n_buckets), pa.int32()),
+            "kind": pa.array(np.repeat(
+                np.array([0, 1], np.int8), len(node)), pa.int8()),
+            "k": pa.array(key, pa.int64()),
+            "v": pa.array(np.concatenate([label, node]), pa.int64()),
+        })
+
     prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iters):
-        # one exchange per round: the pointer jump is expressed as extra
-        # "jump edges" label(x) -> x, so a single edges|><|labels join
-        # delivers BOTH the neighbour offers and label-of-label offers.
-        # Every node has a jump edge, and its offer label(label(x)) <=
-        # label(x), so the min over offers is monotone and total — no
-        # self-union needed.
-        jump = labels.map_batches(
-            lambda t: pa.table({"src": t.column("label"),
-                                "dst": t.column("node")}),
-            batch_format="pyarrow")
-        offered = hash_join(edges.union(jump), labels, "src", "node",
-                            n_buckets=n_buckets).map_batches(
-            lambda t: pa.table({"node": t.column("dst"),
-                                "label": t.column("label")}),
-            batch_format="pyarrow")
-        labels = offered.groupby("node", num_partitions=n_buckets).aggregate(
-            Min("label", alias_name="label")).materialize()
+        # one exchange per round, and ONLY the labels side moves: the
+        # routed rows are 2 rows per node; the edges stay pinned in the
+        # object store and are read zero-copy inside each bucket task
+        offered = labels.map_batches(
+            round_rows, batch_format="pyarrow").groupby(
+            "__bucket", num_partitions=n_buckets).map_groups(
+            offer_bucket, batch_format="pyarrow")
+        labels = _min_label_by_node(offered, n_buckets).materialize()
         s = _label_sum(labels)
         if s == prev_sum:
             converged = True
@@ -490,54 +625,131 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
 
 # ---------------- SimHash -------------------------------------------------
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+# ASCII whitespace lookup table for the byte-level tokenizer
+_WS_TABLE = np.zeros(256, dtype=bool)
+_WS_TABLE[[9, 10, 11, 12, 13, 32]] = True
+
+
 class SimHasher:
-    """64-bit simhash over word 3-grams (actor pool).
+    """64-bit simhash over word 3-grams — fully vectorized, no per-gram
+    Python loop and no md5.
 
-    Vectorized: md5 runs once per UNIQUE gram (memoized across the
-    actor's batches — natural-language grams repeat heavily), and the
-    per-document ±1 bit accumulation is one numpy unpack/sum over the
-    document's gram-hash vector instead of a per-gram Python loop.
-    Output values are identical to the scalar per-gram reference
-    (tests/test_review_fixes.py)."""
+    The whole batch is processed as one flat UTF-8 byte array (zero-copy
+    from Arrow):
+      1. words = maximal runs of non-ASCII-whitespace bytes (boundary
+         masks via shifted compares; doc boundaries forced explicitly);
+      2. per-word 64-bit FNV-1a computed column-wise over byte positions
+         on a length-descending word ordering, so pass i touches only the
+         words longer than i bytes — total work O(sum of word lengths);
+      3. gram hash = splitmix64 chain over the three word hashes
+         (reuses _mix64, the shared public mixer);
+      4. per-document ±1 bit votes via one unpackbits + add.reduceat
+         (accumulating in int64 directly, no int32 bit-matrix temp).
+    The scalar reference lives in tests/test_vectorized_kernels.py
+    (scalar_simhash) and is value-identical."""
 
-    def __init__(self) -> None:
-        import re
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        self.word = re.compile(r"\S+")
-        self._memo: dict[bytes, int] = {}
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # nulls hash like empty docs; large_string gives int64 offsets
+        arr = pc.fill_null(col, "").cast(pa.large_string())
+        buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
+        off = np.frombuffer(buf_off, np.int64,
+                            count=len(arr) + 1, offset=8 * arr.offset)
+        base = int(off[0])
+        doc_off = (off - base).astype(np.int64)
+        n_docs = len(arr)
+        data = np.frombuffer(buf_data, np.uint8)[base:base + int(doc_off[-1])]
+        sims = self._simhash_flat(data, doc_off, n_docs)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(sims.view(np.int64), pa.int64()),
+        })
 
-    def _gram_hashes(self, words: list[str]) -> np.ndarray:
-        memo = self._memo
-        out = np.empty(max(0, len(words) - 2), dtype=np.uint64)
-        for i in range(len(out)):
-            g = " ".join(words[i:i + 3]).encode("utf-8")
-            h = memo.get(g)
-            if h is None:
-                h = int.from_bytes(hashlib.md5(g).digest()[:8], "little")
-                if len(memo) < 1_000_000:  # bound actor memory
-                    memo[g] = h
-            out[i] = h
+    @staticmethod
+    def _simhash_flat(data: np.ndarray, doc_off: np.ndarray,
+                      n_docs: int) -> np.ndarray:
+        out = np.zeros(n_docs, dtype=np.uint64)
+        n_bytes = len(data)
+        if n_bytes == 0 or n_docs == 0:
+            return out
+        ws = _WS_TABLE[data]
+        nonws = ~ws
+        # word starts: non-ws byte preceded by ws (or batch start) …
+        prev_ws = np.empty_like(ws)
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        start_mask = nonws & prev_ws
+        # … or a doc boundary (a run crossing two docs is two words)
+        next_ws = np.empty_like(ws)
+        next_ws[-1] = True
+        next_ws[:-1] = ws[1:]
+        end_mask = nonws & next_ws
+        doc_first = doc_off[:-1][doc_off[:-1] < n_bytes]
+        start_mask[doc_first] = nonws[doc_first]
+        doc_last = doc_off[1:] - 1
+        doc_last = doc_last[doc_last >= 0]
+        end_mask[doc_last] = nonws[doc_last]
+        starts = np.flatnonzero(start_mask)
+        n_words = len(starts)
+        if n_words == 0:
+            return out
+        lens = np.flatnonzero(end_mask) + 1 - starts
+        # FNV-1a per word, column-wise on a length-descending ordering:
+        # pass i processes the prefix of words still longer than i bytes
+        order = np.argsort(-lens, kind="stable")
+        s_sorted = starts[order]
+        l_sorted = lens[order]
+        data64 = data.astype(np.uint64)
+        h_sorted = np.full(n_words, _FNV_OFFSET, dtype=np.uint64)
+        max_len = int(l_sorted[0])
+        # words with length > i form a prefix; its size via bincount cumsum
+        longer = n_words - np.cumsum(
+            np.bincount(l_sorted, minlength=max_len + 1))
+        for i in range(max_len):
+            k = int(longer[i])
+            if k == 0:
+                break
+            b = data64[s_sorted[:k] + i]
+            h_sorted[:k] = (h_sorted[:k] ^ b) * _FNV_PRIME
+        word_h = np.empty_like(h_sorted)
+        word_h[order] = h_sorted
+        # 3-grams: word triples that stay inside one document
+        word_doc = np.searchsorted(doc_off, starts, side="right") - 1
+        if n_words < 3:
+            return out
+        valid = word_doc[:-2] == word_doc[2:]
+        gi = np.flatnonzero(valid)
+        if len(gi) == 0:
+            return out
+        gh = _mix64(word_h[gi])
+        gh = _mix64(gh ^ word_h[gi + 1])
+        gh = _mix64(gh ^ word_h[gi + 2])
+        gram_doc = word_doc[gi]
+        # per-doc ±1 votes: unpack bits once, segment-sum in int64
+        bits = np.unpackbits(gh[:, None].view(np.uint8), axis=1,
+                             bitorder="little")
+        gcounts = np.bincount(gram_doc, minlength=n_docs)
+        nz = np.flatnonzero(gcounts)
+        goff = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+        pos = np.add.reduceat(bits, goff[nz], axis=0, dtype=np.int64)
+        acc = 2 * pos - gcounts[nz][:, None]
+        packed = np.packbits((acc > 0).astype(np.uint8), axis=1,
+                             bitorder="little")
+        out[nz] = np.ascontiguousarray(packed).view(np.uint64).ravel()
         return out
 
     def simhash(self, text: str) -> int:
-        hs = self._gram_hashes(self.word.findall(text or ""))
-        if not len(hs):
-            return 0
-        # (n_grams, 64) bit matrix via byte unpack; +1/-1 vote per bit
-        bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1, bitorder="little")
-        pos = bits.sum(axis=0, dtype=np.int64)
-        acc = 2 * pos - len(hs)
-        v = int((acc > 0).astype(np.uint64) @
-                (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-        return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement int64
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(
-                [self.simhash(t) for t in batch.column("text").to_pylist()],
-                pa.int64()),
-        })
+        """Single-text convenience (tests): same kernel, one-doc batch."""
+        data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+        doc_off = np.array([0, len(data)], dtype=np.int64)
+        v = int(self._simhash_flat(data, doc_off, 1)[0])
+        return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
@@ -562,9 +774,9 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                          f"narrower bands for radius {max_hamming}")
     # materialize: the signature stage feeds THREE branches (bands +
     # both sides of the verify join); unmaterialized it would re-run the
-    # md5-per-gram computation three times
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=(1, 8)).materialize()
+    # signature computation three times.  SimHasher is stateless now —
+    # plain tasks, no actor pool (GIL inflation, see perf notes)
+    sigs = ds.map_batches(SimHasher(), batch_format="pyarrow").materialize()
 
     def to_bands(t: pa.Table) -> pa.Table:
         sig = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)

@@ -1495,12 +1495,12 @@ def q_doc_simhash(sf_dir: str):
 
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(SimHasher(), batch_format="pyarrow")
 
 
 def q_doc_simhash_pairs(sf_dir: str):
     """SimHash banded near-dup pairs (exact for Hamming <= 3 by the
-    4x16-bit pigeonhole; rows-only: md5-based signatures are not
+    4x16-bit pigeonhole; rows-only: FNV/splitmix signatures are not
     SQL-computable — set-parity vs a brute-force all-pairs reference is
     tested in tests/test_vectorized_kernels.py)."""
     from ..functions.dedup import simhash_pairs

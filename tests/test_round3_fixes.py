@@ -1,0 +1,108 @@
+"""Round-3 regression tests: all_pairs_cosine brute-force parity across
+multiple occupied blocks, and cluster_pairs' static pre-bucketed edge
+exchange over multi-block inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _clustered_vectors(n: int, dim: int, seed: int = 5):
+    """Vectors in a few tight clusters so threshold pairs actually exist,
+    plus noise vectors so most pairs do NOT match."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(5, dim))
+    which = rng.integers(0, 5, n)
+    vecs = centers[which] + rng.normal(scale=0.05, size=(n, dim))
+    noise = rng.normal(size=(n // 3, dim))
+    return np.vstack([vecs, noise])
+
+
+def test_all_pairs_cosine_matches_bruteforce_multiblock(ray_session):
+    """Exact block-pair exchange == brute-force all-pairs similarity set,
+    with every block occupied and the input split across several Ray
+    blocks (the round-2 rewrite shipped with only a dedup test)."""
+    import ray.data
+
+    from aushape_ray.functions.ann import all_pairs_cosine
+
+    vecs = _clustered_vectors(150, 8)
+    n = len(vecs)
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    threshold = 0.95
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    r, c = np.nonzero(sims >= threshold)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(r, c) if ids[i] < ids[j]}
+    assert len(want) > 50  # the test must exercise real matches
+
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64(), 8)),
+    })
+    for n_blocks in (2, 4):
+        ds = ray.data.from_arrow(t).repartition(6)
+        out = all_pairs_cosine(ds, threshold, n_blocks=n_blocks).take_all()
+        got = [(r_["vec_a"], r_["vec_b"]) for r_ in out]
+        assert len(got) == len(set(got)), "duplicate pairs"
+        assert set(got) == want, n_blocks
+
+
+def test_cluster_pairs_multiblock_edges(ray_session):
+    """The static edge bucketing must survive edge sets spread over many
+    input blocks (split + per-bucket concat path)."""
+    import random
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import cluster_pairs
+
+    rng = random.Random(99)
+    n_nodes, n_edges = 500, 2000
+    ea = [rng.randrange(n_nodes) for _ in range(n_edges)]
+    eb = [rng.randrange(n_nodes) for _ in range(n_edges)]
+    pairs = pa.table({"doc_a": pa.array(ea, pa.int64()),
+                      "doc_b": pa.array(eb, pa.int64())})
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in zip(ea, eb):
+        for x in (a, b):
+            truth[x] = find(x)
+
+    ds = ray.data.from_arrow(pairs).repartition(8)
+    out = cluster_pairs(ds, small_threshold=0, n_buckets=8).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == truth
+
+
+def test_simhash_unicode_and_doc_boundaries():
+    """Byte-level tokenizer edge cases: words crossing batch-internal doc
+    boundaries must not merge; unicode bytes are word bytes; leading and
+    trailing whitespace docs behave like their stripped forms."""
+    from aushape_ray.functions.dedup import SimHasher
+
+    sh = SimHasher()
+    # adjacent docs ending/starting with non-ws bytes: "a b cd" | "e f g"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b cd", "e f g", None, "  padded words here  "],
+                         pa.string()),
+    })
+    got = sh(t).column("simhash").to_pylist()
+    assert got[0] == sh.simhash("a b cd")
+    assert got[1] == sh.simhash("e f g")
+    assert got[2] == 0
+    assert got[3] == sh.simhash("padded words here")

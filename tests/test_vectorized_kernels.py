@@ -41,21 +41,36 @@ def scalar_fingerprint(t: str, window: int = 8) -> int:
 
 
 def scalar_simhash(text: str) -> int:
-    """Round-1 per-gram md5 reference."""
+    """Scalar (pure-Python-int) reference for the vectorized SimHasher:
+    ASCII-whitespace word runs over UTF-8 bytes, FNV-1a per word,
+    splitmix64 chain per 3-gram, ±1 bit votes."""
     import re
 
-    words = re.findall(r"\S+", text or "")
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i in range(max(0, len(words) - 2)):
-        g = " ".join(words[i:i + 3]).encode("utf-8")
-        h = np.uint64(int.from_bytes(hashlib.md5(g).digest()[:8], "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= 1 << i
+    mask = (1 << 64) - 1
+
+    def fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for x in b:
+            h = ((h ^ x) * 0x100000001B3) & mask
+        return h
+
+    def mix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+        return x ^ (x >> 31)
+
+    words = re.findall(rb"[^\t\n\x0b\x0c\r ]+", (text or "").encode("utf-8"))
+    wh = [fnv(w) for w in words]
+    acc = [0] * 64
+    n_grams = max(0, len(words) - 2)
+    for i in range(n_grams):
+        g = mix(mix(mix(wh[i]) ^ wh[i + 1]) ^ wh[i + 2])
+        for b in range(64):
+            acc[b] += 1 if (g >> b) & 1 else -1
+    if n_grams == 0:
+        return 0
+    v = sum(1 << b for b in range(64) if acc[b] > 0)
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

@@ -173,3 +173,62 @@ def test_media_resize_and_frame_sampling(ray_session):
     # end-to-end chain over a Dataset
     out = media_frames(ray.data.from_arrow(docs))
     assert out.count() == expect
+
+# ---------------- structural XSD-port validation (round 3) ----------------
+
+from aushape_ray.xsd import XmlValidationError, validate_event_xml
+
+
+def test_every_oracle_doc_validates_structurally(oracle_events):
+    """Every corpus event document must pass the aushape.xsd content-model
+    port (aushape_ray/xsd.py) — the XML analogue of test_schema.py's JSON
+    envelope validation."""
+    checked = 0
+    for e in oracle_events:
+        xml = render_event_xml(json.loads(e["doc"]))
+        if _has_ctrl(e):
+            continue  # numeric ctrl refs are not XML-1.0-parseable
+        validate_event_xml(xml)
+        checked += 1
+    assert checked > 50
+
+
+class TestXsdViolations:
+    GOOD = ('<event serial="c1" time="2026-01-01T00:00:00.000">'
+            '<text><line>x</line></text>'
+            '<data><syscall><field name="uid" i="user_0" r="0"/></syscall>'
+            '<execve><a>ls</a></execve>'
+            '<path><item><field name="name" i="/etc"/></item></path></data>'
+            '<norm subject="u" action="ran" result="success"/>'
+            '<trimmed><t>norm</t></trimmed></event>')
+
+    def test_good_document_passes(self):
+        validate_event_xml(self.GOOD)
+
+    @pytest.mark.parametrize("bad,frag", [
+        ("missing time", '<event serial="c1"><data/></event>'),
+        ("bad time", '<event serial="c1" time="not-a-time"><data/></event>'),
+        ("error and data", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000"><error>e</error><data/></event>'),
+        ("out of order", '<event serial="c1" time="2026-01-01T00:00:00.000">'
+         '<norm subject="s" action="a" result="r"/><data/></event>'),
+        ("field missing i", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000"><data><syscall>'
+         '<field name="uid"/></syscall></data></event>'),
+        ("path without item", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000"><data><path>'
+         '<field name="name" i="x"/></path></data></event>'),
+        ("execve non-a child", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000"><data><execve>'
+         '<field name="a0" i="x"/></execve></data></event>'),
+        ("norm missing result", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000">'
+         '<norm subject="s" action="a"/></event>'),
+        ("unknown child", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000"><bogus/></event>'),
+        ("unexpected attr", '<event serial="c1" '
+         'time="2026-01-01T00:00:00.000" zap="1"><data/></event>'),
+    ])
+    def test_violations_raise(self, bad, frag):
+        with pytest.raises(XmlValidationError):
+            validate_event_xml(frag)
