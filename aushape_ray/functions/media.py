@@ -73,6 +73,41 @@ class FakeDecoder:
         return out
 
 
+try:  # optional extra: real image codec when Pillow is installed
+    from PIL import Image as _PILImage  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+class PilDecoder(FakeDecoder):
+    """Real image decode via Pillow when available — the deployment swap
+    the FakeDecoder docstring promises, same schema in/out.  Non-image
+    kinds (and every kind when Pillow is absent) fall through to the
+    deterministic fake, so the stage stays total.  Select with
+    make_decoder()."""
+
+    def _decode(self, kind: str, payload: bytes) -> dict:
+        if kind != "image" or not HAVE_PIL:
+            return super()._decode(kind, payload)
+        if kind not in self.allowed:
+            raise NotImplementedError(f"decoder for {kind} not enabled")
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return {"width": im.width, "height": im.height,
+                    "frames": int(getattr(im, "n_frames", 1))}
+
+
+def make_decoder(*, prefer_real: bool = True, **kwargs) -> FakeDecoder:
+    """Decoder factory: PilDecoder when Pillow is importable and real
+    decode is wanted, FakeDecoder otherwise.  Callers that feed synthetic
+    (non-codec) payloads — media_features over the synth corpus — must
+    pass prefer_real=False."""
+    cls = PilDecoder if (prefer_real and HAVE_PIL) else FakeDecoder
+    return cls(**kwargs)
+
+
 class Resizer:
     """Actor-pool resize stage (images): clamps the decoded dimensions to
     fit a target box preserving aspect ratio and emits a deterministic

@@ -51,23 +51,24 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     vals: list[str] = []
     counts = np.zeros(n + 1, dtype=np.int64)
 
+    starts_list = starts.tolist()  # plain-int compares in the hot loop
     row = 0
-    row_end = starts[1] - 1 if n else 0
+    row_end = starts_list[1] - 1 if n else 0
     for m in TOKEN_RE.finditer(joined):
         pos = m.start()
-        if pos > row_end:  # advance to the owning row (matches are ordered)
-            row = int(np.searchsorted(starts, pos, side="right")) - 1
-            row_end = starts[row + 1] - 1
-        key = m.group(1)
+        while pos > row_end:  # advance to the owning row (matches are
+            row += 1          # ordered, so the walk is amortized O(rows))
+            row_end = starts_list[row + 1] - 1
+        key, val = m.group(1, 2)
         if key == PSEUDO_FIELDS[0]:  # node -> envelope
             if nodes[row] is None:
-                nodes[row] = m.group(2)
+                nodes[row] = val
             continue
         if key == PSEUDO_FIELDS[1]:  # type -> record kind
-            kinds[row] = m.group(2)
+            kinds[row] = val
             continue
         keys.append(key)
-        vals.append(strip_quotes(m.group(2)))
+        vals.append(strip_quotes(val))
         counts[row + 1] += 1
 
     offsets = pa.array(np.cumsum(counts), pa.int32())

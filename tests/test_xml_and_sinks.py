@@ -232,3 +232,34 @@ class TestXsdViolations:
     def test_violations_raise(self, bad, frag):
         with pytest.raises(XmlValidationError):
             validate_event_xml(frag)
+
+
+# ---------------- optional real image decode (round 3) --------------------
+
+def test_make_decoder_falls_back_without_pil():
+    from aushape_ray.functions import media
+
+    dec = media.make_decoder()
+    if not media.HAVE_PIL:
+        assert type(dec) is media.FakeDecoder
+    else:
+        assert type(dec) is media.PilDecoder
+    # fake path must stay total for synthetic payloads either way
+    out = media.make_decoder(prefer_real=False)._decode("image", b"not-a-png")
+    assert set(out) == {"width", "height", "frames"}
+
+
+@pytest.mark.skipif(
+    not __import__("aushape_ray.functions.media", fromlist=["HAVE_PIL"]).HAVE_PIL,
+    reason="Pillow not installed in this container")
+def test_pil_decoder_reads_real_png():
+    import io
+
+    from PIL import Image
+
+    from aushape_ray.functions.media import PilDecoder
+
+    buf = io.BytesIO()
+    Image.new("RGB", (31, 17)).save(buf, format="PNG")
+    out = PilDecoder()._decode("image", buf.getvalue())
+    assert (out["width"], out["height"], out["frames"]) == (31, 17, 1)
