@@ -184,3 +184,39 @@ def hll_distinct(ds: "ray.data.Dataset", column: str, p: int = 12) -> float:
     for r in parts:
         acc.merge(HyperLogLog.from_bytes(r["sketch"], p))
     return acc.estimate()
+
+
+def exact_quantiles(ds: "ray.data.Dataset", col: str,
+                    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+                    tie_cols: "tuple[str, ...]" = ()) -> "list[tuple[float, float]]":
+    """EXACT distributed quantiles by global-rank selection — the exact
+    counterpart of the mergeable KllSketch (error vs exact is reported by
+    events_quantiles_sketch; this operator is the ground-truth path).
+
+    Scale shape: ONE distributed sort (Ray's sample-based range
+    partition), then per-block row counts (a few ints per block on the
+    driver — never the data), then `split_at_indices` + `take(1)` per
+    target rank, which reads only the first rows of the split boundary
+    blocks.  Rank convention: zero-based rank floor(q * (n-1)) of the
+    ascending order — the same element a single-process
+    sorted(x)[floor(q*(n-1))] selects, SQL-expressible as a row_number
+    filter.  Ties: ranked by `col` alone, so equal values make the
+    selected VALUE deterministic regardless of tie order."""
+    import math
+
+    s = ds.sort(key=[col] + list(tie_cols)).materialize()
+    counts = [r["c"] for r in s.map_batches(
+        lambda t: pa.table({"c": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).take_all()]
+    n = sum(counts)
+    if n == 0:
+        return [(q, float("nan")) for q in qs]
+    ranks = [min(n - 1, math.floor(q * (n - 1))) for q in qs]
+    # split_at_indices wants increasing indices; dedupe then map back
+    uniq = sorted(set(ranks))
+    parts = s.split_at_indices(uniq)
+    val_at = {}
+    for r, part in zip(uniq, parts[1:]):
+        row = part.take(1)
+        val_at[r] = float(row[0][col]) if row else float("nan")
+    return [(q, val_at[r]) for q, r in zip(qs, ranks)]

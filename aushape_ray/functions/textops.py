@@ -8,6 +8,8 @@ value-hashes match exactly.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -180,3 +182,104 @@ def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(out, pa.int64()),
     })
+
+
+def shared_term_pairs(docs: "ray.data.Dataset", min_shared: int = 10,
+                      max_df: int = 50, n_parts: int = 32):
+    """Inverted-index candidate join: document pairs sharing >= min_shared
+    distinct terms, with document-frequency pruning — the exact sparse
+    counterpart of MinHash-LSH candidate generation (classic
+    term-partitioned MapReduce self-join).
+
+    Scale shape: postings (term_bucket, term, doc_id) shuffle ONCE by a
+    coarse term-hash bucket; every posting of a term lands in the same
+    bucket task, so per-term document frequency is computed locally there
+    and terms with df < 2 or df > max_df are dropped before any pair is
+    emitted (the DF cap is the lever that bounds pair fan-out: a term
+    contributes <= C(max_df, 2) pairs).  Pair partials then shuffle by a
+    coarse pair-hash partition and sum vectorized.  No driver
+    materialization; both exchanges carry only integer/term rows.
+
+    Terms: ASCII [a-z]+ runs of the raw text, deduplicated per document
+    — identical to the SQL form unnest(regexp_extract_all(text, '[a-z]+'))
+    (no lower(): Unicode case-folding differs subtly between engines).
+    Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
+    """
+    import re
+
+    from .joins import hash_part
+
+    word = re.compile(r"[a-z]+")
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_doc: list[int] = []
+        o_term: list[str] = []
+        for d, t in zip(ids, texts):
+            terms = set(word.findall(t or ""))
+            o_doc.extend([d] * len(terms))
+            o_term.extend(terms)
+        tb = np.array([zlib.crc32(s.encode()) for s in o_term],
+                      dtype=np.int64) % n_parts
+        return pa.table({
+            "term_bucket": pa.array(tb, pa.int32()),
+            "term": pa.array(o_term, pa.string()),
+            "doc_id": pa.array(o_doc, pa.int64()),
+        })
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        term = g.column("term").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-term posting runs via a factorize + stable sort
+        codes, _ = pd.factorize(term)
+        order = np.argsort(codes, kind="stable")
+        c2, d2 = codes[order], doc[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], c2[1:] != c2[:-1]]))
+        counts = np.diff(np.append(bounds, len(c2)))
+        o_a: list[np.ndarray] = []
+        o_b: list[np.ndarray] = []
+        for s, c in zip(bounds.tolist(), counts.tolist()):
+            if c < 2 or c > max_df:
+                continue  # DF pruning: singleton or stopword-grade term
+            ds_ = np.sort(d2[s:s + c])
+            iu, ju = np.triu_indices(c, k=1)
+            o_a.append(ds_[iu])
+            o_b.append(ds_[ju])
+        if not o_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        a = np.concatenate(o_a)
+        b = np.concatenate(o_b)
+        part = hash_part(a * np.int64(1_000_003) + b, n_parts)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "part": pa.array(part, pa.int32())})
+
+    pairs_in_bucket.__name__ = "pairs_in_bucket"
+
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a2, b2 = a[order], b[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]))
+        n = np.diff(np.append(bounds, len(a2)))
+        keep = n >= min_shared
+        return pa.table({
+            "doc_a": pa.array(a2[bounds][keep], pa.int64()),
+            "doc_b": pa.array(b2[bounds][keep], pa.int64()),
+            "n_shared": pa.array(n[keep].astype(np.int64), pa.int64()),
+        })
+
+    sum_pairs.__name__ = "sum_pairs"
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    cand = post.groupby("term_bucket", num_partitions=n_parts).map_groups(
+        pairs_in_bucket, batch_format="pyarrow")
+    return cand.groupby("part", num_partitions=n_parts).map_groups(
+        sum_pairs, batch_format="pyarrow")

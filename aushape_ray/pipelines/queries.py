@@ -1677,6 +1677,70 @@ FROM (SELECT UNNEST(regexp_extract_all(text, '[a-z]+')) AS tok FROM documents)
 GROUP BY tok ORDER BY n DESC, tok LIMIT 30"""
 
 
+def q_doc_shared_term_pairs(sf_dir: str):
+    """Inverted-index exact candidate join: pairs of documents sharing
+    >= 28 distinct [a-z]+ terms, DF-pruned at 400 — the sparse exact
+    counterpart of MinHash candidates (see
+    functions/textops.shared_term_pairs for the two-exchange scale
+    shape).  The synthetic corpus has a dense 31-term vocabulary (every
+    term's df is 390-402 of 500 docs at sf0.01), so the cap is set to
+    prune only the near-universal terms; on a natural corpus the cap
+    binds hard and is the pair-fan-out lever."""
+    from ..functions.textops import shared_term_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return shared_term_pairs(ds, min_shared=28, max_df=400)
+
+
+def sql_doc_shared_term_pairs() -> str:
+    return """
+WITH postings AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-z]+')) AS tok
+    FROM documents)
+), kept AS (
+  SELECT tok FROM postings GROUP BY tok
+  HAVING count(*) BETWEEN 2 AND 400
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM postings a
+JOIN postings b ON a.tok = b.tok AND a.doc_id < b.doc_id
+JOIN kept k ON k.tok = a.tok
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 28"""
+
+
+def q_events_quantiles_exact(sf_dir: str):
+    """EXACT distributed quantiles of events.value by global-rank
+    selection (one sort exchange + split_at_indices; the ground-truth
+    counterpart of the KLL sketch query — see
+    functions/sketches.exact_quantiles)."""
+    from ..functions.sketches import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    qv = exact_quantiles(ds, "value")
+    return pa.table({
+        "q": pa.array([q for q, _ in qv], pa.float64()),
+        "value": pa.array([v for _, v in qv], pa.float64()),
+    })
+
+
+def sql_events_quantiles_exact() -> str:
+    # same rank convention: zero-based rank floor(q*(n-1)) of the
+    # ascending order; both engines evaluate q*(n-1) in IEEE doubles
+    return """
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM events
+), qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT qs.q::DOUBLE AS q, s.value::DOUBLE AS value
+FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
+
+
 def q_doc_idf(sf_dir: str):
     """Document frequency per token (the IDF numerator a filtering /
     weighting pipeline needs): per-batch per-doc DISTINCT tokens ->
@@ -2349,6 +2413,8 @@ def build_registry():
         "doc_normalize": q_doc_normalize,
         "emb_quantize_int8": q_emb_quantize_int8,
         "doc_top_tokens": q_doc_top_tokens,
+        "doc_shared_term_pairs": q_doc_shared_term_pairs,
+        "events_quantiles_exact": q_events_quantiles_exact,
         "doc_idf": q_doc_idf,
         "doc_contamination": q_doc_contamination,
         "doc_curation": q_doc_curation,
@@ -2420,6 +2486,8 @@ def _build_oracle(t01):
         "doc_sample": sql_doc_sample(),
         "doc_normalize": sql_doc_normalize(),
         "doc_top_tokens": sql_doc_top_tokens(),
+        "doc_shared_term_pairs": sql_doc_shared_term_pairs(),
+        "events_quantiles_exact": sql_events_quantiles_exact(),
         "doc_idf": sql_doc_idf(),
         "doc_contamination": sql_doc_contamination(),
         "doc_curation": sql_doc_curation(),

@@ -106,3 +106,71 @@ def test_simhash_unicode_and_doc_boundaries():
     assert got[1] == sh.simhash("e f g")
     assert got[2] == 0
     assert got[3] == sh.simhash("padded words here")
+
+
+def test_shared_term_pairs_matches_bruteforce(ray_session):
+    """Inverted-index pair join == brute-force shared-distinct-term
+    counts, including DF pruning at both ends (df=1 dropped, df>max_df
+    dropped)."""
+    import itertools
+
+    import ray.data
+
+    from aushape_ray.functions.textops import shared_term_pairs
+
+    import random
+    rng = random.Random(11)
+    vocab = [f"{a}{b}x" for a in "abcdefgh" for b in "abcde"]  # 40 words,
+    # letters only ([a-z]+ must not split a vocab word)
+    docs = []
+    for d in range(60):
+        terms = rng.sample(vocab, rng.randint(5, 25))
+        # "common" appears in every doc -> df 62 > max_df, always pruned
+        docs.append(" ".join(terms + [terms[0], "common"]))
+    docs.append("")                 # empty doc
+    docs.append("stop common " * 5)  # doc whose only kept term is df=1
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    max_df, min_shared = 30, 4
+    term_docs = {}
+    doc_terms = []
+    import re
+    for i, txt in enumerate(docs):
+        ts = set(re.findall(r"[a-z]+", txt))
+        doc_terms.append(ts)
+        for w in ts:
+            term_docs.setdefault(w, set()).add(i)
+    kept = {w for w, ds_ in term_docs.items() if 2 <= len(ds_) <= max_df}
+    want = {}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        n = len(doc_terms[a] & doc_terms[b] & kept)
+        if n >= min_shared:
+            want[(a, b)] = n
+
+    out = shared_term_pairs(ray.data.from_arrow(t).repartition(4),
+                            min_shared=min_shared, max_df=max_df,
+                            n_parts=8).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in out}
+    assert got == want
+    assert len(want) > 10  # the test must exercise real pairs
+
+
+def test_exact_quantiles_matches_numpy_rank(ray_session):
+    """Distributed rank selection == sorted(x)[floor(q*(n-1))], with
+    duplicates and multiple blocks."""
+    import math
+
+    import ray.data
+
+    from aushape_ray.functions.sketches import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.normal(size=997), 2)  # duplicates via rounding
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    got = exact_quantiles(ray.data.from_arrow(t).repartition(7),
+                          "value", qs=qs)
+    sv = np.sort(vals)
+    for q, v in got:
+        assert v == sv[min(len(sv) - 1, math.floor(q * (len(sv) - 1)))], q
