@@ -218,3 +218,52 @@ def interval_count_join(intervals: "ray.data.Dataset",
                          out_col: b.column(out_col).cast(pa.int64())})
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _split_by_bucket(tbl: pa.Table, n_buckets: int,
+                     col: str) -> "list[pa.Table]":
+    """Map side of bucket_reduce: slice one block into n_buckets
+    sub-tables by its precomputed bucket column."""
+    b = tbl.column(col).to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    st = tbl.take(pa.array(order, pa.int64()))
+    counts = np.bincount(b, minlength=n_buckets)
+    out, off = [], 0
+    for c in counts:
+        out.append(st.slice(off, int(c)))
+        off += int(c)
+    return out
+
+
+def bucket_reduce(ds: "ray.data.Dataset", n_buckets: int, reduce_fn,
+                  bucket_col: str = "b") -> "list[pa.Table]":
+    """Raw-Ray two-stage tree exchange for SMALL driver-bound
+    aggregations (hot-key detection, broadcast dict building).
+
+    ds must already carry an int bucket column in [0, n_buckets).  Every
+    block is split into per-bucket slices (one remote task per block,
+    num_returns=n_buckets), then one remote reduce task per bucket
+    concatenates its slices and applies reduce_fn(table) -> table.
+    Returns the resolved per-bucket result tables.
+
+    Rationale: Ray Data's sort-based groupby exchange carries ~2-3s of
+    fixed sampling/sort cost that dwarfs kilobyte-scale reductions
+    (measured: 3.9s for a 150k-row hot-key sweep vs 0.2s on this path).
+    Use the Dataset groupby when the reduced output is itself a Dataset
+    a pipeline keeps processing; use this when the result is about to be
+    ray.put as a broadcast side or turned into a driver dict anyway."""
+    import ray as _ray
+
+    if n_buckets < 2:
+        raise ValueError("bucket_reduce needs n_buckets >= 2")
+
+    split = _ray.remote(num_returns=n_buckets)(_split_by_bucket)
+
+    def _reduce(*tables: pa.Table) -> pa.Table:
+        return reduce_fn(pa.concat_tables(tables).combine_chunks())
+
+    red = _ray.remote(_reduce)
+    parts = [split.remote(ref, n_buckets, bucket_col)
+             for ref in ds.to_arrow_refs()]
+    return _ray.get([red.remote(*[p[b] for p in parts])
+                     for b in range(n_buckets)])

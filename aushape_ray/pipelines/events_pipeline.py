@@ -168,28 +168,55 @@ def build_events(ds: "ray.data.Dataset",
 def _find_hot_convs(ds: "ray.data.Dataset", cfg: PipelineConfig) -> dict[str, int]:
     """Pre-pass: conv_id -> salt chunk size for conversations longer than
     salt_threshold.  Reads only the conv_id column; per-batch partial
-    counts, then a tiny groupby — the standard hot-key detection sweep."""
+    counts, then a raw-Ray bucket_reduce tree exchange (hash(conv_id)
+    bucket, vectorized pandas sum, > threshold filter pushed into the
+    reduce task) so only hot rows ever reach the driver.  bucket_reduce
+    is the right exchange here because the result IS a driver dict (the
+    broadcast salt table): Ray Data's sort-based Sum aggregate carries
+    ~3s of fixed exchange cost at any size (see joins.bucket_reduce)."""
     import math
+    import zlib
 
+    import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Sum
+
+    from ..functions.joins import bucket_reduce
+
+    thresh = cfg.salt_threshold
+    n_buckets = 16
 
     def partial(batch: pa.Table) -> pa.Table:
         vc = batch.column("conv_id").combine_chunks().value_counts()
+        vals = vc.field("values")
+        b = np.fromiter(
+            (zlib.crc32(s.encode()) for s in vals.to_pylist()),
+            dtype=np.int64, count=len(vals)) % n_buckets
         return pa.table({
-            "conv_id": vc.field("values"),
+            "b": pa.array(b, pa.int32()),
+            "conv_id": vals,
             "n": vc.field("counts").cast(pa.int64()),
         })
 
-    counts = ds.select_columns(["conv_id"]).map_batches(
-        partial, batch_format="pyarrow"
-    ).groupby("conv_id").aggregate(Sum("n", alias_name="n"))
-    thresh = cfg.salt_threshold
-    big = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("n"), thresh)),
-        batch_format="pyarrow",
-    ).take_all()
-    return {r["conv_id"]: math.ceil(r["n"] / cfg.n_salts) for r in big}
+    def hot_in_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(
+            g.column("n").to_numpy(zero_copy_only=False),
+            index=g.column("conv_id").to_pylist()).groupby(level=0).sum()
+        keep = s[s > thresh]
+        return pa.table({
+            "conv_id": pa.array(keep.index.to_list(), pa.string()),
+            "n": pa.array(keep.to_numpy(), pa.int64()),
+        })
+
+    partials = ds.select_columns(["conv_id"]).map_batches(
+        partial, batch_format="pyarrow")
+    hot: dict[str, int] = {}
+    for tbl in bucket_reduce(partials, n_buckets, hot_in_bucket):
+        for cid, n in zip(tbl.column("conv_id").to_pylist(),
+                          tbl.column("n").to_pylist()):
+            hot[cid] = math.ceil(n / cfg.n_salts)
+    return hot
 
 
 def events_for(sf_dir: str, cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":

@@ -174,3 +174,41 @@ def test_exact_quantiles_matches_numpy_rank(ray_session):
     sv = np.sort(vals)
     for q, v in got:
         assert v == sv[min(len(sv) - 1, math.floor(q * (len(sv) - 1)))], q
+
+
+def test_bucket_reduce_tree_exchange(ray_session):
+    """Raw-Ray bucket_reduce == per-bucket reduce over the full dataset,
+    across multiple input blocks."""
+    import ray.data
+
+    from aushape_ray.functions.joins import bucket_reduce
+
+    rng = np.random.default_rng(8)
+    k = rng.integers(0, 1000, 5000, dtype=np.int64)
+    v = rng.integers(1, 10, 5000, dtype=np.int64)
+    t = pa.table({"b": pa.array((k % 4).astype(np.int32), pa.int32()),
+                  "k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+
+    def per_key_sum(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(g.column("v").to_numpy(zero_copy_only=False),
+                      index=g.column("k").to_numpy(zero_copy_only=False)
+                      ).groupby(level=0).sum()
+        return pa.table({"k": pa.array(s.index.to_numpy(), pa.int64()),
+                         "v": pa.array(s.to_numpy(), pa.int64())})
+
+    out = bucket_reduce(ray.data.from_arrow(t).repartition(6), 4,
+                        per_key_sum)
+    got = {}
+    for tbl in out:
+        for kk, vv in zip(tbl.column("k").to_pylist(),
+                          tbl.column("v").to_pylist()):
+            assert kk not in got  # each key in exactly one bucket
+            got[kk] = vv
+    import collections
+    want = collections.defaultdict(int)
+    for kk, vv in zip(k.tolist(), v.tolist()):
+        want[kk] += vv
+    assert got == dict(want)
