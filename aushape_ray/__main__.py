@@ -31,7 +31,9 @@ def _size(v: str) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="aushape_ray")
-    ap.add_argument("input_dir", help="directory of transcript parquet shards")
+    ap.add_argument("input_dir", help="directory of transcript parquet "
+                    "shards (or raw audit.log files with --input-format "
+                    "rawlog)")
     ap.add_argument("out_dir", help="output directory (per-sink parquet)")
     ap.add_argument("--with-norm", action="store_true")
     ap.add_argument("--no-text", action="store_true")
@@ -42,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="split conversations longer than this over "
                          "multiple partitions (salted-key skew handling)")
     ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
+    ap.add_argument("--input-format", choices=["parquet", "rawlog"],
+                    default="parquet",
+                    help="rawlog: raw auditd text lines (node=/type= "
+                    "msg=audit(ts:serial) framing), one task per file")
     ap.add_argument("--format", choices=["parquet", "jsonl", "xml", "syslog"],
                     default="parquet",
                     help="sink format: parquet (continuous, S3 analogue), "
@@ -113,7 +119,19 @@ def main(argv: list[str] | None = None) -> int:
             write_routed,
         )
 
-        if args.contiguous:
+        if args.input_format == "rawlog":
+            import glob as _glob
+            import os as _os
+
+            from .pipelines.events_pipeline import _configure_shuffle
+            from .sources.rawlog import read_audit_log
+
+            _configure_shuffle(cfg)
+            files = sorted(
+                f for f in _glob.glob(_os.path.join(args.input_dir, "*"))
+                if _os.path.isfile(f))
+            events = build_events(read_audit_log(files), cfg)
+        elif args.contiguous:
             from .pipelines.events_pipeline import events_from_shards
             from .state.manifest import find_shards
 

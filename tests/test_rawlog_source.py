@@ -1,0 +1,110 @@
+"""Raw audit.log text source: line parsing, framing edge cases, and an
+end-to-end round trip through the distributed pipeline vs the
+single-process oracle."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aushape_ray.sources.rawlog import (
+    format_audit_lines,
+    parse_audit_lines,
+    read_audit_log,
+    write_audit_log,
+)
+
+
+class TestLineParsing:
+    def test_standard_line(self):
+        t = parse_audit_lines(
+            ['node=h1 type=SYSCALL msg=audit(1690000000.123:42): '
+             'syscall=59 uid=0'])
+        assert t.num_rows == 1
+        r = t.to_pylist()[0]
+        assert r["conv_id"] == "42"
+        assert r["turn_idx"] == 0
+        assert r["text"] == "node=h1 type=SYSCALL syscall=59 uid=0"
+        assert r["role"] == "tool"
+        assert r["ts"].timestamp() == 1690000000.123
+
+    def test_no_node_and_short_ms(self):
+        t = parse_audit_lines(['type=LOGIN msg=audit(5.7:x9): uid=1'])
+        r = t.to_pylist()[0]
+        assert r["conv_id"] == "x9"
+        assert r["text"] == "type=LOGIN uid=1"
+        assert r["role"] == "system"
+        # ".7" means 700 ms, not 7 ms (left-aligned fraction)
+        assert r["ts"].timestamp() == 5.7
+
+    def test_chatter_skipped_and_serial_sequencing(self):
+        t = parse_audit_lines([
+            "auditd started",  # daemon chatter: no audit stamp
+            "type=A msg=audit(1.000:7): k=1",
+            "type=B msg=audit(1.000:8): k=2",
+            "type=C msg=audit(1.001:7): k=3",  # serial 7 continues
+        ])
+        rows = t.to_pylist()
+        assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+            ("7", 0), ("8", 0), ("7", 1)]
+
+    def test_empty_payload(self):
+        t = parse_audit_lines(["type=EOE msg=audit(2.000:5):"])
+        assert t.to_pylist()[0]["text"] == "type=EOE"
+
+    def test_format_parse_inverse(self):
+        tbl = pa.table({
+            "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["system", "tool", "system"], pa.string()),
+            "text": pa.array(["node=n type=LOGIN uid=5",
+                              "node=n type=EXECVE argc=1 a0=\"ls\"",
+                              "type=MSG p=1"], pa.string()),
+            "tool": pa.array(["", "shell", ""], pa.string()),
+            "ts": pa.array([1_000_000, 2_000_000, 3_500_000],
+                           pa.timestamp("us")),
+        })
+        back = parse_audit_lines(format_audit_lines(tbl))
+        assert back.column("conv_id").to_pylist() == ["c1", "c1", "c2"]
+        assert back.column("turn_idx").to_pylist() == [0, 1, 0]
+        assert back.column("text").to_pylist() == tbl.column(
+            "text").to_pylist()
+        assert back.column("ts").to_pylist() == tbl.column(
+            "ts").to_pylist()
+
+
+def test_rawlog_roundtrip_pipeline_vs_oracle(ray_session, tmp_path):
+    """sf0.001 transcripts -> raw audit.log chunks -> read_audit_log ->
+    distributed shuffle pipeline == single-process oracle over the very
+    same parsed table (routed counts and event count)."""
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.fixtures import transcripts_path
+    from aushape_ray.oracle import assemble_events, sink_counts as osc
+    from aushape_ray.pipelines.events_pipeline import (build_events,
+                                                       sink_counts)
+
+    src = pq.read_table(transcripts_path("/root/testdata/sf0.001"))
+    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    # split into two chunk files at a conversation boundary
+    conv = src.column("conv_id").to_pylist()
+    half_conv = conv[len(conv) // 2]
+    cut = next(i for i, c in enumerate(conv) if c >= half_conv
+               and (i == 0 or conv[i - 1] < half_conv))
+    f1, f2 = str(tmp_path / "audit.log.1"), str(tmp_path / "audit.log.2")
+    n1 = write_audit_log(src.slice(0, cut), f1)
+    n2 = write_audit_log(src.slice(cut), f2)
+    assert n1 and n2
+
+    # reader output table for the oracle side (same data both sides)
+    parsed = pa.Table.from_pylist(read_audit_log([f1, f2]).take_all())
+
+    cfg = PipelineConfig(num_parts=8)
+    events = build_events(read_audit_log([f1, f2]), cfg)
+    got = {r["sink"]: r["count()"]
+           for r in sink_counts(events).take_all()}
+    oracle_events = assemble_events(parsed)
+    want = osc(oracle_events)
+    assert got == want
+    # every conversation yields at most one event; the corpus has one
+    # all-EOE conversation that assembles to None on both sides
+    assert sum(got.values()) == len(oracle_events)
+    assert len(set(conv)) - 1 <= len(oracle_events) <= len(set(conv))
