@@ -22,33 +22,36 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class BatchTopK:
-    """Per-batch cosine top-k against a broadcast query matrix."""
+def make_batch_topk(queries_ref, k: int):
+    """STATELESS per-batch cosine top-k against a broadcast query matrix.
 
-    def __init__(self, queries_ref, k: int) -> None:
-        q = ray.get(queries_ref)  # {"ids": int64[nq], "mat": float64[nq, d]}
-        self.q_ids = q["ids"]
-        self.q = _normalize(q["mat"])
-        self.k = k
+    A plain task function, not an actor pool: ray.get of the broadcast
+    ref is a zero-copy plasma read after the first per-node fetch, and
+    stateless tasks avoid the actor-pool MapWorker's in-flight-batch GIL
+    sharing (measured ~10x per-batch inflation — see perf notes)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id"))
-        mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        sims = self.q @ _normalize(mat).T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        out_q, out_n, out_s = [], [], []
-        # partial top-k per query within this batch
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                out_q.append(int(self.q_ids[qi]))
-                out_n.append(int(ids[j]))
-                out_s.append(float(sims[qi, j]))
+    def topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)  # {"ids": int64[nq], "mat": f64[nq, d]}
+        q_ids = q["ids"]
+        qm = _normalize(q["mat"])
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        mat = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        sims = qm @ _normalize(mat).T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        # partial top-k per query within this batch, fully vectorized
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        nq = sims.shape[0]
+        qidx = np.repeat(np.arange(nq), kk)
+        flat = idx.ravel()
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(q_ids[qidx], pa.int64()),
+            "neighbor_id": pa.array(ids[flat], pa.int64()),
+            "cosine": pa.array(sims[qidx, flat], pa.float64()),
         })
+
+    topk.__name__ = "batch_topk"
+    return topk
 
 
 def brute_force_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
@@ -71,8 +74,8 @@ def brute_force_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     ref = ray.put({"ids": q_ids, "mat": q_mat})
 
     partials = ds.map_batches(
-        BatchTopK, fn_constructor_args=(ref, k + (1 if exclude_self else 0)),
-        batch_format="pyarrow", concurrency=(1, 8),
+        make_batch_topk(ref, k + (1 if exclude_self else 0)),
+        batch_format="pyarrow",
     ).take_all()
 
     # tiny global merge on the driver (nq * k * n_batches rows)
