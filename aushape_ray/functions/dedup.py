@@ -333,7 +333,10 @@ def minhash_candidates(ds: "ray.data.Dataset", n_parts: int = 64,
     MAX_BUCKET_PAIRS_N at corpus scale when the pairs only feed
     clustering/dedup (star fallback bounds degenerate buckets while
     preserving connectivity — see _make_pairs_in_partition)."""
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    # instance-as-function: the (a, b) hash matrix is built once on the
+    # driver and pickled into stateless tasks — no actor pool (GIL
+    # inflation, see perf notes)
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
     pairs = bands.map_batches(
         lambda t: _add_band_bucket_part(t, n_parts),

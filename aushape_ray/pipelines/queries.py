@@ -159,6 +159,27 @@ def _token_interp_counts(sf_dir: str, token_key: str) -> "ray.data.Dataset":
         "interpreted").aggregate(Sum("n", alias_name="n"))
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _bcast(ref, build=None):
+    """Per-worker-process cache for broadcast objects: ray.get is already
+    zero-copy after the first per-node fetch, but derived structures
+    (pd.Series indexes etc.) are worth building once per process.
+    Stateless tasks + this cache replace actor pools for broadcast-lookup
+    stages (the actor-pool MapWorker shares the GIL across in-flight
+    batches — measured ~10x per-batch inflation, see perf notes)."""
+    import ray as _ray_
+
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref), id(build))
+    if key not in _BCAST_CACHE:
+        obj = _ray_.get(ref)
+        _BCAST_CACHE[key] = build(obj) if build else obj
+        if len(_BCAST_CACHE) > 64:  # bound worker memory across queries
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+    return _BCAST_CACHE[key]
+
+
 def _cents(col) -> "pa.Array":
     v = np.asarray(col, dtype=np.float64)
     return pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64())
@@ -697,30 +718,26 @@ def q_mktsegment_orders(sf_dir: str):
     ).to_pandas()
     seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class JoinSeg:
-        def __init__(self) -> None:
-            # broadcast dict -> pd.Series once per actor; per-batch lookups
-            # are then one vectorized reindex (cython hash probe), not a
-            # per-row Python .get() loop
-            self.seg = pd.Series(_ray.get(seg_ref), dtype="object")
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            segs = self.seg.reindex(keys).to_numpy()
-            # drop orders with no matching customer: INNER join semantics,
-            # matching the oracle even under referential-integrity gaps
-            df = pd.DataFrame({
-                "c_mktsegment": segs,
-                "cents": np.asarray(_cents(batch.column("o_totalprice"))),
-            }).dropna(subset=["c_mktsegment"])
-            g = df.groupby("c_mktsegment", as_index=False).agg(
-                n_orders=("cents", "size"), total_cents=("cents", "sum"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def join_seg(batch: pa.Table) -> pa.Table:
+        # broadcast dict -> pd.Series once per worker process (_bcast);
+        # per-batch lookups are one vectorized reindex (cython hash
+        # probe), not a per-row Python .get() loop
+        seg = _bcast(seg_ref, lambda d: pd.Series(d, dtype="object"))
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        segs = seg.reindex(keys).to_numpy()
+        # drop orders with no matching customer: INNER join semantics,
+        # matching the oracle even under referential-integrity gaps
+        df = pd.DataFrame({
+            "c_mktsegment": segs,
+            "cents": np.asarray(_cents(batch.column("o_totalprice"))),
+        }).dropna(subset=["c_mktsegment"])
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    return orders.map_batches(JoinSeg, batch_format="pyarrow",
-                              concurrency=(1, 4)).groupby(
+    return orders.map_batches(join_seg, batch_format="pyarrow").groupby(
         "c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_cents", alias_name="total_cents"))
@@ -1471,7 +1488,7 @@ def q_doc_lang_id(sf_dir: str):
 
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(LangId(), batch_format="pyarrow")
 
 
 def sql_doc_lang_id() -> str:
@@ -1802,23 +1819,26 @@ def q_doc_contamination(sf_dir: str):
     needle list is tiny and compiled per actor; output = contaminated
     docs with their hit count."""
 
-    class Scan:
-        def __init__(self) -> None:
-            self.needles = CONTAMINATION_NEEDLES
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_pylist()
-            hits = [sum(1 for nd in self.needles if nd in (t or ""))
-                    for t in b.column("text").to_pylist()]
-            keep = [(i, h) for i, h in zip(ids, hits) if h]
-            return pa.table({
-                "doc_id": pa.array([i for i, _ in keep], pa.int64()),
-                "n_hits": pa.array([h for _, h in keep], pa.int64()),
-            })
+    def scan(b: pa.Table) -> pa.Table:
+        # Arrow C++ substring search per needle — the needle set is a
+        # module constant, so the stage is stateless tasks
+        text = b.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        hits = np.zeros(b.num_rows, dtype=np.int64)
+        for nd in CONTAMINATION_NEEDLES:
+            hits += pc.match_substring(text, nd).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+        keep = hits > 0
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_hits": pa.array(hits[keep], pa.int64()),
+        })
 
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(Scan, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(scan, batch_format="pyarrow")
 
 
 def sql_doc_contamination() -> str:
@@ -1965,23 +1985,18 @@ def q_doc_curation(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
-    class QualityAndLang:
-        """Per-row predicates fuse into ONE scan (quality + lang share
-        the batch); only the joins that genuinely need another dataset
-        (dedup representative, contamination) shuffle."""
+    def quality_and_lang(t: pa.Table) -> pa.Table:
+        # per-row predicates fuse into ONE scan (quality + lang share
+        # the batch); only the joins that genuinely need another dataset
+        # (dedup representative, contamination) shuffle.  LangId's
+        # compiled state is microseconds to build — stateless tasks.
+        q = quality_score(t)
+        lg = LangId()(t)
+        ok = pc.and_(pc.greater_equal(q.column("quality"), 70),
+                     pc.equal(lg.column("lang_pred"), "en"))
+        return pa.table({"doc_id": t.filter(ok).column("doc_id")})
 
-        def __init__(self) -> None:
-            self.lang = LangId()
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            q = quality_score(t)
-            lg = self.lang(t)
-            ok = pc.and_(pc.greater_equal(q.column("quality"), 70),
-                         pc.equal(lg.column("lang_pred"), "en"))
-            return pa.table({"doc_id": t.filter(ok).column("doc_id")})
-
-    ql_ok = docs.map_batches(QualityAndLang, batch_format="pyarrow",
-                             concurrency=(1, 4))
+    ql_ok = docs.map_batches(quality_and_lang, batch_format="pyarrow")
     keep = exact_dedup_keep_first(docs).map_batches(
         lambda t: pa.table({"kid": t.column("doc_id")}),
         batch_format="pyarrow")
