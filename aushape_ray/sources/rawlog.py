@@ -97,14 +97,25 @@ def read_audit_log(files: "list[str]") -> "ray.data.Dataset":
         load, batch_size=1, batch_format="numpy")
 
 
-def format_audit_lines(tbl: pa.Table) -> "list[str]":
+def format_audit_lines(tbl: pa.Table, sanitize: bool = False) -> "list[str]":
     """Transcript rows -> raw audit.log lines (inverse of
     parse_audit_lines; rows must already be in (conv_id, turn_idx)
-    order within the table, as one contiguity chunk)."""
+    order within the table, as one contiguity chunk).
+
+    Raw newlines inside a record would corrupt the line framing on
+    read-back — auditd itself never emits them (the kernel hex-encodes
+    such payloads).  Default: raise.  sanitize=True replaces them with
+    spaces (the lossy thing log shippers do), explicitly opted into."""
     lines = []
     for cid, text, ts in zip(tbl.column("conv_id").to_pylist(),
                              tbl.column("text").to_pylist(),
                              tbl.column("ts").cast(pa.int64()).to_pylist()):
+        if text and ("\n" in text or "\r" in text):
+            if not sanitize:
+                raise ValueError(
+                    "write_audit_log: text contains a newline; pass "
+                    "sanitize=True (lossy) or hex-encode upstream")
+            text = text.replace("\r", " ").replace("\n", " ")
         t = text or "type=UNKNOWN"
         m = _KIND_RE.search(t)
         if m:
@@ -118,10 +129,10 @@ def format_audit_lines(tbl: pa.Table) -> "list[str]":
     return lines
 
 
-def write_audit_log(tbl: pa.Table, path: str) -> int:
+def write_audit_log(tbl: pa.Table, path: str, sanitize: bool = False) -> int:
     """Serialize one transcript chunk to a raw audit.log file; returns
     the line count (test/round-trip helper)."""
-    lines = format_audit_lines(tbl)
+    lines = format_audit_lines(tbl, sanitize=sanitize)
     with open(path, "w", encoding="utf-8") as f:
         for ln in lines:
             f.write(ln + "\n")

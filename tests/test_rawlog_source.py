@@ -90,8 +90,10 @@ def test_rawlog_roundtrip_pipeline_vs_oracle(ray_session, tmp_path):
     cut = next(i for i, c in enumerate(conv) if c >= half_conv
                and (i == 0 or conv[i - 1] < half_conv))
     f1, f2 = str(tmp_path / "audit.log.1"), str(tmp_path / "audit.log.2")
-    n1 = write_audit_log(src.slice(0, cut), f1)
-    n2 = write_audit_log(src.slice(cut), f2)
+    # the corpus contains control-char texts -> sanitize (lossy but
+    # consistent: the oracle runs on the same read-back table)
+    n1 = write_audit_log(src.slice(0, cut), f1, sanitize=True)
+    n2 = write_audit_log(src.slice(cut), f2, sanitize=True)
     assert n1 and n2
 
     # reader output table for the oracle side (same data both sides)
@@ -108,3 +110,66 @@ def test_rawlog_roundtrip_pipeline_vs_oracle(ray_session, tmp_path):
     # all-EOE conversation that assembles to None on both sides
     assert sum(got.values()) == len(oracle_events)
     assert len(set(conv)) - 1 <= len(oracle_events) <= len(set(conv))
+
+
+def test_writer_rejects_embedded_newlines():
+    tbl = pa.table({
+        "conv_id": pa.array(["c1"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["system"], pa.string()),
+        "text": pa.array(["type=MSG a=1\nb=2"], pa.string()),
+        "tool": pa.array([""], pa.string()),
+        "ts": pa.array([1], pa.timestamp("us")),
+    })
+    with pytest.raises(ValueError, match="newline"):
+        format_audit_lines(tbl)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_payload_char = st.characters(
+    blacklist_characters="\n\r", blacklist_categories=("Cs",))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+                min_size=1, max_size=8),                       # serial
+        st.text(alphabet=_payload_char, max_size=40),          # payload
+        st.integers(min_value=0, max_value=2**40),             # ts ms
+    ), max_size=20))
+def test_rawlog_roundtrip_property(rows):
+    """format -> parse is the identity on (conv_id, text, ts-at-ms) for
+    any newline-free payload and serial token."""
+    tbl_rows = []
+    per_serial: dict = {}
+    for serial, payload, ts_ms in rows:
+        k = per_serial.get(serial, 0)
+        per_serial[serial] = k + 1
+        text = ("type=KIND " + payload).strip()
+        tbl_rows.append({
+            "conv_id": serial, "turn_idx": k, "role": "system",
+            "text": text, "tool": "", "ts": ts_ms * 1000})
+    if not tbl_rows:
+        return
+    tbl = pa.table({
+        "conv_id": pa.array([r["conv_id"] for r in tbl_rows], pa.string()),
+        "turn_idx": pa.array([r["turn_idx"] for r in tbl_rows], pa.int32()),
+        "role": pa.array([r["role"] for r in tbl_rows], pa.string()),
+        "text": pa.array([r["text"] for r in tbl_rows], pa.string()),
+        "tool": pa.array([r["tool"] for r in tbl_rows], pa.string()),
+        "ts": pa.array([r["ts"] for r in tbl_rows], pa.timestamp("us")),
+    })
+    back = parse_audit_lines(format_audit_lines(tbl))
+    assert back.column("conv_id").to_pylist() == tbl.column(
+        "conv_id").to_pylist()
+    # payload may collapse leading spaces around the stamp; compare the
+    # canonical "pre payload" form both directions
+    got_texts = back.column("text").to_pylist()
+    want_texts = [" ".join((t or "").split(" ")) for t in
+                  tbl.column("text").to_pylist()]
+    assert [" ".join(t.split(" ")) for t in got_texts] == want_texts
+    assert back.column("ts").cast(pa.int64()).to_pylist() == tbl.column(
+        "ts").cast(pa.int64()).to_pylist()
