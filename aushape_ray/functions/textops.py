@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray.data
+
 # ASCII punctuation as an explicit class — identical semantics in the
 # DuckDB oracle regex.
 _PUNCT_CLASS = r"""[!-/:-@\[-`{-~]"""
@@ -250,10 +252,12 @@ def shared_term_pairs(docs: "ray.data.Dataset", min_shared: int = 10,
             iu, ju = np.triu_indices(c, k=1)
             o_a.append(ds_[iu])
             o_b.append(ds_[ju])
-        if not o_a:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "part": pa.array([], pa.int32())})
+        # sentinel row (doc_a = -1, filtered in sum_pairs): guarantees
+        # the second groupby always has >= 1 group, so a fully-pruned
+        # corpus still yields a SCHEMA-carrying empty result instead of
+        # a zero-block dataset with no schema
+        o_a.append(np.array([-1], np.int64))
+        o_b.append(np.array([-1], np.int64))
         a = np.concatenate(o_a)
         b = np.concatenate(o_b)
         part = hash_part(a * np.int64(1_000_003) + b, n_parts)
@@ -266,6 +270,8 @@ def shared_term_pairs(docs: "ray.data.Dataset", min_shared: int = 10,
     def sum_pairs(g: pa.Table) -> pa.Table:
         a = g.column("doc_a").to_numpy(zero_copy_only=False)
         b = g.column("doc_b").to_numpy(zero_copy_only=False)
+        real = a >= 0  # drop the schema-stabilizing sentinel rows
+        a, b = a[real], b[real]
         order = np.lexsort((b, a))
         a2, b2 = a[order], b[order]
         bounds = np.flatnonzero(np.concatenate(

@@ -1717,7 +1717,11 @@ def q_doc_shared_term_pairs(sf_dir: str):
     shape).  The synthetic corpus has a dense 31-term vocabulary (every
     term's df is 390-402 of 500 docs at sf0.01), so the cap is set to
     prune only the near-universal terms; on a natural corpus the cap
-    binds hard and is the pair-fan-out lever."""
+    binds hard and is the pair-fan-out lever.  At sf>=0.1 every term of
+    this synthetic vocabulary exceeds the cap (df ~3900 of 5000) and the
+    result is intentionally empty — a corpus-relative cap would admit
+    C(4000,2)-scale fan-out per term, the exact explosion the cap
+    exists to prevent."""
     from ..functions.textops import shared_term_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
