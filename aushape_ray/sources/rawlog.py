@@ -41,42 +41,78 @@ TOOL_KINDS = frozenset({"EXECVE", "PATH", "CWD", "SYSCALL", "PROCTITLE"})
 _KIND_RE = re.compile(r"type=(\S+)")
 
 
+# Arrow/RE2 form of _LINE_RE for the vectorized extract (same groups,
+# plus kind captured directly)
+_ARROW_LINE_RE = (r"^(?P<pre>(?:node=\S+ )?type=(?P<kind>\S+)) "
+                  r"msg=audit\((?P<sec>\d+)\.(?P<ms>\d{1,3}):"
+                  r"(?P<serial>\S+?)\):? ?(?P<payload>.*)$")
+
+
 def parse_audit_lines(lines: "list[str]") -> pa.Table:
     """One log chunk's lines -> transcript-shaped Arrow table.  Lines
     that do not carry an audit stamp are skipped (auditd writes daemon
-    chatter like DAEMON_START without the standard framing)."""
-    conv: list[str] = []
-    text: list[str] = []
-    role: list[str] = []
-    tool: list[str] = []
-    ts: list[int] = []
-    idx: list[int] = []
-    seq: dict[str, int] = {}
-    for line in lines:
-        m = _LINE_RE.match(line.rstrip("\n"))
-        if not m:
-            continue
-        serial = m.group("serial")
-        k = seq.get(serial, 0)
-        seq[serial] = k + 1
-        km = _KIND_RE.search(m.group("pre"))
-        kind = km.group(1) if km else "UNKNOWN"
-        payload = m.group("payload")
-        conv.append(serial)
-        idx.append(k)
-        text.append(m.group("pre") + (" " + payload if payload else ""))
-        role.append("tool" if kind in TOOL_KINDS else "system")
-        tool.append("audit" if kind in TOOL_KINDS else "")
-        ts.append(int(m.group("sec")) * 1_000_000
-                  + int(m.group("ms").ljust(3, "0")) * 1_000)
+    chatter like DAEMON_START without the standard framing).
+
+    Vectorized: ONE pc.extract_regex pass over the line array (RE2),
+    null-filter for chatter, numeric casts + a factorize/stable-sort
+    cumcount for the per-serial turn_idx — ~6x the per-line Python
+    regex loop at 1M lines (scalar parity held by the framing tests and
+    the hypothesis round-trip property)."""
+    import pyarrow.compute as pc
+
+    arr = pa.array([ln.rstrip("\n") for ln in lines], pa.string())
+    if len(arr) == 0:
+        return _EMPTY_TRANSCRIPTS
+    ext = pc.extract_regex(arr, _ARROW_LINE_RE)
+    keep = pc.is_valid(ext)
+    ext = ext.filter(keep)
+    n = len(ext)
+    if n == 0:
+        return _EMPTY_TRANSCRIPTS
+    serial = pc.struct_field(ext, "serial")
+    kind = pc.struct_field(ext, "kind")
+    pre = pc.struct_field(ext, "pre")
+    payload = pc.struct_field(ext, "payload")
+    # text = pre [+ " " + payload]
+    joined = pc.binary_join_element_wise(pre, payload, " ")
+    text = pc.if_else(pc.equal(payload, ""), pre, joined)
+    # ts: SECS * 1e6 + left-aligned ms fraction ("7" == 700ms) * 1e3
+    sec = pc.cast(pc.struct_field(ext, "sec"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    ms_str = pc.struct_field(ext, "ms")
+    ms = pc.cast(ms_str, pa.int64()).to_numpy(zero_copy_only=False)
+    ms_len = pc.utf8_length(ms_str).to_numpy(zero_copy_only=False)
+    ms = ms * np.power(10, 3 - ms_len)
+    ts = sec * 1_000_000 + ms * 1_000
+    # per-serial cumcount in line order: factorize + stable sort
+    import pandas as pd
+
+    codes, _ = pd.factorize(serial.to_numpy(zero_copy_only=False))
+    order = np.argsort(codes, kind="stable")
+    counts = np.bincount(codes)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_sorted = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    idx = np.empty(n, dtype=np.int64)
+    idx[order] = pos_sorted
+    is_tool = pc.is_in(kind, value_set=pa.array(sorted(TOOL_KINDS)))
     return pa.table({
-        "conv_id": pa.array(conv, pa.string()),
-        "turn_idx": pa.array(np.array(idx, np.int32), pa.int32()),
-        "role": pa.array(role, pa.string()),
-        "text": pa.array(text, pa.string()),
-        "tool": pa.array(tool, pa.string()),
-        "ts": pa.array(np.array(ts, np.int64), pa.timestamp("us")),
+        "conv_id": serial,
+        "turn_idx": pa.array(idx.astype(np.int32), pa.int32()),
+        "role": pc.if_else(is_tool, pa.scalar("tool"), pa.scalar("system")),
+        "text": text,
+        "tool": pc.if_else(is_tool, pa.scalar("audit"), pa.scalar("")),
+        "ts": pa.array(ts, pa.timestamp("us")),
     })
+
+
+_EMPTY_TRANSCRIPTS = pa.table({
+    "conv_id": pa.array([], pa.string()),
+    "turn_idx": pa.array([], pa.int32()),
+    "role": pa.array([], pa.string()),
+    "text": pa.array([], pa.string()),
+    "tool": pa.array([], pa.string()),
+    "ts": pa.array([], pa.timestamp("us")),
+})
 
 
 def read_audit_log(files: "list[str]") -> "ray.data.Dataset":
@@ -92,9 +128,13 @@ def read_audit_log(files: "list[str]") -> "ray.data.Dataset":
                 out.append(parse_audit_lines(f.readlines()))
         return pa.concat_tables(out)
 
+    # num_cpus=1.01 deliberately breaks operator fusion with downstream
+    # map stages: fused, the batch_size=1 load chain feeds the sort
+    # exchange ~6x slower (23.7s vs 4.2s for the full event build at 1M
+    # lines) — the per-path task granularity must end at the load
     return ray.data.from_items(
         [{"path": f} for f in files]).map_batches(
-        load, batch_size=1, batch_format="numpy")
+        load, batch_size=1, batch_format="numpy", num_cpus=1.01)
 
 
 def format_audit_lines(tbl: pa.Table, sanitize: bool = False) -> "list[str]":
