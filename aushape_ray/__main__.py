@@ -109,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
             print("--stats: not applicable with --resume (per-shard tasks, "
                   "no single Dataset plan); see the per-shard manifests for "
                   "timings", file=sys.stderr)
-        res = run_resumable(args.input_dir, args.out_dir, cfg)
+        res = run_resumable(args.input_dir, args.out_dir, cfg,
+                    input_format=args.input_format)
         print(json.dumps(res))
     else:
         import ray.data

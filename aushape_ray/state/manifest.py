@@ -30,18 +30,18 @@ import ray.data
 from ..config import PipelineConfig
 
 
-def find_shards(input_dir: str) -> list[str]:
-    """Input shard discovery: *.parquet directly in input_dir, falling
+def find_shards(input_dir: str, pattern: str = "*.parquet") -> list[str]:
+    """Input shard discovery: `pattern` directly in input_dir, falling
     back to a recursive sweep (generators often nest shards one level
     down).  Raises on an empty result — silently processing zero shards
     would report empty sink counts as if the run succeeded."""
-    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    files = sorted(glob.glob(os.path.join(input_dir, pattern)))
     if not files:
-        files = sorted(glob.glob(os.path.join(input_dir, "**", "*.parquet"),
+        files = sorted(glob.glob(os.path.join(input_dir, "**", pattern),
                                  recursive=True))
     if not files:
         raise FileNotFoundError(
-            f"no *.parquet shards under {input_dir!r} (searched recursively)")
+            f"no {pattern} shards under {input_dir!r} (searched recursively)")
     return files
 
 
@@ -50,12 +50,15 @@ def shard_key(path: str, input_dir: "str | None" = None) -> str:
     RELATIVE to input_dir (separators flattened) so that nested shard
     layouts with repeated basenames (shard-00/part-0.parquet,
     shard-01/part-0.parquet — exactly what the recursive find_shards
-    fallback discovers) cannot collide and clobber each other's outputs."""
+    fallback discovers) cannot collide and clobber each other's outputs.
+    The FULL file name is kept — stripping the extension collapsed
+    rotation suffixes (audit.log.1 / audit.log.2 -> one key) and the
+    second shard clobbered the first's manifest."""
     if input_dir:
         rel = os.path.relpath(path, input_dir)
         if not rel.startswith(".."):
-            return os.path.splitext(rel)[0].replace(os.sep, "__")
-    return os.path.splitext(os.path.basename(path))[0]
+            return rel.replace(os.sep, "__")
+    return os.path.basename(path)
 
 
 def fingerprint(path: str) -> dict:
@@ -91,11 +94,23 @@ class _ResumableShardWriter:
     """One task per shard: assemble + write + manifest (all shard-local)."""
 
     def __init__(self, out_dir: str, cfg: PipelineConfig,
-                 input_dir: "str | None" = None) -> None:
+                 input_dir: "str | None" = None,
+                 input_format: str = "parquet") -> None:
         self.out_dir = out_dir
         self.cfg = cfg
         self.input_dir = input_dir
+        self.input_format = input_format
         self.__name__ = "resumable_shard"
+
+    def _read(self, path: str) -> pa.Table:
+        if self.input_format == "rawlog":
+            from ..sources.rawlog import parse_audit_lines
+
+            with open(path, "r", encoding="utf-8", errors="replace") as f:
+                return parse_audit_lines(f.readlines())
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
 
     def __call__(self, batch) -> pa.Table:
         import pyarrow.compute as pc
@@ -110,7 +125,7 @@ class _ResumableShardWriter:
         for path in batch["path"]:
             key = shard_key(path, self.input_dir)
             t0 = time.time()
-            table = pq.read_table(path)
+            table = self._read(path)
             events = AssemblePartition(
                 with_text=self.cfg.with_text, with_norm=self.cfg.with_norm,
                 max_event_size=self.cfg.max_event_size,
@@ -156,15 +171,53 @@ class _ResumableShardWriter:
         })
 
 
+def _check_rawlog_contiguity(files: "list[str]") -> None:
+    """Rotation-boundary guard for raw logs: the last serial of each file
+    must differ from the first serial of the next (auditd CAN split an
+    event across rotations; our per-file assembly requires it did not).
+    A necessary, cheap check — reads only each file's framing edges."""
+    import re as _re
+
+    stamp = _re.compile(r"msg=audit\(\d+\.\d{1,3}:(\S+?)\):")
+
+    def edge_serials(path):
+        first = last = None
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                m = stamp.search(line)
+                if m:
+                    last = m.group(1)
+                    if first is None:
+                        first = m.group(1)
+        return first, last
+
+    prev_last, prev_f = None, None
+    for f in files:
+        first, last = edge_serials(f)
+        if first is not None and prev_last is not None \
+                and first == prev_last:
+            raise ValueError(
+                f"rawlog shards not conversation-contiguous: serial "
+                f"{first!r} spans {prev_f!r} and {f!r}")
+        if last is not None:
+            prev_last, prev_f = last, f
+
+
 def run_resumable(input_dir: str, out_dir: str,
-                  cfg: PipelineConfig = PipelineConfig()) -> dict:
+                  cfg: PipelineConfig = PipelineConfig(),
+                  input_format: str = "parquet") -> dict:
     """Process all input shards, skipping ones already completed with a
     matching input fingerprint.  Returns {processed, skipped, sink_counts}.
-    """
-    files = find_shards(input_dir)
-    from ..pipelines.events_pipeline import check_shard_contiguity
+    input_format "rawlog" consumes raw auditd text rotations instead of
+    parquet (same per-shard manifest/rename idempotence)."""
+    if input_format == "rawlog":
+        files = find_shards(input_dir, "*.log*")
+        _check_rawlog_contiguity(files)
+    else:
+        files = find_shards(input_dir)
+        from ..pipelines.events_pipeline import check_shard_contiguity
 
-    check_shard_contiguity(files)  # per-shard assembly needs the guarantee
+        check_shard_contiguity(files)  # per-shard assembly needs the guarantee
     done = completed_shards(out_dir)
     todo = []
     skipped = 0
@@ -177,7 +230,8 @@ def run_resumable(input_dir: str, out_dir: str,
             todo.append(f)
     if todo:
         ds = ray.data.from_items([{"path": f} for f in todo])
-        ds.map_batches(_ResumableShardWriter(out_dir, cfg, input_dir),
+        ds.map_batches(_ResumableShardWriter(out_dir, cfg, input_dir,
+                                             input_format),
                        batch_size=1,
                        batch_format="numpy").materialize()
     # aggregate ONLY over manifests whose shard is in the current input set:

@@ -173,3 +173,48 @@ def test_rawlog_roundtrip_property(rows):
     assert [" ".join(t.split()) for t in got_texts] == want_texts
     assert back.column("ts").cast(pa.int64()).to_pylist() == tbl.column(
         "ts").cast(pa.int64()).to_pylist()
+
+
+def test_rawlog_resume_skips_completed_shards(ray_session, tmp_path):
+    """run_resumable over raw log rotations: first run processes all
+    files, second run skips everything; totals stable."""
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.fixtures import transcripts_path
+    from aushape_ray.state.manifest import run_resumable
+
+    src = pq.read_table(transcripts_path("/root/testdata/sf0.001"))
+    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = src.column("conv_id").to_pylist()
+    half_conv = conv[len(conv) // 2]
+    cut = next(i for i, c in enumerate(conv) if c >= half_conv
+               and (i == 0 or conv[i - 1] < half_conv))
+    in_dir = tmp_path / "logs"
+    in_dir.mkdir()
+    write_audit_log(src.slice(0, cut), str(in_dir / "audit.log.1"),
+                    sanitize=True)
+    write_audit_log(src.slice(cut), str(in_dir / "audit.log.2"),
+                    sanitize=True)
+    out = tmp_path / "out"
+    cfg = PipelineConfig(num_parts=4)
+    r1 = run_resumable(str(in_dir), str(out), cfg, input_format="rawlog")
+    assert r1["processed"] == 2 and r1["skipped"] == 0
+    r2 = run_resumable(str(in_dir), str(out), cfg, input_format="rawlog")
+    assert r2["processed"] == 0 and r2["skipped"] == 2
+    assert r1["sink_counts"] == r2["sink_counts"]
+    assert sum(r1["sink_counts"].values()) > 90
+
+
+def test_rawlog_resume_rejects_split_conversation(ray_session, tmp_path):
+    """A serial spanning two rotation files must be rejected (per-file
+    assembly would emit two half events)."""
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.state.manifest import run_resumable
+
+    (tmp_path / "a.log").write_text(
+        "type=A msg=audit(1.000:s1): k=1\n"
+        "type=A msg=audit(1.000:s2): k=1\n")
+    (tmp_path / "b.log").write_text(
+        "type=B msg=audit(1.001:s2): k=2\n")
+    with pytest.raises(ValueError, match="contiguous"):
+        run_resumable(str(tmp_path), str(tmp_path / "out"),
+                      PipelineConfig(), input_format="rawlog")

@@ -63,7 +63,7 @@ def test_manifest_records_lineage(ray_session, out_dir):
     run_resumable(input_dir, out_dir, PipelineConfig())
     done = completed_shards(out_dir)
     for key, m in done.items():
-        assert m["input"]["path"].endswith(f"{key}.parquet")
+        assert m["input"]["path"].endswith(key)  # key keeps the extension
         assert m["n_turns"] > 0 and m["sec"] >= 0
         for f in m["outputs"]:
             assert os.path.exists(f), f

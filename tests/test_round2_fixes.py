@@ -160,7 +160,7 @@ def test_nested_shards_with_same_basename_do_not_collide(ray_session, tmp_path):
     files = find_shards(str(in_dir))
     assert len(files) == 2
     keys = {shard_key(f, str(in_dir)) for f in files}
-    assert keys == {"shard-00__part-0", "shard-01__part-0"}
+    assert keys == {"shard-00__part-0.parquet", "shard-01__part-0.parquet"}
 
     out_dir = str(tmp_path / "out")
     res = run_resumable(str(in_dir), out_dir, PipelineConfig(num_parts=2))
