@@ -44,10 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="split conversations longer than this over "
                          "multiple partitions (salted-key skew handling)")
     ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
-    ap.add_argument("--input-format", choices=["parquet", "rawlog"],
+    ap.add_argument("--input-format", choices=["parquet", "rawlog", "jsonl"],
                     default="parquet",
                     help="rawlog: raw auditd text lines (node=/type= "
-                    "msg=audit(ts:serial) framing), one task per file")
+                    "msg=audit(ts:serial) framing), one task per file; "
+                    "jsonl: one JSON transcript row per line")
     ap.add_argument("--format", choices=["parquet", "jsonl", "xml", "syslog"],
                     default="parquet",
                     help="sink format: parquet (continuous, S3 analogue), "
@@ -120,7 +121,13 @@ def main(argv: list[str] | None = None) -> int:
             write_routed,
         )
 
-        if args.input_format == "rawlog":
+        if args.input_format == "jsonl":
+            from .pipelines.events_pipeline import _configure_shuffle
+            from .sources.jsonl import read_transcripts_jsonl
+
+            _configure_shuffle(cfg)
+            events = build_events(read_transcripts_jsonl(args.input_dir), cfg)
+        elif args.input_format == "rawlog":
             import glob as _glob
             import os as _os
 

@@ -218,3 +218,34 @@ def test_rawlog_resume_rejects_split_conversation(ray_session, tmp_path):
     with pytest.raises(ValueError, match="contiguous"):
         run_resumable(str(tmp_path), str(tmp_path / "out"),
                       PipelineConfig(), input_format="rawlog")
+
+
+def test_jsonl_source_matches_parquet_pipeline(ray_session, tmp_path):
+    """JSONL transcripts through build_events == the same rows read from
+    parquet (routed counts)."""
+    import json
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.fixtures import transcripts_path
+    from aushape_ray.oracle import assemble_events, sink_counts as osc
+    from aushape_ray.pipelines.events_pipeline import (build_events,
+                                                       sink_counts)
+    from aushape_ray.sources.jsonl import read_transcripts_jsonl
+
+    src = pq.read_table(transcripts_path("/root/testdata/sf0.001"))
+    d = tmp_path / "jl"
+    d.mkdir()
+    rows = src.to_pylist()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(d / f"part-{i}.jsonl", "w") as f:
+            for r in chunk:
+                r = dict(r)
+                r["ts"] = r["ts"].isoformat()
+                f.write(json.dumps(r) + "\n")
+
+    cfg = PipelineConfig(num_parts=8)
+    events = build_events(read_transcripts_jsonl(str(d)), cfg)
+    got = {r["sink"]: r["count()"] for r in sink_counts(events).take_all()}
+    want = osc(assemble_events(src))
+    assert got == want
