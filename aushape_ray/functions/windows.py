@@ -22,18 +22,30 @@ def tumbling_counts(ds: "ray.data.Dataset", width_s: int = 3600) -> "ray.data.Da
     so results are order-independent and DuckDB-hash-equal."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # dictionary-encode type + factorize window, one bincount per
+        # aggregate — no Python strings leave Arrow (same kernel shape
+        # as the q1 partial; float64 bincount weights exact: per-batch
+        # cents sums << 2^53)
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (ts // (width_s * 1_000_000)) * (width_s * 1_000_000)
         v = np.asarray(batch.column("value"), np.float64)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        df = pd.DataFrame({
-            "event_type": batch.column("event_type").to_pylist(),
-            "window_us": win,
-            "cents": cents,
+        et = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+        ti = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        win_u, wi = np.unique(win, return_inverse=True)
+        nw = max(1, len(win_u))
+        key = ti * nw + wi
+        nk = max(1, len(et.dictionary)) * nw
+        n = np.bincount(key, minlength=nk)
+        sc = np.bincount(key, weights=cents.astype(np.float64),
+                         minlength=nk).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(nz // nw)),
+            "window_us": pa.array(win_u[nz % nw], pa.int64()),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "sum_cents": pa.array(sc[nz]),
         })
-        g = df.groupby(["event_type", "window_us"], as_index=False).agg(
-            n=("cents", "size"), sum_cents=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
