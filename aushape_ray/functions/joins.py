@@ -124,10 +124,12 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     join_bucket.__name__ = "join_bucket"
     both = lt.union(rt)
-    # partition count = bucket count: the sort exchange otherwise plans
-    # its default ~200 reduce tasks even for a 16-bucket join
-    return both.groupby("__bucket", num_partitions=n_buckets).map_groups(
-        join_bucket, batch_format="pyarrow")
+    # raw-Ray bucketed exchange (the sort exchange's fixed cost dwarfed
+    # the per-bucket merges); join_bucket merges on the actual keys, so
+    # one reduce task owning one hash bucket is exactly the groupby
+    # semantics
+    return bucket_exchange(both, n_buckets, join_bucket,
+                           bucket_col="__bucket")
 
 
 def interval_count_join(intervals: "ray.data.Dataset",
@@ -206,12 +208,36 @@ def interval_count_join(intervals: "ray.data.Dataset",
                          out_col: pa.array(cnt.astype(np.int64), pa.int64())})
 
     count_bucket.__name__ = "count_bucket"
-    # num_partitions = reduce-task count for the sort exchange; size it to
-    # cluster parallelism (default 32) instead of the ~200-task default —
-    # bucket cardinality is data-dependent but tasks should track slots
-    out = iv.union(pt).groupby(
-        "__tbucket", num_partitions=num_partitions).map_groups(
-        count_bucket, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        tb = b.column("__tbucket").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__bucket", pa.array(hash_part(tb, num_partitions), pa.int32()))
+
+    def count_partition(g: pa.Table) -> pa.Table:
+        # one coarse partition holds many tbuckets (hash-assigned);
+        # segment by tbucket and run the exact per-bucket kernel on each
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          out_col: pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        tb = g.column("__tbucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(tb, kind="stable")
+        gs = g.take(pa.array(order, pa.int64()))
+        tbs = tb[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], tbs[1:] != tbs[:-1]]))
+        ends = np.append(bounds[1:], len(tbs))
+        outs = [count_bucket(gs.slice(int(s), int(e - s)))
+                for s, e in zip(bounds, ends)]
+        return pa.concat_tables(outs) if outs else empty
+
+    count_partition.__name__ = "count_partition"
+    # raw-Ray bucketed exchange: the sort exchange's fixed sampling/sort
+    # cost dominated this join (bounded bucket count, one pass)
+    both = iv.union(pt).map_batches(add_bucket, batch_format="pyarrow")
+    out = bucket_exchange(both, num_partitions, count_partition,
+                          bucket_col="__bucket")
 
     def cast(b: pa.Table) -> pa.Table:
         return pa.table({id_col: b.column(id_col).cast(pa.int64()),
@@ -223,7 +249,10 @@ def interval_count_join(intervals: "ray.data.Dataset",
 def _split_by_bucket(tbl: pa.Table, n_buckets: int,
                      col: str) -> "list[pa.Table]":
     """Map side of bucket_reduce: slice one block into n_buckets
-    sub-tables by its precomputed bucket column."""
+    sub-tables by its precomputed bucket column.  Zero-row blocks may
+    arrive schema-less (empty upstream stages); route them as empties."""
+    if tbl.num_rows == 0 or col not in tbl.column_names:
+        return [tbl.slice(0, 0)] * n_buckets
     b = tbl.column(col).to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     st = tbl.take(pa.array(order, pa.int64()))
@@ -267,3 +296,47 @@ def bucket_reduce(ds: "ray.data.Dataset", n_buckets: int, reduce_fn,
              for ref in ds.to_arrow_refs()]
     return _ray.get([red.remote(*[p[b] for p in parts])
                      for b in range(n_buckets)])
+
+
+def bucket_exchange(ds: "ray.data.Dataset", n_buckets: int, fn,
+                    bucket_col: str = "__bucket") -> "ray.data.Dataset":
+    """Raw-Ray bucketed exchange returning a DATASET: split every block
+    by its precomputed bucket column, one reduce task per bucket applies
+    fn(table) -> table, and the results become a Dataset via
+    from_arrow_refs — no driver materialization (the driver holds only
+    object refs).
+
+    Semantically equivalent to groupby(bucket_col, num_partitions=
+    n_buckets).map_groups(fn) for bounded bucket counts, minus the sort
+    exchange's seconds-scale fixed sampling/sort cost (measured: the
+    interval join's exchange 1.5-3s -> ~0.3s).  Memory posture matches
+    Ray Data's AllToAll: the exchange materializes in the object store
+    (spillable); use the Dataset groupby when buckets are unbounded or
+    the pipeline needs streaming backpressure through the exchange.
+    fn receives the bucket's rows WITH bucket_col still present (same as
+    map_groups) and may return an empty typed table."""
+    import ray as _ray
+
+    split = (_ray.remote(num_returns=n_buckets)(_split_by_bucket)
+             if n_buckets > 1 else None)
+
+    def _reduce(*tables: pa.Table) -> pa.Table:
+        # fn also runs on empty buckets (typed empty in, typed empty
+        # out) so the result blocks always carry the output schema.
+        # Schema-less empty slices (from empty upstream blocks) are
+        # dropped before concat; the widest empty survives if ALL are
+        # empty so fn still sees the real columns when any block had them
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            live = [max(tables, key=lambda t: t.num_columns)]
+        return fn(pa.concat_tables(live).combine_chunks())
+
+    red = _ray.remote(_reduce)
+    block_refs = ds.to_arrow_refs()
+    if n_buckets == 1:  # degenerate: one reduce over all blocks
+        return ray.data.from_arrow_refs([red.remote(*block_refs)])
+    parts = [split.remote(ref, n_buckets, bucket_col)
+             for ref in block_refs]
+    out_refs = [red.remote(*[p[b] for p in parts]) for b in range(n_buckets)]
+    # blocks stay in the object store; the driver holds only refs
+    return ray.data.from_arrow_refs(out_refs)
