@@ -80,3 +80,27 @@ def test_transcript_analytics_match_duckdb_other_seeds(ray_session, seed,
     got_h = canon(got_h, ["key"])
     exp_h = canon(exp_h, ["key"])
     assert got_h.equals(exp_h), seed
+
+
+@pytest.mark.parametrize("seed", [7, 55])
+def test_rawlog_roundtrip_other_seeds(ray_session, seed, tmp_path):
+    """Raw-log write -> read -> distributed pipeline == oracle over the
+    same parsed rows, on corpora from other generator seeds (control
+    chars, hot conversations, oversized texts all vary by seed)."""
+    import pyarrow as pa
+
+    from aushape_ray.pipelines.events_pipeline import (build_events,
+                                                       sink_counts)
+    from aushape_ray.oracle import sink_counts as osc
+    from aushape_ray.sources.rawlog import read_audit_log, write_audit_log
+
+    tb = generate_transcripts(120, seed=seed).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    f = str(tmp_path / "audit.log")
+    assert write_audit_log(tb, f, sanitize=True) == tb.num_rows
+
+    parsed = pa.Table.from_pylist(read_audit_log([f]).take_all())
+    events = build_events(read_audit_log([f]), PipelineConfig(num_parts=8))
+    got = {r["sink"]: r["count()"] for r in sink_counts(events).take_all()}
+    want = osc(assemble_events(parsed))
+    assert got == want, seed
