@@ -249,3 +249,40 @@ def test_jsonl_source_matches_parquet_pipeline(ray_session, tmp_path):
     got = {r["sink"]: r["count()"] for r in sink_counts(events).take_all()}
     want = osc(assemble_events(src))
     assert got == want
+
+
+def test_cli_rawlog_to_syslog_discrete(ray_session, tmp_path):
+    """The audispd-plugin configuration (SURVEY §3.2), end to end on the
+    reference's native input: raw audit.log in, one RFC3164-framed
+    syslog message per event out (events_per_doc=0 discrete mode)."""
+    import glob
+    import re
+
+    from aushape_ray.__main__ import main
+    from aushape_ray.fixtures import transcripts_path
+
+    src = pq.read_table(transcripts_path("/root/testdata/sf0.001"))
+    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    in_dir = tmp_path / "logs"
+    in_dir.mkdir()
+    write_audit_log(src, str(in_dir / "audit.log"), sanitize=True)
+    out = tmp_path / "out"
+    rc = main([str(in_dir), str(out), "--input-format", "rawlog",
+               "--format", "syslog", "--events-per-doc", "0",
+               "--num-parts", "4"])
+    assert rc == 0
+    lines = []
+    for f in glob.glob(str(out / "**" / "*"), recursive=True):
+        import os
+        if os.path.isfile(f):
+            with open(f) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+    # one framed message per assembled event (99: one all-EOE conv
+    # yields no event), each with a <PRI> prefix and a JSON body
+    assert len(lines) == 99
+    pri = re.compile(r"^<\d{1,3}>")
+    import json as _json
+    for ln in lines:
+        assert pri.match(ln), ln[:40]
+        doc = _json.loads(ln[pri.match(ln).end():])
+        assert "serial" in doc
