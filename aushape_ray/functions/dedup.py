@@ -31,43 +31,49 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, pa.string()))
 
 
-def exact_dedup_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup_stats(ds: "ray.data.Dataset") -> dict:
     """Single-row summary: n_docs, n_distinct, n_dup_rows (rows beyond the
-    first of each content group).  Pre-aggregates per batch: only
-    (hash, count) partials shuffle."""
+    first of each content group).  Pre-aggregates per batch, then ONE
+    bucket_reduce tree exchange of the (hash, count) partials — the
+    result is three driver ints, exactly the driver-bound reduction shape
+    (Ray's generic string-key aggregate paid ~1s fixed cost here)."""
+    import zlib
+
+    from .joins import bucket_reduce
+
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    n_buckets = 16
 
     def partial(batch: pa.Table) -> pa.Table:
         import collections
 
         c = collections.Counter(batch.column("content_hash").to_pylist())
+        keys = list(c.keys())
+        b = np.fromiter((zlib.crc32(k.encode()) for k in keys),
+                        dtype=np.int64, count=len(keys)) % n_buckets
         return pa.table({
-            "content_hash": pa.array(list(c.keys()), pa.string()),
+            "b": pa.array(b, pa.int32()),
+            "content_hash": pa.array(keys, pa.string()),
             "n": pa.array(list(c.values()), pa.int64()),
         })
 
-    partials = hashed.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    per_hash = partials.groupby("content_hash").aggregate(Sum("n", alias_name="n"))
-
-    def final(batch: pa.Table) -> pa.Table:
-        n = np.asarray(batch.column("n"))
+    def bucket_stats(g: pa.Table) -> pa.Table:
+        s = pd.Series(
+            g.column("n").to_numpy(zero_copy_only=False),
+            index=g.column("content_hash").to_pylist()).groupby(level=0).sum()
+        n = s.to_numpy()
         return pa.table({
-            "n_docs_part": pa.array([int(n.sum())], pa.int64()),
-            "n_distinct_part": pa.array([len(n)], pa.int64()),
-            "n_dup_rows_part": pa.array([int((n - 1).sum())], pa.int64()),
+            "n_docs": pa.array([int(n.sum())], pa.int64()),
+            "n_distinct": pa.array([len(n)], pa.int64()),
+            "n_dup_rows": pa.array([int((n - 1).sum())], pa.int64()),
         })
 
-    parts = per_hash.map_batches(final, batch_format="pyarrow")
-    from ray.data.aggregate import Sum as S
-
-    agg = parts.aggregate(
-        S("n_docs_part", alias_name="n_docs"),
-        S("n_distinct_part", alias_name="n_distinct"),
-        S("n_dup_rows_part", alias_name="n_dup_rows"),
-    )
-    return agg  # dict
+    partials = hashed.map_batches(partial, batch_format="pyarrow")
+    out = {"n_docs": 0, "n_distinct": 0, "n_dup_rows": 0}
+    for t in bucket_reduce(partials, n_buckets, bucket_stats):
+        for k in out:
+            out[k] += int(t.column(k)[0].as_py())
+    return out
 
 
 def exact_dedup_keep_first(ds: "ray.data.Dataset",

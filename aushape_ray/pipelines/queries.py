@@ -180,6 +180,16 @@ def _bcast(ref, build=None):
     return _BCAST_CACHE[key]
 
 
+
+def _read_table(sf_dir: str, table: str, columns: "list[str]"):
+    """Column-pruned read with a parallelism floor: the synthetic tables
+    are single-row-group files, which Ray reads as ONE block — every
+    downstream map would run in one task (measured: content-hashing the
+    5k-doc corpus 1.66s single-block vs 0.35s at 32).  Real corpora have
+    many files/row groups; the override only compensates the fixture."""
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns, override_num_blocks=32)
+
 def _cents(col) -> "pa.Array":
     v = np.asarray(col, dtype=np.float64)
     return pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64())
@@ -1396,8 +1406,7 @@ def q_doc_dedup_exact(sf_dir: str):
     from ..functions.dedup import exact_dedup_stats
 
     res = exact_dedup_stats(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"]))
+        _read_table(sf_dir, "documents", ["doc_id", "text"]))
     return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in res.items()})
 
 
@@ -1413,8 +1422,7 @@ def q_doc_dedup_keep_first(sf_dir: str):
     from ..functions.dedup import exact_dedup_keep_first
 
     out = exact_dedup_keep_first(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"]))
+        _read_table(sf_dir, "documents", ["doc_id", "text"]))
     return out.select_columns(["doc_id"])
 
 
@@ -1425,9 +1433,7 @@ def sql_doc_dedup_keep_first() -> str:
 def q_doc_token_stats(sf_dir: str):
     from ..functions.textops import token_stats
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(token_stats, batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(token_stats, batch_format="pyarrow")
 
 
 def sql_doc_token_stats() -> str:
@@ -1443,9 +1449,7 @@ FROM documents"""
 def q_doc_char_stats(sf_dir: str):
     from ..functions.textops import char_stats
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(char_stats, batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(char_stats, batch_format="pyarrow")
 
 
 def sql_doc_char_stats() -> str:
@@ -1460,9 +1464,7 @@ FROM documents"""
 def q_doc_quality(sf_dir: str):
     from ..functions.textops import quality_score
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(quality_score, batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(quality_score, batch_format="pyarrow")
 
 
 def sql_doc_quality() -> str:
@@ -1486,9 +1488,7 @@ FROM c"""
 def q_doc_lang_id(sf_dir: str):
     from ..functions.textops import LangId
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(LangId(), batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(LangId(), batch_format="pyarrow")
 
 
 def sql_doc_lang_id() -> str:
@@ -1517,17 +1517,13 @@ FROM c"""
 def q_doc_fingerprint(sf_dir: str):
     from ..functions.textops import fingerprint
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(fingerprint, batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(fingerprint, batch_format="pyarrow")
 
 
 def q_doc_simhash(sf_dir: str):
     from ..functions.dedup import SimHasher
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(SimHasher(), batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(SimHasher(), batch_format="pyarrow")
 
 
 def q_doc_simhash_pairs(sf_dir: str):
@@ -1537,8 +1533,7 @@ def q_doc_simhash_pairs(sf_dir: str):
     tested in tests/test_vectorized_kernels.py)."""
     from ..functions.dedup import simhash_pairs
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(docs)
 
 
@@ -1551,8 +1546,7 @@ def q_doc_minhash_pairs(sf_dir: str):
     no corpus broadcast."""
     from ..functions.dedup import minhash_candidates, verify_pairs_jaccard
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_candidates(docs)
     verified = verify_pairs_jaccard(cands, docs)
     return verified.map_batches(
@@ -1632,9 +1626,7 @@ def q_doc_normalize(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"),
                          "norm_md5": pa.array(out, pa.string())})
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(norm, batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(norm, batch_format="pyarrow")
 
 
 def sql_doc_normalize() -> str:
@@ -1648,8 +1640,7 @@ def q_doc_sample(sf_dir: str):
     """Deterministic corpus sampling (train/dev splits, debug slices):
     keep ~10% by an integer hash of doc_id — pure per-batch filter, no
     RNG state, identical on any executor and in SQL."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_table(sf_dir, "documents", ["doc_id"])
     K, M, T = 2654435761, 1 << 32, 429496729  # Knuth multiplier; 10%
 
     def pick(b: pa.Table) -> pa.Table:
@@ -1678,8 +1669,7 @@ def q_doc_top_tokens(sf_dir: str):
     """Vocabulary building: global top-30 tokens by occurrence count —
     per-batch Counter partials, tiny (token, n) shuffle, deterministic
     (n desc, token) tie-break."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["text"])
+    ds = _read_table(sf_dir, "documents", ["text"])
     import re
 
     rx = re.compile(r"[a-z]+")
@@ -1724,8 +1714,7 @@ def q_doc_shared_term_pairs(sf_dir: str):
     exists to prevent."""
     from ..functions.textops import shared_term_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return shared_term_pairs(ds, min_shared=28, max_df=400)
 
 
@@ -1781,8 +1770,7 @@ def q_doc_idf(sf_dir: str):
     """Document frequency per token (the IDF numerator a filtering /
     weighting pipeline needs): per-batch per-doc DISTINCT tokens ->
     (token, df) partials -> groupby sum."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["text"])
+    ds = _read_table(sf_dir, "documents", ["text"])
     import re
 
     rx = re.compile(r"[a-z]+")
@@ -1840,9 +1828,7 @@ def q_doc_contamination(sf_dir: str):
             "n_hits": pa.array(hits[keep], pa.int64()),
         })
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(scan, batch_format="pyarrow")
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow")
 
 
 def sql_doc_contamination() -> str:
@@ -1986,8 +1972,7 @@ def q_doc_curation(sf_dir: str):
     from ..functions.joins import hash_join
     from ..functions.textops import LangId, quality_score
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def quality_and_lang(t: pa.Table) -> pa.Table:
         # per-row predicates fuse into ONE scan (quality + lang share
@@ -2049,8 +2034,7 @@ def q_doc_dedup_near(sf_dir: str):
             pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
         ).column("doc_id")}),
         batch_format="pyarrow")
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
+    docs = _read_table(sf_dir, "documents", ["doc_id"])
     j = hash_join(docs, victims, "doc_id", "victim", how="left")
     return j.map_batches(
         lambda t: t.filter(pc.is_null(t.column("victim"))).select(["doc_id"]),
@@ -2068,8 +2052,7 @@ WHERE d.doc_id NOT IN (
 def q_ann_topk(sf_dir: str):
     from ..functions.ann import brute_force_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return brute_force_topk(ds, query_ids=list(range(8)), k=10)
 
 
@@ -2095,8 +2078,7 @@ def q_emb_sim_pairs(sf_dir: str):
     on the driver, nothing broadcast."""
     from ..functions.ann import all_pairs_cosine
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return all_pairs_cosine(ds, SIM_THRESHOLD, n_blocks=4)
 
 
@@ -2114,8 +2096,7 @@ def q_ann_ivf_recall(sf_dir: str):
     quality metric, not SQL-expressible)."""
     from ..functions.ann import IvfIndexer, brute_force_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids = list(range(8))
     exact = brute_force_topk(ds, query_ids=qids, k=10)
     exact_sets: dict[int, set] = {}
@@ -2197,8 +2178,7 @@ def q_ann_ivf_kmeans_recall(sf_dir: str):
 
     from ..functions.ann import brute_force_topk, kmeans_fit
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids = list(range(8))
     exact = brute_force_topk(ds, query_ids=qids, k=10)
     exact_sets: dict[int, set] = {}
@@ -2281,8 +2261,7 @@ def q_emb_quantize_int8(sf_dir: str):
     in integer basis points."""
     import ray as _ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def minmax_partial(b: pa.Table) -> pa.Table:
         mat = np.stack(b.column("embedding").to_numpy(
@@ -2335,8 +2314,7 @@ def q_emb_kmeans(sf_dir: str):
     approximate-deterministic; k rows with inertia reported in-band)."""
     from ..functions.ann import kmeans_fit
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     centroids, sizes, inertia, rounds = kmeans_fit(ds, k=8, iters=12)
     return pa.table({
         "cluster": pa.array(range(len(sizes)), pa.int64()),
@@ -2350,8 +2328,7 @@ def q_emb_kmeans(sf_dir: str):
 def q_lsh_buckets(sf_dir: str):
     from ..functions.ann import lsh_bucket_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
     return _rename_count(lsh_bucket_stats(ds, dim), "bucket", "n")
 
@@ -2359,8 +2336,7 @@ def q_lsh_buckets(sf_dir: str):
 def q_media_features(sf_dir: str):
     from ..functions.media import media_features
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return media_features(docs)
 
 
@@ -2371,8 +2347,7 @@ def q_media_frames(sf_dir: str):
     (driver harnesses utf-8-decode string columns, so no raw binary out)."""
     from ..functions.media import media_frames
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def proj(b: pa.Table) -> pa.Table:
         frames = b.column("frame").to_pylist()
