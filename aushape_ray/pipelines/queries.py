@@ -525,8 +525,7 @@ def q_events_hot_users(sf_dir: str):
     that feeds salted-key handling — same sweep as
     events_pipeline._find_hot_convs, exposed as an operator).  Partial
     value_counts per batch; only (key, n) partials shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id"])
+    ds = _read_table(sf_dir, "events", ["user_id"])
 
     def partial(b: pa.Table) -> pa.Table:
         vc = b.column("user_id").combine_chunks().value_counts()
@@ -557,8 +556,7 @@ def q_events_latest_by_user(sf_dir: str):
     Per-batch partial argmax per user, then a coarse-partition reduce;
     at most one row per (user, batch) ever shuffles."""
     N_PARTS = 64
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "user_id", "ts"])
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -607,8 +605,7 @@ def q_events_funnel(sf_dir: str):
     leave each partition."""
     N_PARTS = 64
     WINDOW_US = 3_600_000_000
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts", "event_type"])
+    ds = _read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def to_us(b: pa.Table) -> pa.Table:
         from ..functions.joins import hash_part
@@ -667,9 +664,7 @@ FROM (
 
 def q_q1_pricing(sf_dir: str):
     """TPC-H Q1-flavoured pricing summary; money in integer cents."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
+    ds = _read_table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_shipdate"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -723,9 +718,7 @@ def q_mktsegment_orders(sf_dir: str):
     """Broadcast join: customer (small side, ray.put once) -> orders."""
     import ray as _ray
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def join_seg(batch: pa.Table) -> pa.Table:
@@ -745,8 +738,7 @@ def q_mktsegment_orders(sf_dir: str):
             n_orders=("cents", "size"), total_cents=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     return orders.map_batches(join_seg, batch_format="pyarrow").groupby(
         "c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
@@ -767,11 +759,8 @@ def q_orders_priority_revenue(sf_dir: str):
     partitioned hash join (functions/joins.py), then priority revenue."""
     from ..functions.joins import hash_join
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    li = _read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -807,8 +796,7 @@ GROUP BY o.o_orderpriority"""
 def q_events_daily_top_users(sf_dir: str):
     """Windowed top-k: top-3 users per day by event count (tie-break by
     user_id), partial counts then per-day head."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "user_id"])
+    ds = _read_table(sf_dir, "events", ["ts", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -869,8 +857,7 @@ SELECT day, user_id, n, rank::BIGINT AS rank FROM r WHERE rank <= 3"""
 def q_events_tumbling(sf_dir: str):
     from ..functions.windows import tumbling_counts
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"])
+    ds = _read_table(sf_dir, "events", ["ts", "event_type", "value"])
     return tumbling_counts(ds, width_s=3600)
 
 
@@ -887,8 +874,7 @@ def q_events_sliding(sf_dir: str):
     """Sliding window (1h width, 30min slide): each event contributes to
     width/slide windows — flat-mapped contributions, then partial-count
     aggregation."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type"])
+    ds = _read_table(sf_dir, "events", ["ts", "event_type"])
     WIDTH, SLIDE = 3_600_000_000, 1_800_000_000
 
     def contribs(batch: pa.Table) -> pa.Table:
@@ -940,8 +926,7 @@ def q_hll_distinct_users(sf_dir: str):
     value and relative error for context (rows-only: approximate)."""
     from ..functions.sketches import hll_distinct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id"])
+    ds = _read_table(sf_dir, "events", ["user_id"])
     est = hll_distinct(ds, "user_id", p=12)
     exact = len(ds.unique("user_id"))
     err_bp = abs(est - exact) / max(exact, 1) * 10_000
@@ -959,8 +944,7 @@ def q_events_asof_prev_error(sf_dir: str):
     task handles ALL its users in one vectorized pass (sort + per-user
     cython groupby shift/ffill) — no per-user interpreter calls."""
     N_PARTS = 64
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "user_id", "ts",
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts",
                                         "event_type"])
 
     def to_us(batch: pa.Table) -> pa.Table:
@@ -1012,8 +996,7 @@ FROM events"""
 def q_events_sessionize(sf_dir: str):
     from ..functions.windows import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
     out = sessionize(ds, gap_s=1800)
 
     def cast(batch: pa.Table) -> pa.Table:
@@ -1049,8 +1032,7 @@ def q_events_props_stats(sf_dir: str):
     vectorized-per-batch) and aggregate k by event_type."""
     import re
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "props"])
+    ds = _read_table(sf_dir, "events", ["event_type", "props"])
     rx = re.compile(r'"k":\s*([0-9]+)')
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1156,8 +1138,7 @@ LEFT JOIN fails f USING (conv_id)"""
 
 def q_events_type_distinct(sf_dir: str):
     """Distinct operator: ds.unique over the event_type column."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type"])
+    ds = _read_table(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
@@ -1168,9 +1149,7 @@ def sql_events_type_distinct() -> str:
 
 def q_lineitem_top_revenue(sf_dir: str):
     """Global sort + limit: top-10 line items by revenue cents."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    ds = _read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
 
     def cents(batch: pa.Table) -> pa.Table:
         price = np.asarray(batch.column("l_extendedprice"), np.float64)
@@ -1208,12 +1187,9 @@ def q_customers_no_orders(sf_dir: str):
     small sides should still broadcast — see q_mktsegment_orders.)"""
     from ..functions.joins import hash_join
 
-    okeys = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    ).groupby("o_custkey").count().map_batches(
+    okeys = _read_table(sf_dir, "orders", ["o_custkey"]).groupby("o_custkey").count().map_batches(
         lambda t: t.select(["o_custkey"]), batch_format="pyarrow")
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cust = _read_table(sf_dir, "customer", ["c_custkey"])
     j = hash_join(cust, okeys, "c_custkey", "o_custkey", how="left")
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1246,8 +1222,7 @@ def q_events_quantiles(sf_dir: str):
     functions/sketches.py)."""
     import math
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"])
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
 
     def to_cents(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"), np.float64)
@@ -1305,8 +1280,7 @@ def q_events_range_join(sf_dir: str):
 
     W = 600_000_000  # 10 min in us
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "ts", "event_type"])
+    ds = _read_table(sf_dir, "events", ["event_id", "ts", "event_type"])
 
     def to_intervals(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("event_type"), "error"))
@@ -1350,8 +1324,7 @@ def q_events_quantiles_sketch(sf_dir: str):
     design, like hll_distinct_users)."""
     from ..functions.sketches import KllSketch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "value"])
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"), np.float64)
@@ -1744,8 +1717,7 @@ def q_events_quantiles_exact(sf_dir: str):
     functions/sketches.exact_quantiles)."""
     from ..functions.sketches import exact_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["value"])
+    ds = _read_table(sf_dir, "events", ["value"])
     qv = exact_quantiles(ds, "value")
     return pa.table({
         "q": pa.array([q for q, _ in qv], pa.float64()),
@@ -1850,8 +1822,7 @@ def q_events_sample_stratified(sf_dir: str):
     k * n_batches rows per stratum, never the corpus."""
     K, M = 2654435761, 1 << 32
     TOP = 100
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_id", "event_type"])
+    ds = _read_table(sf_dir, "events", ["event_id", "event_type"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -1897,8 +1868,7 @@ def q_events_window_anomaly(sf_dir: str):
     c > mean, all in integer-scaled arithmetic via the moments."""
     from ..functions.windows import tumbling_counts
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["ts", "event_type", "value"])
+    ds = _read_table(sf_dir, "events", ["ts", "event_type", "value"])
     wins = tumbling_counts(ds, width_s=3600).map_batches(
         lambda t: pa.table({
             "event_type": t.column("event_type"),
