@@ -325,11 +325,14 @@ def bucket_exchange(ds: "ray.data.Dataset", n_buckets: int, fn,
         # out) so the result blocks always carry the output schema.
         # Schema-less empty slices (from empty upstream blocks) are
         # dropped before concat; the widest empty survives if ALL are
-        # empty so fn still sees the real columns when any block had them
+        # empty so fn still sees the real columns when any block had them.
+        # NO combine_chunks: on multi-GB buckets (dense near-dup verify)
+        # the contiguous copy doubles peak memory; fn gets a chunked
+        # table, which filter/take/to_numpy all handle
         live = [t for t in tables if t.num_rows]
         if not live:
             live = [max(tables, key=lambda t: t.num_columns)]
-        return fn(pa.concat_tables(live).combine_chunks())
+        return fn(pa.concat_tables(live))
 
     red = _ray.remote(_reduce)
     block_refs = ds.to_arrow_refs()
