@@ -28,12 +28,6 @@ import pyarrow as pa
 
 import ray.data
 
-# node=… is optional in auditd; the msg=audit stamp carries (ts, serial)
-_LINE_RE = re.compile(
-    r"^(?P<pre>(?:node=\S+ )?type=\S+) "
-    r"msg=audit\((?P<sec>\d+)\.(?P<ms>\d{1,3}):(?P<serial>\S+?)\):? ?"
-    r"(?P<payload>.*)$")
-
 # kinds whose records come from tool/process activity — drives the
 # any_tool sink routing the same way fixture roles do
 TOOL_KINDS = frozenset({"EXECVE", "PATH", "CWD", "SYSCALL", "PROCTITLE"})
@@ -41,8 +35,8 @@ TOOL_KINDS = frozenset({"EXECVE", "PATH", "CWD", "SYSCALL", "PROCTITLE"})
 _KIND_RE = re.compile(r"type=(\S+)")
 
 
-# Arrow/RE2 form of _LINE_RE for the vectorized extract (same groups,
-# plus kind captured directly)
+# auditd line framing as an RE2 pattern for the vectorized extract
+# (node= is optional; the msg=audit stamp carries ts + serial)
 _ARROW_LINE_RE = (r"^(?P<pre>(?:node=\S+ )?type=(?P<kind>\S+)) "
                   r"msg=audit\((?P<sec>\d+)\.(?P<ms>\d{1,3}):"
                   r"(?P<serial>\S+?)\):? ?(?P<payload>.*)$")
