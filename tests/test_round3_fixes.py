@@ -212,3 +212,46 @@ def test_bucket_reduce_tree_exchange(ray_session):
     for kk, vv in zip(k.tolist(), v.tolist()):
         want[kk] += vv
     assert got == dict(want)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(-1000, 1000)),
+                min_size=0, max_size=300),
+       st.integers(2, 8))
+def test_bucket_exchange_equals_groupby(ray_session, rows, n_buckets):
+    """bucket_exchange(fn) must equal groupby(bucket).map_groups(fn) for
+    a per-bucket aggregate, for arbitrary bucket occupancy (including
+    empty buckets and an empty dataset)."""
+    import ray.data
+
+    from aushape_ray.functions.joins import bucket_exchange
+
+    b = np.array([r[0] % n_buckets for r in rows], np.int32)
+    v = np.array([r[1] for r in rows], np.int64)
+    t = pa.table({"__bucket": pa.array(b, pa.int32()),
+                  "v": pa.array(v, pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"__bucket": pa.array([], pa.int32()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vv = g.column("v").to_numpy(zero_copy_only=False)
+        bb = g.column("__bucket")[0].as_py()
+        return pa.table({"__bucket": pa.array([bb], pa.int32()),
+                         "s": pa.array([int(vv.sum())], pa.int64()),
+                         "n": pa.array([len(vv)], pa.int64())})
+
+    per_bucket.__name__ = "per_bucket"
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = {r["__bucket"]: (r["s"], r["n"])
+           for r in bucket_exchange(ds, n_buckets, per_bucket).take_all()}
+    want = {}
+    for bb, vv in zip(b.tolist(), v.tolist()):
+        s, n = want.get(bb, (0, 0))
+        want[bb] = (s + vv, n + 1)
+    assert got == want
