@@ -31,3 +31,37 @@ def test_validator_catches_violations():
     assert any("lowercase" in e for e in validate_doc(bad_kind))
     err_and_data = {"serial": "s", "time": "t", "error": "x", "data": {}}
     assert any("voided" in e for e in validate_doc(err_and_data))
+
+
+# ---------------- search-index mapping coverage (round 3) -----------------
+
+def test_mapping_covers_every_emitted_document_path(oracle_events):
+    """Every dotted path in every corpus event document must resolve to
+    an explicit property or a dynamic template of the generated index
+    mapping (the analogue of the reference lib/aushape.mapping.json)."""
+    import json
+
+    from aushape_ray.mapping import uncovered_paths
+
+    bad = {}
+    for e in oracle_events:
+        for p in uncovered_paths(json.loads(e["doc"])):
+            bad.setdefault(p, 0)
+            bad[p] += 1
+    assert not bad, bad
+
+
+def test_mapping_shape_and_templates():
+    from aushape_ray.mapping import build_mapping, covered_by
+
+    m = build_mapping()
+    assert m["date_detection"] is False
+    assert m["properties"]["serial"]["type"] == "keyword"
+    # repeated record kinds are nested, like the reference mapping
+    for k in ("path", "avc", "obj_pid", "netfilter_cfg", "msg"):
+        assert m["properties"]["data"]["properties"][k]["type"] == "nested"
+    # dynamic templates catch the open-ended per-kind field names
+    assert covered_by(m, "data.login.uid")
+    assert covered_by(m, "data.path.item.name")
+    assert covered_by(m, "norm.subject")
+    assert not covered_by(m, "bogus.top.level")
