@@ -114,6 +114,10 @@ def main() -> None:
     write_routed(events_contiguous(sf_dir, cfg, epochs=EPOCHS), out_dir, cfg)
     headline = time.time() - t0
     timings["flagship_events"] = round(headline, 3)
+    # untimed: flush the ~1 GB of routed output now — its dirty pages
+    # otherwise stall the NEXT run's reads (measured: back-to-back
+    # headlines degrade 719k -> ~500k turns/s until writeback drains)
+    os.sync()
 
     # the general path (explicit conv_id hash-partition shuffle) — for
     # inputs without the contiguity guarantee
