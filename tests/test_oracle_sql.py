@@ -1,0 +1,53 @@
+"""Fast guards over the driver contract: every oracle SQL string must
+parse/plan in DuckDB against the real table views, and the registry
+ordering invariant must hold (full value comparisons run in
+scripts/check_queries.py and the driver's own gate)."""
+
+import duckdb
+import pytest
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_every_oracle_sql_plans(registry, con):
+    queries, oracle = registry
+    assert len(oracle) == 50
+    bad = {}
+    for name, sql in oracle.items():
+        try:
+            con.sql("EXPLAIN " + sql)
+        except Exception as exc:  # noqa: BLE001 - collecting all failures
+            bad[name] = str(exc).splitlines()[0]
+    assert not bad, bad
+
+
+def test_registry_ordering_invariant(registry):
+    queries, oracle = registry
+    names = list(queries)
+    # every oracle-backed query inside the driver's 50-entry window,
+    # oracle-backed block strictly first
+    assert all(n in names[:50] for n in oracle)
+    assert names[:len(oracle)] == [n for n in names if n in oracle]
+    # every oracle key is a registered query
+    assert set(oracle) <= set(queries)
