@@ -855,58 +855,122 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
 
 def verify_pairs_jaccard(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
                          n_buckets: int = 16) -> "ray.data.Dataset":
-    """Attach exact shingle Jaccard to candidate pairs — the scale-true
-    keyed fetch: candidate texts arrive via two partitioned hash joins of
-    the pair list against the documents table (functions/joins.hash_join),
-    so NOTHING is materialized on the driver and no corpus-wide broadcast
-    exists anywhere in the path.  Each join shuffles the documents table
-    once by doc_id; only texts of docs that actually appear in a pair
-    survive the inner join.  (A 100 TB deployment can additionally
-    pre-prune the docs side with a bucketed semi join when the candidate
-    set is far smaller than the corpus.)
+    """Attach exact shingle Jaccard to candidate pairs — bucket-colocated
+    text fetch: pairs land in bucket hash(doc_a) % B, a DEDUPED
+    (bucket, doc_id) need-list semi-joins the documents table, and the
+    scoring task for a bucket sees each needed text exactly ONCE plus the
+    16-byte pair rows.  A doc's text therefore crosses the exchange at
+    most B+1 times total (once as doc_a — all its doc_a pairs share one
+    bucket — and once per distinct partner bucket as doc_b), independent
+    of how many pairs it appears in; the previous two-hash-join design
+    attached a text copy to EVERY pair row (~350 copies/doc on the dense
+    stress corpus) and re-shingled each doc once per downstream batch.
+    Nothing is materialized on the driver and no corpus-wide broadcast
+    exists anywhere in the path.  Raise n_buckets at corpus scale so one
+    bucket's unique texts fit a worker heap.
 
     pairs: (doc_a:int64, doc_b:int64); docs: (doc_id:int64, text:string).
-    Returns (doc_a, doc_b, jaccard:float64).
+    Returns (doc_a, doc_b, jaccard:float64).  Pairs referencing a doc_id
+    absent from docs are dropped (inner-join semantics).
     """
-    from .joins import hash_join
+    from .joins import bucket_exchange, hash_join, hash_part
 
-    docs_a = docs.map_batches(
-        lambda t: pa.table({"doc_a": t.column("doc_id"),
-                            "text_a": t.column("text")}),
-        batch_format="pyarrow")
-    docs_b = docs.map_batches(
-        lambda t: pa.table({"doc_b": t.column("doc_id"),
-                            "text_b": t.column("text")}),
-        batch_format="pyarrow")
-    j1 = hash_join(pairs, docs_a, "doc_a", "doc_a", n_buckets=n_buckets)
-    j2 = hash_join(j1, docs_b, "doc_b", "doc_b", n_buckets=n_buckets)
-
-    def score(batch: pa.Table) -> pa.Table:
-        # a doc typically appears in MANY candidate pairs: compute its
-        # shingle set once per batch (keyed by doc id) and intersect the
-        # sorted uint64 arrays with numpy — per-pair Python shingling
-        # was the verify bottleneck on dense candidate sets
-        ids_a = batch.column("doc_a").to_pylist()
-        ids_b = batch.column("doc_b").to_pylist()
-        texts_a = batch.column("text_a").to_pylist()
-        texts_b = batch.column("text_b").to_pylist()
-        memo: dict[int, np.ndarray] = {}
-        for i, t in zip(ids_a, texts_a):
-            if i not in memo:
-                memo[i] = _shingles(t or "")
-        for i, t in zip(ids_b, texts_b):
-            if i not in memo:
-                memo[i] = _shingles(t or "")
-        sims = []
-        for x, y in zip(ids_a, ids_b):
-            sa, sb = memo[x], memo[y]  # sorted unique (np.unique output)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            sims.append(inter / union if union else 1.0)
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vb = hash_part(a, n_buckets)
         return pa.table({
-            "doc_a": batch.column("doc_a"),
-            "doc_b": batch.column("doc_b"),
-            "jaccard": pa.array(sims, pa.float64()),
+            "vb": pa.array(vb, pa.int32()),
+            "__vside": pa.array(np.zeros(len(a), np.int8), pa.int8()),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "doc_id": pa.nulls(len(a), pa.int64()),
+            "text": pa.nulls(len(a), pa.string()),
         })
 
-    return j2.map_batches(score, batch_format="pyarrow")
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+
+    # need-list: which (bucket, doc_id) must be present for scoring —
+    # batch-locally deduped here, globally deduped per bucket below, so
+    # the docs join emits one text row per (bucket, doc) not per pair
+    def needed(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vb = hash_part(a, n_buckets)
+        doc = np.concatenate([a, b])
+        bkt = np.concatenate([vb, vb])
+        order = np.lexsort((doc, bkt))
+        doc, bkt = doc[order], bkt[order]
+        first = np.concatenate(
+            [[True], (doc[1:] != doc[:-1]) | (bkt[1:] != bkt[:-1])])
+        return pa.table({"vb": pa.array(bkt[first], pa.int32()),
+                         "doc_id": pa.array(doc[first], pa.int64())})
+
+    def uniq_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"vb": pa.array([], pa.int32()),
+                             "doc_id": pa.array([], pa.int64())})
+        d = np.unique(g.column("doc_id").to_numpy(zero_copy_only=False))
+        vb = g.column("vb")[0].as_py()
+        return pa.table({"vb": pa.array(np.full(len(d), vb, np.int32)),
+                         "doc_id": pa.array(d, pa.int64())})
+
+    uniq_bucket.__name__ = "uniq_bucket"
+    need = bucket_exchange(
+        pairs.map_batches(needed, batch_format="pyarrow"),
+        n_buckets, uniq_bucket, bucket_col="vb")
+    texts = hash_join(need, docs, "doc_id", "doc_id",
+                      n_buckets=max(8, n_buckets // 2))
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "vb": t.column("vb").cast(pa.int32()),
+            "__vside": pa.array(np.ones(n, np.int8), pa.int8()),
+            "doc_a": pa.nulls(n, pa.int64()),
+            "doc_b": pa.nulls(n, pa.int64()),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "text": t.column("text").cast(pa.string()),
+        })
+
+    both = tagged.union(texts.map_batches(tag_texts, batch_format="pyarrow"))
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("__vside")
+        prs = g.filter(pc.equal(side, 0))
+        if prs.num_rows == 0:
+            return empty
+        dt = g.filter(pc.equal(side, 1))
+        ids = dt.column("doc_id").to_pylist()
+        txts = dt.column("text").to_pylist()
+        # one shingle set per doc per BUCKET (<= B computations per doc
+        # corpus-wide), not per downstream batch
+        memo = {i: _shingles(t or "") for i, t in zip(ids, txts)}
+        a = prs.column("doc_a").to_pylist()
+        b = prs.column("doc_b").to_pylist()
+        n = len(a)
+        sims = np.empty(n, dtype=np.float64)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            sa = memo.get(a[i])
+            sb = memo.get(b[i])
+            if sa is None or sb is None:
+                keep[i] = False
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            sims[i] = inter / union if union else 1.0
+        k = pa.array(keep)
+        return pa.table({
+            "doc_a": prs.column("doc_a").filter(k),
+            "doc_b": prs.column("doc_b").filter(k),
+            "jaccard": pa.array(sims[keep], pa.float64()),
+        })
+
+    score_bucket.__name__ = "score_bucket"
+    return bucket_exchange(both, n_buckets, score_bucket, bucket_col="vb")

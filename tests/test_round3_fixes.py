@@ -255,3 +255,60 @@ def test_bucket_exchange_equals_groupby(ray_session, rows, n_buckets):
         s, n = want.get(bb, (0, 0))
         want[bb] = (s + vv, n + 1)
     assert got == want
+
+
+def test_verify_pairs_jaccard_bucketed(ray_session):
+    """verify_pairs_jaccard (bucket-colocated text fetch): scores match the
+    scalar jaccard() reference on every surviving pair; pairs referencing a
+    doc_id absent from docs are dropped (inner-join semantics); a hot doc
+    appearing in many pairs across many partner buckets is scored
+    consistently everywhere it appears."""
+    import random
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import jaccard, verify_pairs_jaccard
+
+    rng = random.Random(1234)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lambda", "mu"]
+    docs = {}
+    for i in range(40):
+        docs[i] = " ".join(rng.choice(words) for _ in range(rng.randint(6, 30)))
+    docs[7] = docs[3]            # exact dup pair
+    docs[11] = docs[3] + " omega"  # near dup
+    docs[12] = ""                # empty text still scoreable
+
+    pairs = []
+    hot = 3  # hot doc: pairs against most of the corpus -> many partner buckets
+    for j in range(40):
+        if j != hot:
+            pairs.append((hot, j))
+    for _ in range(60):
+        a, b = rng.sample(range(40), 2)
+        pairs.append((a, b))
+    pairs.append((5, 999))    # right doc missing -> dropped
+    pairs.append((998, 5))    # left doc missing -> dropped
+    pairs.append((998, 999))  # both missing -> dropped
+
+    docs_t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+    })
+    pairs_t = pa.table({
+        "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+    out = verify_pairs_jaccard(
+        ray.data.from_arrow(pairs_t).repartition(5),
+        ray.data.from_arrow(docs_t).repartition(4),
+        n_buckets=8,
+    ).take_all()
+
+    want = {(a, b) for a, b in pairs if a in docs and b in docs}
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == want  # missing-doc pairs dropped, nothing else lost
+    assert len(out) == len([p for p in pairs if p[0] in docs and p[1] in docs])
+    for r in out:
+        expect = jaccard(docs[r["doc_a"]], docs[r["doc_b"]])
+        assert abs(r["jaccard"] - expect) < 1e-12, (r, expect)
