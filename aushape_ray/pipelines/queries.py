@@ -2060,6 +2060,55 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= {SIM_THRESHOLD}"""
 
 
+def q_emb_dedup_near(sf_dir: str):
+    """Embedding-cosine near-duplicate dedup end-to-end: exact all-pairs
+    cosine >= SIM_THRESHOLD (functions/ann.all_pairs_cosine block-pair
+    exchange) -> connected components (functions/dedup.cluster_pairs) ->
+    keep the minimum vec_id of each cluster; returns the surviving
+    vec_ids.  The embedding counterpart of doc_dedup_near (reference
+    corpus-dedup semantics over the vector column): at corpus scale the
+    same chain runs with a near-dup threshold (~0.95) and the IVF/LSH
+    candidate path in front of the exact verify instead of all-pairs.
+    Rows-only for the driver (the 50-slot oracle window is full); exact
+    DuckDB parity (cross-join cosine + recursive-CTE closure) is pytest-
+    enforced in tests/test_round3_fixes.py."""
+    from ..functions.dedup import cluster_pairs
+    from ..functions.joins import hash_join
+
+    pairs = q_emb_sim_pairs(sf_dir).map_batches(
+        lambda t: pa.table({"doc_a": t.column("vec_a").cast(pa.int64()),
+                            "doc_b": t.column("vec_b").cast(pa.int64())}),
+        batch_format="pyarrow")
+    clusters = cluster_pairs(pairs)
+    victims = clusters.map_batches(
+        lambda t: pa.table({"victim": t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        ).column("doc_id")}),
+        batch_format="pyarrow")
+    vecs = _read_table(sf_dir, "embeddings", ["vec_id"])
+    j = hash_join(vecs, victims, "vec_id", "victim", how="left")
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("victim"))).select(["vec_id"]),
+        batch_format="pyarrow")
+
+
+def sql_emb_dedup_near() -> str:
+    """DuckDB reference for q_emb_dedup_near (pytest-only; not in the
+    driver oracle dict — the 50-slot window is full)."""
+    return f"""
+WITH RECURSIVE pr AS ({sql_emb_sim_pairs()}),
+e AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+      UNION SELECT vec_b, vec_a FROM pr),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+victims AS (
+  SELECT DISTINCT src AS vec_id FROM reach WHERE dst < src)
+SELECT v.vec_id::BIGINT AS vec_id FROM embeddings v
+WHERE v.vec_id NOT IN (SELECT vec_id FROM victims)"""
+
+
 def q_ann_ivf_recall(sf_dir: str):
     """Scale-path ANN: LSH/IVF-bucketed search probing only the query's
     bucket; reports recall@10 vs the exact brute force (rows-only oracle:
@@ -2401,6 +2450,7 @@ def build_registry():
         "events_window_anomaly": q_events_window_anomaly,
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
+        "emb_dedup_near": q_emb_dedup_near,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
         "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,

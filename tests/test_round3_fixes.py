@@ -312,3 +312,24 @@ def test_verify_pairs_jaccard_bucketed(ray_session):
     for r in out:
         expect = jaccard(docs[r["doc_a"]], docs[r["doc_b"]])
         assert abs(r["jaccard"] - expect) < 1e-12, (r, expect)
+
+
+def test_emb_dedup_near_matches_duckdb(ray_session):
+    """emb_dedup_near (all-pairs cosine -> connected components ->
+    keep-min survivors) matches the DuckDB recursive-CTE transitive
+    closure exactly.  Rows-only in the driver registry (the 50-slot
+    oracle window is full), so parity is enforced here instead."""
+    import duckdb
+
+    from aushape_ray.pipelines.queries import (q_emb_dedup_near,
+                                               sql_emb_dedup_near)
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(r["vec_id"] for r in q_emb_dedup_near(sf).take_all())
+
+    con = duckdb.connect()
+    con.sql("create view embeddings as select * from "
+            f"read_parquet('{sf}/embeddings.parquet')")
+    want = sorted(r[0] for r in con.sql(sql_emb_dedup_near()).fetchall())
+    assert len(want) < 500  # threshold formed real clusters (66 pairs)
+    assert got == want
