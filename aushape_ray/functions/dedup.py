@@ -896,6 +896,9 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
     def needed(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
         b = t.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(a) == 0:  # [[True]] mask below breaks on 0-row input
+            return pa.table({"vb": pa.array([], pa.int32()),
+                             "doc_id": pa.array([], pa.int64())})
         vb = hash_part(a, n_buckets)
         doc = np.concatenate([a, b])
         bkt = np.concatenate([vb, vb])

@@ -299,8 +299,13 @@ def test_verify_pairs_jaccard_bucketed(ray_session):
         "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
         "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
     })
+    # include an all-empty block (filters upstream produce them): the
+    # need-list kernel must not choke on a 0-row batch
+    empty_pairs = pairs_t.slice(0, 0)
+    pairs_ds = ray.data.from_arrow(pairs_t).repartition(5).union(
+        ray.data.from_arrow(empty_pairs))
     out = verify_pairs_jaccard(
-        ray.data.from_arrow(pairs_t).repartition(5),
+        pairs_ds,
         ray.data.from_arrow(docs_t).repartition(4),
         n_buckets=8,
     ).take_all()
