@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -769,6 +770,152 @@ class SimHasher:
         doc_off = np.array([0, len(data)], dtype=np.int64)
         v = int(self._simhash_flat(data, doc_off, 1)[0])
         return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def jaccard_pairs_exact(ds: "ray.data.Dataset", threshold: float = 0.5,
+                        n_parts: int = 32,
+                        max_df: "int | None" = None) -> "ray.data.Dataset":
+    """Standalone EXACT n-gram Jaccard near-dup discovery — no LSH, no
+    candidate step: the distributed form of the exploded set-similarity
+    join (postings shuffled once by gram hash; intersection mass and
+    set sizes both fall out of the same exchange).
+
+    Shape: (bucket, gram, doc_id) postings shuffle ONCE by a coarse
+    gram-hash bucket.  Each bucket task emits (a) per-pair partial
+    intersection counts for grams with df >= 2 (a df-1 gram cannot
+    intersect) and (b) per-doc partial set sizes counting ALL its
+    postings in the bucket — so sizes stay exact regardless of pruning.
+    Partials sum under one more coarse exchange; two partitioned hash
+    joins attach |A| and |B| (16-byte rows); J = c / (|A| + |B| - c).
+
+    max_df (None = exact): at corpus scale, cap gram document frequency
+    before pair emission — a df-D gram contributes C(D,2) pair rows, so
+    stopword-grade grams explode quadratically.  Pruned grams still
+    count toward sizes, making capped scores conservative LOWER bounds
+    (a capped run can only miss pairs, never invent them).
+
+    Input (doc_id:int64, text:string) -> (doc_a, doc_b, jaccard:float64),
+    doc_a < doc_b, jaccard >= threshold.  Gram identity is the 64-bit
+    rolling hash of _shingles (k=5 utf-8 bytes), the same identity the
+    verify/jaccard paths use.
+    """
+    from .joins import hash_join, hash_part
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        grams = [_shingles(t or "") for t in texts]
+        n = np.array([g.size for g in grams], np.int64)
+        doc = np.repeat(ids, n)
+        g = (np.concatenate(grams) if grams
+             else np.array([], np.uint64)).view(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_part(g, n_parts), pa.int32()),
+            "gram": pa.array(g, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+        })
+
+    def bucket_kernel(grp: pa.Table) -> pa.Table:
+        gram = grp.column("gram").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        # per-doc size partials: every posting counts (pre-prune)
+        udoc, ucnt = np.unique(doc, return_counts=True)
+        o_a = [udoc, np.array([-1], np.int64)]  # sentinel keeps schema
+        o_b = [np.full(len(udoc), -1, np.int64), np.array([-1], np.int64)]
+        o_n = [ucnt.astype(np.int64), np.array([0], np.int64)]
+        order = np.lexsort((doc, gram))
+        g2, d2 = gram[order], doc[order]
+        bounds = np.flatnonzero(np.concatenate([[True], g2[1:] != g2[:-1]]))
+        counts = np.diff(np.append(bounds, len(g2)))
+        live = counts >= 2  # df-1 grams (the majority) never intersect
+        if max_df is not None:
+            live &= counts <= max_df
+        for s, c in zip(bounds[live].tolist(), counts[live].tolist()):
+            d = d2[s:s + c]  # sorted within the gram run (lexsort)
+            iu, ju = np.triu_indices(c, k=1)
+            o_a.append(d[iu])
+            o_b.append(d[ju])
+            o_n.append(np.ones(len(iu), np.int64))
+        a = np.concatenate(o_a)
+        b = np.concatenate(o_b)
+        nn = np.concatenate(o_n)
+        # pre-sum pair multiplicity inside the bucket before the exchange
+        order = np.lexsort((b, a))
+        a, b, nn = a[order], b[order], nn[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        seg = np.cumsum(first) - 1
+        tot = np.zeros(seg[-1] + 1, np.int64)
+        np.add.at(tot, seg, nn)
+        a, b = a[first], b[first]
+        part = hash_part(a * np.int64(1_000_003) + b, n_parts)
+        return pa.table({"part": pa.array(part, pa.int32()),
+                         "doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "n": pa.array(tot, pa.int64())})
+
+    bucket_kernel.__name__ = "bucket_kernel"
+
+    def sum_kernel(grp: pa.Table) -> pa.Table:
+        a = grp.column("doc_a").to_numpy(zero_copy_only=False)
+        b = grp.column("doc_b").to_numpy(zero_copy_only=False)
+        nn = grp.column("n").to_numpy(zero_copy_only=False)
+        real = a >= 0
+        a, b, nn = a[real], b[real], nn[real]
+        if len(a) == 0:  # group held only sentinel rows
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((b, a))
+        a, b, nn = a[order], b[order], nn[order]
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        seg = np.cumsum(first) - 1
+        tot = np.zeros(seg[-1] + 1, np.int64)
+        np.add.at(tot, seg, nn)
+        return pa.table({"doc_a": pa.array(a[first], pa.int64()),
+                         "doc_b": pa.array(b[first], pa.int64()),
+                         "n": pa.array(tot, pa.int64())})
+
+    sum_kernel.__name__ = "sum_kernel"
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    partials = post.groupby("bucket", num_partitions=n_parts).map_groups(
+        bucket_kernel, batch_format="pyarrow")
+    summed = partials.groupby("part", num_partitions=n_parts).map_groups(
+        sum_kernel, batch_format="pyarrow")
+
+    sizes = summed.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.filter(pc.equal(t.column("doc_b"), -1)
+                               ).column("doc_a"),
+            "n_sz": t.filter(pc.equal(t.column("doc_b"), -1)).column("n")}),
+        batch_format="pyarrow")
+    pairs = summed.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("doc_b"), -1)),
+        batch_format="pyarrow")
+
+    j1 = hash_join(pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "n"]), batch_format="pyarrow"),
+        sizes, "doc_a", "doc_id", n_buckets=n_parts // 2)
+    j1 = j1.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "n", "n_sz"]),
+        batch_format="pyarrow")
+    sizes_b = sizes.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "n_sz_b": t.column("n_sz")}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, sizes_b, "doc_b", "doc_id", n_buckets=n_parts // 2)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("n_sz").to_numpy(zero_copy_only=False)
+        nb = t.column("n_sz_b").to_numpy(zero_copy_only=False)
+        j = c / (na + nb - c)
+        keep = pa.array(j >= threshold)
+        return pa.table({"doc_a": t.column("doc_a").filter(keep),
+                         "doc_b": t.column("doc_b").filter(keep),
+                         "jaccard": pa.array(j[j >= threshold], pa.float64())})
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,

@@ -2060,6 +2060,22 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= {SIM_THRESHOLD}"""
 
 
+def q_doc_jaccard_pairs(sf_dir: str):
+    """Standalone EXACT n-gram Jaccard near-dup discovery (no LSH, no
+    candidate step): functions/dedup.jaccard_pairs_exact — postings
+    shuffle once by gram hash; intersection mass and set sizes fall out
+    of the same exchange; two 16-byte-row hash joins attach sizes.
+    Completes the dedup family (exact hash / MinHash-LSH / SimHash /
+    n-gram Jaccard / embedding cosine) with the exact reference the LSH
+    path approximates.  Rows-only for the driver (oracle window full);
+    DuckDB exploded set-similarity parity is pytest-enforced."""
+    from ..functions.dedup import jaccard_pairs_exact
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(docs, threshold=0.5).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+
 def q_emb_dedup_near(sf_dir: str):
     """Embedding-cosine near-duplicate dedup end-to-end: exact all-pairs
     cosine >= SIM_THRESHOLD (functions/ann.all_pairs_cosine block-pair
@@ -2451,6 +2467,7 @@ def build_registry():
         "ann_topk": q_ann_topk,
         "emb_sim_pairs": q_emb_sim_pairs,
         "emb_dedup_near": q_emb_dedup_near,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
         "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,

@@ -338,3 +338,50 @@ def test_emb_dedup_near_matches_duckdb(ray_session):
     want = sorted(r[0] for r in con.sql(sql_emb_dedup_near()).fetchall())
     assert len(want) < 500  # threshold formed real clusters (66 pairs)
     assert got == want
+
+
+def test_jaccard_pairs_exact_matches_duckdb(ray_session):
+    """jaccard_pairs_exact (standalone exact n-gram Jaccard discovery, no
+    LSH) matches DuckDB's exploded set-similarity join on pair set AND
+    jaccard values; a df-capped run returns a subset (conservative lower
+    bounds can only drop pairs, never invent them)."""
+    import duckdb
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import jaccard_pairs_exact
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=8)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs_exact(docs, threshold=0.5).take_all()}
+
+    con = duckdb.connect()
+    con.sql("create view documents as select * from "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = {(a, b): j for a, b, j in con.sql("""
+WITH g AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(length(text)-3, 2)),
+           i -> substring(text, i::INT, 5)))) AS gram
+  FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS j
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""").fetchall()}
+
+    assert set(got) == set(want)
+    assert len(want) > 0  # the corpus has true near-dup pairs
+    for k, j in got.items():
+        assert abs(j - want[k]) < 1e-12, (k, j, want[k])
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              jaccard_pairs_exact(docs, threshold=0.5,
+                                  max_df=8).take_all()}
+    assert capped <= set(got)
