@@ -918,6 +918,132 @@ def jaccard_pairs_exact(ds: "ray.data.Dataset", threshold: float = 0.5,
     return j2.map_batches(score, batch_format="pyarrow")
 
 
+def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
+                         n_parts: int = 32) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard near-dup discovery at corpus scale via
+    PREFIX FILTERING (the AllPairs/PPJoin bound, Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08): if J(A,B) >= t then |A ∩ B| >= ceil(t·|A|), so
+    any qualifying B must share at least one of A's first
+    |A| - ceil(t·|A|) + 1 grams in a GLOBAL rarest-first gram order.
+    Candidates are generated only from those prefix grams, then verified
+    with exact Jaccard — a guaranteed-superset candidate set, so the
+    result equals the uncapped jaccard_pairs_exact, at a fraction of the
+    pair fan-out (common stopword-grade grams land in suffixes and never
+    emit pairs; this is what df-capping CANNOT do exactly).
+
+    Shape (3 postings shuffles + pair dedup + verify joins, all coarse
+    keys, no driver materialization, no broadcast):
+      1. postings bucket by gram hash -> per-gram df computed bucket-
+         locally and attached to each posting row;
+      2. postings regroup by doc hash -> per-doc (df, gram)-ascending
+         sort, emit only the prefix;
+      3. prefix postings bucket by gram hash -> pair emission per gram
+         run; coarse-partition distinct (_dedup_pairs);
+      4. verify_pairs_jaccard (bucket-colocated exact Jaccard) ->
+         filter >= t.
+
+    Input (doc_id:int64, text:string) ->
+    (doc_a, doc_b, jaccard:float64), doc_a < doc_b, jaccard >= t.
+    """
+    from .joins import hash_part
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        grams = [_shingles(t or "") for t in texts]
+        n = np.array([g.size for g in grams], np.int64)
+        doc = np.repeat(ids, n)
+        g = (np.concatenate(grams) if grams
+             else np.array([], np.uint64)).view(np.int64)
+        return pa.table({
+            "bucket": pa.array(hash_part(g, n_parts), pa.int32()),
+            "gram": pa.array(g, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+        })
+
+    def attach_df(grp: pa.Table) -> pa.Table:
+        gram = grp.column("gram").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(gram, kind="stable")
+        g2, d2 = gram[order], doc[order]
+        bounds = np.flatnonzero(np.concatenate([[True], g2[1:] != g2[:-1]]))
+        counts = np.diff(np.append(bounds, len(g2)))
+        df = np.repeat(counts, counts)
+        return pa.table({
+            "dbucket": pa.array(hash_part(d2, n_parts), pa.int32()),
+            "doc_id": pa.array(d2, pa.int64()),
+            "gram": pa.array(g2, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+        })
+
+    attach_df.__name__ = "attach_df"
+
+    def doc_prefix(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({"gbucket": pa.array([], pa.int32()),
+                             "gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        gram = grp.column("gram").to_numpy(zero_copy_only=False)
+        df = grp.column("df").to_numpy(zero_copy_only=False)
+        # rarest-first global order = (df, gram); doc-major sort, then
+        # per-doc prefix selection via segment arithmetic (one Python
+        # call per partition, vectorized across its docs)
+        order = np.lexsort((gram, df, doc))
+        d2, g2 = doc[order], gram[order]
+        bounds = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
+        sizes = np.diff(np.append(bounds, len(d2)))
+        # |prefix| = n - ceil(t*n) + 1
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        idx = np.concatenate([np.arange(s, s + p) for s, p in
+                              zip(bounds.tolist(), plen.tolist())]) \
+            if len(bounds) else np.array([], np.int64)
+        g3 = g2[idx]
+        return pa.table({
+            "gbucket": pa.array(hash_part(g3, n_parts), pa.int32()),
+            "gram": pa.array(g3, pa.int64()),
+            "doc_id": pa.array(d2[idx], pa.int64()),
+        })
+
+    doc_prefix.__name__ = "doc_prefix"
+
+    def emit_pairs(grp: pa.Table) -> pa.Table:
+        gram = grp.column("gram").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, gram))
+        g2, d2 = gram[order], doc[order]
+        bounds = np.flatnonzero(np.concatenate([[True], g2[1:] != g2[:-1]]))
+        counts = np.diff(np.append(bounds, len(g2)))
+        o_a = [np.array([], np.int64)]
+        o_b = [np.array([], np.int64)]
+        live = counts >= 2
+        for s, c in zip(bounds[live].tolist(), counts[live].tolist()):
+            d = d2[s:s + c]
+            iu, ju = np.triu_indices(c, k=1)
+            o_a.append(d[iu])
+            o_b.append(d[ju])
+        a = np.concatenate(o_a)
+        b = np.concatenate(o_b)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    emit_pairs.__name__ = "emit_pairs"
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+    with_df = post.groupby("bucket", num_partitions=n_parts).map_groups(
+        attach_df, batch_format="pyarrow")
+    prefix = with_df.groupby("dbucket", num_partitions=n_parts).map_groups(
+        doc_prefix, batch_format="pyarrow")
+    raw_pairs = prefix.groupby("gbucket", num_partitions=n_parts).map_groups(
+        emit_pairs, batch_format="pyarrow")
+    cands = _dedup_pairs(raw_pairs, n_parts)
+    verified = verify_pairs_jaccard(cands, ds, n_buckets=n_parts // 2)
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
+        batch_format="pyarrow")
+
+
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                   n_parts: int = 64,
                   cap: "int | None" = None) -> "ray.data.Dataset":

@@ -2068,11 +2068,38 @@ def q_doc_jaccard_pairs(sf_dir: str):
     Completes the dedup family (exact hash / MinHash-LSH / SimHash /
     n-gram Jaccard / embedding cosine) with the exact reference the LSH
     path approximates.  Rows-only for the driver (oracle window full);
-    DuckDB exploded set-similarity parity is pytest-enforced."""
+    DuckDB exploded set-similarity parity is pytest-enforced (uncapped,
+    at oracle scale).
+
+    max_df=64 here is MANDATORY above toy scale: a df-D gram emits
+    C(D,2) pair rows, so one stopword-grade gram at df~n_docs is a
+    quadratic blowup (measured: uncapped sf0.1 = 5k docs did not finish
+    in 10 minutes; capped runs in seconds).  True near-dups share
+    mostly cluster-local (low-df) grams, so the cap drops generic-
+    English intersections while keeping dup signal — same lever as
+    cap=MAX_BUCKET_PAIRS_N on the LSH path."""
     from ..functions.dedup import jaccard_pairs_exact
 
     docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
-    return jaccard_pairs_exact(docs, threshold=0.5).map_batches(
+    return jaccard_pairs_exact(docs, threshold=0.5, max_df=64).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+
+def q_doc_jaccard_prefix(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs WITHOUT any df cap: prefix
+    filtering (functions/dedup.jaccard_pairs_prefix, the AllPairs/PPJoin
+    bound).  Unlike q_doc_jaccard_pairs' max_df=64 heuristic this is
+    lossless — candidates come only from each doc's rarest
+    |A|-ceil(t|A|)+1 grams in a global (df, gram) order, a
+    guaranteed-superset bound, so the pair set equals the uncapped
+    brute-force result while stopword-grade grams never emit pairs.
+    Rows-only for the driver (oracle window full); exact parity vs
+    jaccard_pairs_exact is pytest-enforced
+    (tests/test_round3_fixes.py::test_jaccard_pairs_prefix_matches_exact)."""
+    from ..functions.dedup import jaccard_pairs_prefix
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_prefix(docs, threshold=0.5).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
 
@@ -2468,6 +2495,7 @@ def build_registry():
         "emb_sim_pairs": q_emb_sim_pairs,
         "emb_dedup_near": q_emb_dedup_near,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_jaccard_prefix": q_doc_jaccard_prefix,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
         "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,

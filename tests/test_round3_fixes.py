@@ -385,3 +385,43 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""").fetchall()}
               jaccard_pairs_exact(docs, threshold=0.5,
                                   max_df=8).take_all()}
     assert capped <= set(got)
+
+
+def test_jaccard_pairs_prefix_matches_exact(ray_session):
+    """jaccard_pairs_prefix (AllPairs/PPJoin prefix filtering) returns
+    EXACTLY the uncapped jaccard_pairs_exact result — pair set and
+    values — on a corpus with planted near-dups.  The per-doc prefix
+    |A| - ceil(t|A|) + 1 in the global (df, gram) rarest-first order is
+    a guaranteed-superset candidate bound, so no pair can be lost."""
+    import random
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import (jaccard_pairs_exact,
+                                             jaccard_pairs_prefix)
+
+    rng = random.Random(41)
+    alpha = "abcdefghij "
+    texts = ["".join(rng.choice(alpha) for _ in range(120))
+             for _ in range(30)]
+    # plant near-dups: light point mutations of existing docs
+    for i in range(10):
+        src = list(texts[i])
+        for _ in range(4):
+            src[rng.randrange(len(src))] = rng.choice(alpha)
+        texts.append("".join(src))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    docs = ray.data.from_items(rows).map_batches(
+        lambda t: t, batch_format="pyarrow")
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs_exact(
+                 docs, threshold=0.5, n_parts=8).take_all()}
+    pref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_prefix(
+                docs, threshold=0.5, n_parts=8).take_all()}
+
+    assert len(exact) >= 10  # the planted mutations survive t=0.5
+    assert set(pref) == set(exact)
+    for k, j in pref.items():
+        assert abs(j - exact[k]) < 1e-12, (k, j, exact[k])
