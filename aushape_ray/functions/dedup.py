@@ -254,9 +254,15 @@ def _add_band_bucket_part(t: pa.Table, n_parts: int) -> pa.Table:
     return t.append_column("part", pa.array(part, pa.int32()))
 
 
-def _dedup_pairs(pairs: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
+def _dedup_pairs(pairs: "ray.data.Dataset", n_parts: int,
+                 via_bucket_exchange: bool = False) -> "ray.data.Dataset":
     """Distinct (doc_a, doc_b) via coarse-partitioned vectorized unique —
-    shared by the MinHash and SimHash candidate generators."""
+    shared by the MinHash and SimHash candidate generators.
+
+    via_bucket_exchange swaps the Dataset sort exchange for the raw
+    joins.bucket_exchange — same semantics, minus the seconds-scale
+    fixed sort cost; use it on paths whose end-to-end time is
+    fixed-cost-dominated (jaccard_pairs_prefix: 5 small exchanges)."""
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -273,8 +279,12 @@ def _dedup_pairs(pairs: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
                          "doc_b": pa.array(keep[:, 1], pa.int64())})
 
     dedup_partition.__name__ = "dedup_partition"
-    return pairs.map_batches(add_pair_part, batch_format="pyarrow").groupby(
-        "part", num_partitions=n_parts).map_groups(
+    tagged = pairs.map_batches(add_pair_part, batch_format="pyarrow")
+    if via_bucket_exchange:
+        from .joins import bucket_exchange
+        return bucket_exchange(tagged, n_parts, dedup_partition,
+                               bucket_col="part")
+    return tagged.groupby("part", num_partitions=n_parts).map_groups(
         dedup_partition, batch_format="pyarrow")
 
 
@@ -938,7 +948,10 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
       2. postings regroup by doc hash -> per-doc (df, gram)-ascending
          sort, emit only the prefix;
       3. prefix postings bucket by gram hash -> pair emission per gram
-         run; coarse-partition distinct (_dedup_pairs);
+         run, pruned by the LENGTH filter (min >= t*max) and the PPJoin
+         POSITIONAL filter (overlap upper bound from the gram's rank vs
+         the required ceil(t/(1+t)(|A|+|B|))) — both lossless; then
+         coarse-partition distinct (_dedup_pairs);
       4. verify_pairs_jaccard (bucket-colocated exact Jaccard) ->
          filter >= t.
 
@@ -983,7 +996,9 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
         if grp.num_rows == 0:
             return pa.table({"gbucket": pa.array([], pa.int32()),
                              "gram": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
+                             "doc_id": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
         doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
         gram = grp.column("gram").to_numpy(zero_copy_only=False)
         df = grp.column("df").to_numpy(zero_copy_only=False)
@@ -1000,10 +1015,17 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
                               zip(bounds.tolist(), plen.tolist())]) \
             if len(bounds) else np.array([], np.int64)
         g3 = g2[idx]
+        # pos = rank of the gram in its doc's full rarest-first order
+        # (prefix grams are exactly the first plen ranks); size = the
+        # doc's FULL shingle-set size — both feed the emit-time filters
+        pos = idx - np.repeat(bounds, plen)
+        size = np.repeat(sizes, plen)
         return pa.table({
             "gbucket": pa.array(hash_part(g3, n_parts), pa.int32()),
             "gram": pa.array(g3, pa.int64()),
             "doc_id": pa.array(d2[idx], pa.int64()),
+            "size": pa.array(size, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
         })
 
     doc_prefix.__name__ = "doc_prefix"
@@ -1011,18 +1033,35 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
     def emit_pairs(grp: pa.Table) -> pa.Table:
         gram = grp.column("gram").to_numpy(zero_copy_only=False)
         doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        size = grp.column("size").to_numpy(zero_copy_only=False)
+        pos = grp.column("pos").to_numpy(zero_copy_only=False)
         order = np.lexsort((doc, gram))
         g2, d2 = gram[order], doc[order]
+        s2, p2 = size[order], pos[order]
         bounds = np.flatnonzero(np.concatenate([[True], g2[1:] != g2[:-1]]))
         counts = np.diff(np.append(bounds, len(g2)))
         o_a = [np.array([], np.int64)]
         o_b = [np.array([], np.int64)]
         live = counts >= 2
         for s, c in zip(bounds[live].tolist(), counts[live].tolist()):
-            d = d2[s:s + c]
+            d, sz, po = d2[s:s + c], s2[s:s + c], p2[s:s + c]
             iu, ju = np.triu_indices(c, k=1)
-            o_a.append(d[iu])
-            o_b.append(d[ju])
+            sa, sb = sz[iu], sz[ju]
+            # LENGTH filter: J <= min/max, so J >= t needs
+            # min(|A|,|B|) >= t*max(|A|,|B|)
+            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            # POSITIONAL filter (PPJoin, Xiao et al. WWW'08): at this
+            # shared gram (positions pa/pb in each doc's rarest-first
+            # order) the overlap can be at most
+            # 1 + min(|A|-1-pa, |B|-1-pb); a qualifying pair needs
+            # overlap >= ceil(t/(1+t)(|A|+|B|)).  Exactness: the pair's
+            # SMALLEST shared gram is provably in both prefixes and the
+            # bound holds there, so union-over-emissions loses nothing.
+            alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb))
+            ub = 1 + np.minimum(sa - 1 - po[iu], sb - 1 - po[ju])
+            keep &= ub >= alpha
+            o_a.append(d[iu][keep])
+            o_b.append(d[ju][keep])
         a = np.concatenate(o_a)
         b = np.concatenate(o_b)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
@@ -1030,14 +1069,19 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
 
     emit_pairs.__name__ = "emit_pairs"
 
+    # all five exchanges ride joins.bucket_exchange: the keys are coarse
+    # (n_parts buckets) and each stage's data is small relative to the
+    # Dataset sort exchange's fixed sampling/sort cost (measured at
+    # sf0.01: 29.4s with groupby exchanges -> see BASELINE.md)
+    from .joins import bucket_exchange
+
     post = ds.map_batches(postings, batch_format="pyarrow")
-    with_df = post.groupby("bucket", num_partitions=n_parts).map_groups(
-        attach_df, batch_format="pyarrow")
-    prefix = with_df.groupby("dbucket", num_partitions=n_parts).map_groups(
-        doc_prefix, batch_format="pyarrow")
-    raw_pairs = prefix.groupby("gbucket", num_partitions=n_parts).map_groups(
-        emit_pairs, batch_format="pyarrow")
-    cands = _dedup_pairs(raw_pairs, n_parts)
+    with_df = bucket_exchange(post, n_parts, attach_df, bucket_col="bucket")
+    prefix = bucket_exchange(with_df, n_parts, doc_prefix,
+                             bucket_col="dbucket")
+    raw_pairs = bucket_exchange(prefix, n_parts, emit_pairs,
+                                bucket_col="gbucket")
+    cands = _dedup_pairs(raw_pairs, n_parts, via_bucket_exchange=True)
     verified = verify_pairs_jaccard(cands, ds, n_buckets=n_parts // 2)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), threshold)),
