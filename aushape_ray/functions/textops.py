@@ -290,3 +290,122 @@ def shared_term_pairs(docs: "ray.data.Dataset", min_shared: int = 10,
         pairs_in_bucket, batch_format="pyarrow")
     return cand.groupby("part", num_partitions=n_parts).map_groups(
         sum_pairs, batch_format="pyarrow")
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Within-document repetition signals (the MassiveText/Gopher quality
+    filters: Rae et al. 2021, table A1): per doc, how much of it is
+    duplicated lines and duplicated word 3-grams.  High values mark
+    boilerplate/spam that dedup-across-docs cannot catch.
+
+    Fully vectorized across the batch: ONE Arrow split per signal
+    (split_pattern / utf8_split_whitespace), one dictionary_encode to map
+    every line/word in the batch to an int code, then segmented numpy
+    uniques keyed by (row_index, code) — no per-document Python loop.
+
+    Integer outputs (oracle-hash friendly):
+      n_lines, n_dup_lines   — occurrences beyond each line's first
+      chars_dup_lines        — characters in those repeated occurrences
+      n_grams3, n_dup_grams3 — same for word 3-grams
+    """
+    text = batch.column("text")
+    if text.null_count:
+        text = text.fill_null("")
+    n = batch.num_rows
+    I = np.uint64  # noqa: E741
+
+    # --- duplicate lines (empty lines excluded: blank runs are layout,
+    #     not content, and would dominate the dup counts)
+    lines = pc.split_pattern(text, "\n")
+    flat_l = pc.list_flatten(lines)
+    lens_l = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nonempty = pc.greater(pc.utf8_length(flat_l), 0)
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    row_l = np.repeat(np.arange(n, dtype=np.int64), lens_l)[ne_np]
+    flat_ne = flat_l.filter(nonempty)
+    lens_ne = np.bincount(row_l, minlength=n).astype(np.int64)
+    chars = pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    # rebuild per-row segmentation over the filtered items
+    n_lines, n_dup_lines, chars_dup = _seg_dups_rows(
+        flat_ne, row_l, lens_ne, chars, n)
+
+    # --- duplicate word 3-grams
+    words = pc.utf8_split_whitespace(text)
+    flat_w = pc.list_flatten(words)
+    lens_w = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if int(lens_w.sum()):
+        # utf8_split_whitespace (unlike Python str.split) emits empty
+        # tokens at leading/trailing whitespace — drop them so gram
+        # counts match the conventional word sequence
+        ne_w = pc.greater(pc.utf8_length(flat_w), 0)
+        ne_w_np = ne_w.to_numpy(zero_copy_only=False)
+        flat_w = flat_w.filter(ne_w)
+        if isinstance(flat_w, pa.ChunkedArray):
+            flat_w = flat_w.combine_chunks()
+        wcodes = pc.dictionary_encode(flat_w).indices \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        roww = np.repeat(np.arange(n, dtype=np.int64), lens_w)[ne_w_np]
+        # 3-gram = splitmix-mixed triple of word codes at i, i+1, i+2
+        # (valid where all three land in the same row)
+        valid = np.zeros(len(wcodes), bool)
+        if len(wcodes) >= 3:
+            valid[:-2] = roww[:-2] == roww[2:]
+        gi = np.flatnonzero(valid)
+        from .dedup import _mix64
+        g = _mix64(_mix64(wcodes[gi] * I(0x9E3779B97F4A7C15)
+                          ^ wcodes[gi + 1]) * I(0xC2B2AE3D27D4EB4F)
+                   ^ wcodes[gi + 2])
+        rowg = roww[gi]
+        n_g, n_dup_g, _ = _seg_dups_rows(None, rowg,
+                                         np.bincount(rowg, minlength=n)
+                                         .astype(np.int64), None, n,
+                                         codes=g)
+    else:
+        n_g = np.zeros(n, np.int64)
+        n_dup_g = np.zeros(n, np.int64)
+
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_dup_lines": pa.array(n_dup_lines, pa.int64()),
+        "chars_dup_lines": pa.array(chars_dup, pa.int64()),
+        "n_grams3": pa.array(n_g, pa.int64()),
+        "n_dup_grams3": pa.array(n_dup_g, pa.int64()),
+    })
+
+
+def _seg_dups_rows(flat, row: np.ndarray, lens: np.ndarray,
+                   weights: "np.ndarray | None", n: int,
+                   codes: "np.ndarray | None" = None):
+    """Per-row duplicate-item counts over a flattened item array.
+
+    Items are row-local: an item is a duplicate if an equal one occurred
+    earlier in the same row.  `flat` is an Arrow string array (dictionary
+    -encoded here) or None when integer `codes` are passed directly.
+    Returns (n_items, n_dup_items, weighted_dup) int64 arrays of len n."""
+    I = np.uint64  # noqa: E741
+    total = len(row)
+    if total == 0:
+        z = np.zeros(n, np.int64)
+        return lens, z, z.copy()
+    if codes is None:
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes = pc.dictionary_encode(flat).indices \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        codes = codes.astype(np.uint64)
+    key = row.astype(np.uint64) * (codes.max() + I(1)) + codes
+    _, first = np.unique(key, return_index=True)
+    dup_mask = np.ones(total, bool)
+    dup_mask[first] = False
+    n_dup = np.bincount(row[dup_mask], minlength=n).astype(np.int64)
+    if weights is not None:
+        w_dup = np.bincount(row[dup_mask], weights=weights[dup_mask],
+                            minlength=n).astype(np.int64)
+    else:
+        w_dup = n_dup
+    return lens, n_dup, w_dup

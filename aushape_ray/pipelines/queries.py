@@ -2103,6 +2103,20 @@ def q_doc_jaccard_prefix(sf_dir: str):
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Within-document repetition signals (MassiveText/Gopher quality
+    filters): duplicate-line and duplicate-word-3-gram counts per doc —
+    boilerplate/spam markers invisible to cross-doc dedup.  Stateless
+    vectorized map_batches (functions/textops.repetition_stats: Arrow
+    split + dictionary_encode + segmented numpy uniques, no per-doc
+    loop).  Rows-only for the driver (oracle window full); scalar-
+    reference parity is pytest-enforced."""
+    from ..functions.textops import repetition_stats
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
 def q_emb_dedup_near(sf_dir: str):
     """Embedding-cosine near-duplicate dedup end-to-end: exact all-pairs
     cosine >= SIM_THRESHOLD (functions/ann.all_pairs_cosine block-pair
@@ -2496,6 +2510,7 @@ def build_registry():
         "emb_dedup_near": q_emb_dedup_near,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
+        "doc_repetition": q_doc_repetition,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
         "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,

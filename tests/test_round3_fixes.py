@@ -425,3 +425,62 @@ def test_jaccard_pairs_prefix_matches_exact(ray_session):
     assert set(pref) == set(exact)
     for k, j in pref.items():
         assert abs(j - exact[k]) < 1e-12, (k, j, exact[k])
+
+
+def test_repetition_stats_scalar_parity(ray_session):
+    """repetition_stats (vectorized Arrow split + dictionary_encode +
+    segmented uniques) matches a per-doc scalar reference on random
+    multi-line texts with planted repeated lines and 3-grams, across
+    multiple Ray batches."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from aushape_ray.functions.textops import repetition_stats
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = []
+    for _ in range(200):
+        lines = []
+        for _ in range(rng.randrange(0, 8)):
+            lines.append(" ".join(rng.choice(vocab)
+                                  for _ in range(rng.randrange(0, 6))))
+        if lines and rng.random() < 0.5:
+            lines.append(rng.choice(lines))  # planted duplicate line
+        texts.append("\n".join(lines))
+    texts += ["", None, "x\n\nx", "w w w w w"]
+
+    def ref(t):
+        t = t or ""
+        lines = [ln for ln in t.split("\n") if ln]
+        seen, nd, cd = set(), 0, 0
+        for ln in lines:
+            if ln in seen:
+                nd += 1
+                cd += len(ln)
+            seen.add(ln)
+        words = t.split()
+        grams = [tuple(words[i:i + 3]) for i in range(len(words) - 2)]
+        sg, ndg = set(), 0
+        for g in grams:
+            if g in sg:
+                ndg += 1
+            sg.add(g)
+        return (len(lines), nd, cd, len(grams), ndg)
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (ray.data.from_items(rows)
+           .map_batches(lambda b: pa.table(
+               {"doc_id": b.column("doc_id"), "text": b.column("text")}),
+               batch_format="pyarrow", batch_size=37)
+           .map_batches(repetition_stats, batch_format="pyarrow",
+                        batch_size=37)
+           .take_all())
+    assert len(out) == len(texts)
+    for r in out:
+        exp = ref(texts[r["doc_id"]])
+        got = (r["n_lines"], r["n_dup_lines"], r["chars_dup_lines"],
+               r["n_grams3"], r["n_dup_grams3"])
+        assert got == exp, (r["doc_id"], got, exp)
