@@ -1294,3 +1294,122 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset", docs: "ray.data.Dataset",
 
     score_bucket.__name__ = "score_bucket"
     return bucket_exchange(both, n_buckets, score_bucket, bucket_col="vb")
+
+
+def dup_span_stats(ds: "ray.data.Dataset", window: int = 64,
+                   sample_mod: int = 8,
+                   n_parts: int = 32) -> "ray.data.Dataset":
+    """Exact duplicated-substring detection via content-defined anchor
+    sampling (the scalable form of suffix-array substring dedup, Lee et
+    al. ACL'22 "Deduplicating Training Data Makes Language Models
+    Better"): every `window`-byte span whose rolling hash satisfies
+    h % sample_mod == 0 becomes an ANCHOR.  Sampling is content-defined
+    — identical byte runs sample identical anchors regardless of their
+    offset in either document — so any duplicated run long enough to
+    contain a sampled window (expected length window + 8*sample_mod) is
+    caught exactly, with postings volume ~len/sample_mod per doc instead
+    of len (the full suffix-array cost).
+
+    Scale shape: anchor postings (hash-bucket, hash, doc_id) shuffle
+    ONCE by coarse hash bucket (joins.bucket_exchange — every occurrence
+    of a hash lands in one bucket task, so global occurrence / distinct-
+    doc counts are bucket-local); flagged anchors then regroup by doc
+    bucket for the per-doc summary.  No driver materialization.
+
+    Input (doc_id:int64, text:string) -> per-doc
+    (doc_id, n_anchors, n_dup_anchors, n_xdoc_anchors):
+      n_anchors      — sampled anchors in the doc
+      n_dup_anchors  — anchors whose span bytes occur >= 2 times in the
+                       corpus (any doc, including self-repeats)
+      n_xdoc_anchors — anchors whose span occurs in >= 2 DISTINCT docs
+    Docs shorter than `window` (or whose hashes never sample) carry no
+    anchors and emit no row — filter upstream if full coverage matters.
+    Hash collisions across different byte content are possible but at
+    2^-61 per pair are negligible (same contract as fingerprint())."""
+    from .joins import bucket_exchange, hash_part
+    from .textops import _poly_hashes
+
+    mod = np.uint64(sample_mod)
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        o_doc, o_hash = [np.array([], np.int64)], [np.array([], np.int64)]
+        for d, t in zip(ids.tolist(), texts):
+            data = np.frombuffer((t or "").encode("utf-8"), np.uint8)
+            if len(data) < window:
+                continue
+            h = _poly_hashes(data, window)
+            sel = h[h % mod == 0]
+            if sel.size:
+                o_doc.append(np.full(sel.size, d, np.int64))
+                o_hash.append(sel.astype(np.int64))  # < 2^61: int64-safe
+        doc = np.concatenate(o_doc)
+        h = np.concatenate(o_hash)
+        return pa.table({
+            "bucket": pa.array(hash_part(h, n_parts), pa.int32()),
+            "hash": pa.array(h, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+        })
+
+    def flag(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({"dbucket": pa.array([], pa.int32()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "dup": pa.array([], pa.int64()),
+                             "xdoc": pa.array([], pa.int64())})
+        h = grp.column("hash").to_numpy(zero_copy_only=False)
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h2, d2 = h[order], doc[order]
+        starts = np.flatnonzero(np.concatenate([[True], h2[1:] != h2[:-1]]))
+        counts = np.diff(np.append(starts, len(h2)))
+        run_id = np.repeat(np.arange(len(starts)), counts)
+        # distinct docs per hash run: doc boundaries inside each run + 1
+        new_doc = np.concatenate([[True], (d2[1:] != d2[:-1])
+                                  | (h2[1:] != h2[:-1])])
+        ndocs = np.bincount(run_id, weights=new_doc,
+                            minlength=len(starts)).astype(np.int64)
+        dup = (counts >= 2)[run_id]
+        xdoc = (ndocs >= 2)[run_id]
+        return pa.table({
+            "dbucket": pa.array(hash_part(d2, n_parts), pa.int32()),
+            "doc_id": pa.array(d2, pa.int64()),
+            "dup": pa.array(dup.astype(np.int64), pa.int64()),
+            "xdoc": pa.array(xdoc.astype(np.int64), pa.int64()),
+        })
+
+    flag.__name__ = "flag"
+
+    def summarize(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_anchors": pa.array([], pa.int64()),
+                             "n_dup_anchors": pa.array([], pa.int64()),
+                             "n_xdoc_anchors": pa.array([], pa.int64())})
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = grp.column("dup").to_numpy(zero_copy_only=False)
+        xd = grp.column("xdoc").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        d2 = doc[order]
+        starts = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(d2))))
+        return pa.table({
+            "doc_id": pa.array(d2[starts], pa.int64()),
+            "n_anchors": pa.array(np.bincount(seg).astype(np.int64),
+                                  pa.int64()),
+            "n_dup_anchors": pa.array(
+                np.bincount(seg, weights=dup[order]).astype(np.int64),
+                pa.int64()),
+            "n_xdoc_anchors": pa.array(
+                np.bincount(seg, weights=xd[order]).astype(np.int64),
+                pa.int64()),
+        })
+
+    summarize.__name__ = "summarize"
+
+    post = ds.map_batches(anchors, batch_format="pyarrow")
+    flagged = bucket_exchange(post, n_parts, flag, bucket_col="bucket")
+    return bucket_exchange(flagged, n_parts, summarize, bucket_col="dbucket")

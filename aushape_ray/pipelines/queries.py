@@ -2117,6 +2117,19 @@ def q_doc_repetition(sf_dir: str):
     return docs.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact duplicated-substring detection (scalable substring-dedup
+    form of Lee et al. ACL'22): content-defined sampled rolling-hash
+    anchors, one coarse hash-bucket exchange for global occurrence /
+    distinct-doc counts, one doc-bucket exchange for the per-doc
+    summary (functions/dedup.dup_span_stats).  Rows-only for the driver
+    (oracle window full); scalar-reference parity is pytest-enforced."""
+    from ..functions.dedup import dup_span_stats
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_stats(docs, window=64, sample_mod=8)
+
+
 def q_emb_dedup_near(sf_dir: str):
     """Embedding-cosine near-duplicate dedup end-to-end: exact all-pairs
     cosine >= SIM_THRESHOLD (functions/ann.all_pairs_cosine block-pair
@@ -2511,6 +2524,7 @@ def build_registry():
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
         "doc_repetition": q_doc_repetition,
+        "doc_dup_spans": q_doc_dup_spans,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
         "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,

@@ -484,3 +484,66 @@ def test_repetition_stats_scalar_parity(ray_session):
         got = (r["n_lines"], r["n_dup_lines"], r["chars_dup_lines"],
                r["n_grams3"], r["n_dup_grams3"])
         assert got == exp, (r["doc_id"], got, exp)
+
+
+def test_dup_span_stats_scalar_parity(ray_session):
+    """dup_span_stats (distributed anchor postings + bucket exchanges)
+    matches a single-process scalar reference that builds the same
+    sampled-anchor multiset with a Counter: per-doc anchor counts, dup
+    flags (global occurrence >= 2) and cross-doc flags (>= 2 distinct
+    docs), on a corpus with a planted shared substring and self-repeats."""
+    import random
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from aushape_ray.functions.dedup import dup_span_stats
+    from aushape_ray.functions.textops import _poly_hashes
+
+    WINDOW, MOD = 48, 4
+    rng = random.Random(13)
+    alpha = "abcdefghijklmnop "
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = rand_text(300)
+    texts = {i: rand_text(500) for i in range(25)}
+    texts[2] = texts[2][:50] + shared + texts[2][50:]
+    texts[9] = shared + texts[9]
+    texts[14] = texts[14] + texts[14][:200]   # self-repeat only
+    texts[20] = rand_text(10)                 # below window: no row
+
+    def doc_anchors(t):
+        data = np.frombuffer(t.encode("utf-8"), np.uint8)
+        if len(data) < WINDOW:
+            return np.array([], np.uint64)
+        h = _poly_hashes(data, WINDOW)
+        return h[h % np.uint64(MOD) == 0]
+
+    per_doc = {i: doc_anchors(t) for i, t in texts.items()}
+    global_count = Counter()
+    doc_count = Counter()
+    for i, hs in per_doc.items():
+        global_count.update(hs.tolist())
+        doc_count.update(set(hs.tolist()))
+    expected = {}
+    for i, hs in per_doc.items():
+        if hs.size == 0:
+            continue
+        expected[i] = (
+            hs.size,
+            sum(global_count[h] >= 2 for h in hs.tolist()),
+            sum(doc_count[h] >= 2 for h in hs.tolist()),
+        )
+
+    rows = [{"doc_id": i, "text": t} for i, t in texts.items()]
+    got = {r["doc_id"]: (r["n_anchors"], r["n_dup_anchors"],
+                         r["n_xdoc_anchors"])
+           for r in dup_span_stats(ray.data.from_items(rows),
+                                   window=WINDOW, sample_mod=MOD,
+                                   n_parts=8).take_all()}
+    assert got == expected
+    assert expected[2][2] > 0 and expected[9][2] > 0      # cross-doc dup
+    assert expected[14][1] > 0 and expected[14][2] == 0   # self-repeat
+    assert 20 not in got
