@@ -409,3 +409,43 @@ def _seg_dups_rows(flat, row: np.ndarray, lens: np.ndarray,
     else:
         w_dup = n_dup
     return lens, n_dup, w_dup
+
+
+# PII patterns, RE2-compatible (no lookarounds) so the Arrow kernel and
+# the DuckDB regexp_* functions (both RE2) agree byte-for-byte.  Word
+# boundaries are \b (supported by RE2).
+PII_PATTERNS = (
+    # order matters: emails before phones (digits in local parts),
+    # ipv4 before phones (dotted runs)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+              r"|\([0-9]{3}\) ?[0-9]{3}-[0-9]{4}"),
+    ("hexsecret", r"\b[0-9a-f]{32,}\b"),
+)
+
+
+def redact_pii(batch: pa.Table) -> pa.Table:
+    """Redact common PII (emails, IPv4s, phone-ish numbers, long hex
+    secrets) with typed placeholders, plus integer per-category match
+    counts — the standard scrub pass before a corpus leaves curation.
+
+    Stateless vectorized map_batches: counting and replacement both run
+    in Arrow's RE2 (count_substring_regex / replace_substring_regex) —
+    no Python-level regex loop, and the patterns are RE2-written so a
+    DuckDB oracle (also RE2) reproduces the output byte-for-byte.
+    Replacements apply in PII_PATTERNS order; counts are measured on the
+    text each pattern actually sees (after earlier replacements)."""
+    text = batch.column("text")
+    if text.null_count:
+        text = text.fill_null("")
+    cols: dict = {"doc_id": batch.column("doc_id")}
+    counts: dict = {}
+    for name, pat in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.count_substring_regex(
+            text, pat).cast(pa.int64())
+        text = pc.replace_substring_regex(
+            text, pat, f"<{name.upper()}>")
+    cols["text"] = text
+    cols.update(counts)
+    return pa.table(cols)

@@ -2130,6 +2130,19 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_span_stats(docs, window=64, sample_mod=8)
 
 
+def q_doc_redact_pii(sf_dir: str):
+    """PII scrub pass (emails / IPv4 / phone-ish / long hex secrets ->
+    typed placeholders, plus integer per-category counts): stateless
+    vectorized map_batches in Arrow's RE2
+    (functions/textops.redact_pii).  Rows-only for the driver (oracle
+    window full); byte-for-byte DuckDB regexp_replace parity is
+    pytest-enforced (both engines are RE2)."""
+    from ..functions.textops import redact_pii
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(redact_pii, batch_format="pyarrow")
+
+
 def q_emb_dedup_near(sf_dir: str):
     """Embedding-cosine near-duplicate dedup end-to-end: exact all-pairs
     cosine >= SIM_THRESHOLD (functions/ann.all_pairs_cosine block-pair
@@ -2525,6 +2538,7 @@ def build_registry():
         "doc_jaccard_prefix": q_doc_jaccard_prefix,
         "doc_repetition": q_doc_repetition,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_redact_pii": q_doc_redact_pii,
         "lsh_buckets": q_lsh_buckets,
         "emb_kmeans": q_emb_kmeans,
         "ann_ivf_kmeans_recall": q_ann_ivf_kmeans_recall,

@@ -547,3 +547,54 @@ def test_dup_span_stats_scalar_parity(ray_session):
     assert expected[2][2] > 0 and expected[9][2] > 0      # cross-doc dup
     assert expected[14][1] > 0 and expected[14][2] == 0   # self-repeat
     assert 20 not in got
+
+
+def test_redact_pii_duckdb_parity(ray_session):
+    """redact_pii (Arrow RE2 count+replace) reproduces a DuckDB
+    regexp_replace/regexp_extract_all chain byte-for-byte — both engines
+    are RE2 and PII_PATTERNS is written lookaround-free — on a corpus of
+    planted emails, IPs, phones, hex secrets, and adversarial non-PII."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from aushape_ray.functions.textops import PII_PATTERNS, redact_pii
+
+    texts = [
+        "mail john.doe+x@example.co.uk or root@10.0.0.1 now",
+        "call +1-800-555-0199 or (212) 555-7890 x99",
+        "key deadbeefdeadbeefdeadbeefdeadbeef end",
+        "", None, "no pii here 42 v1.2.3.4beta",  # dotted but \\b-guarded
+        "a@b.io a@b.io 255.255.255.255 999.999.999.999",
+        "hex DEADBEEFDEADBEEFDEADBEEFDEADBEEF upper not matched",
+        "ip 1.2.3.4. trailing dot and 1.2.3 too short",
+    ] + [f"user{i}@host{i % 7}.org logged from 192.168.{i % 256}.{i % 100}"
+         for i in range(120)]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+
+    got = {r["doc_id"]: r for r in
+           ray.data.from_arrow(batch)
+           .map_batches(redact_pii, batch_format="pyarrow", batch_size=17)
+           .take_all()}
+
+    con = duckdb.connect()
+    filled = batch.set_column(
+        1, "text", pa.array([t or "" for t in texts], pa.string()))
+    con.register("t", filled)
+    expr, sel = "text", []
+    for name, pat in PII_PATTERNS:
+        sel.append(f"len(regexp_extract_all({expr}, '{pat}')) AS n_{name}")
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    df = con.sql(
+        f"SELECT doc_id, {expr} AS text, {', '.join(sel)} FROM t").df()
+
+    assert len(got) == len(texts)
+    for i in range(len(texts)):
+        r = got[i]
+        assert r["text"] == df.text[i], (i, r["text"], df.text[i])
+        for name, _ in PII_PATTERNS:
+            assert r[f"n_{name}"] == df[f"n_{name}"][i], (i, name)
+    # the planted rows actually exercised every category
+    assert got[0]["n_email"] and got[0]["n_ipv4"]
+    assert got[1]["n_phone"] == 2 and got[2]["n_hexsecret"] == 1
