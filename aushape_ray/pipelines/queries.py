@@ -1825,11 +1825,18 @@ def q_events_sample_stratified(sf_dir: str):
     ds = _read_table(sf_dir, "events", ["event_id", "event_type"])
 
     def partial(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame({
-            "event_id": b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            "event_id": eid,
             "event_type": b.column("event_type").to_pylist(),
         })
-        df["h"] = (df["event_id"] * K) % M
+        # mask BEFORE multiplying (same guard as q_doc_sample): the
+        # residue < 2^32 so residue*K fits uint64 exactly — no silent
+        # int64 wraparound for event_id >= ~2^31.3, and numpy's % is
+        # floor-mod, matching the SQL form below for negative ids too
+        r = (eid % M).astype(np.uint64)
+        df["h"] = ((r * np.uint64(K)) % np.uint64(M)).astype(np.int64)
         df = df.sort_values(["h", "event_id"]).groupby(
             "event_type", sort=False).head(TOP)
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -1853,7 +1860,9 @@ def sql_events_sample_stratified() -> str:
 SELECT event_type, event_id::BIGINT AS event_id FROM (
   SELECT event_type, event_id,
          row_number() OVER (PARTITION BY event_type
-             ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+             ORDER BY (((event_id % 4294967296 + 4294967296)
+                        % 4294967296)::HUGEINT * 2654435761) % 4294967296,
+                      event_id) AS rn
   FROM events)
 WHERE rn <= 100"""
 

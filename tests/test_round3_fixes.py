@@ -598,3 +598,29 @@ def test_redact_pii_duckdb_parity(ray_session):
     # the planted rows actually exercised every category
     assert got[0]["n_email"] and got[0]["n_ipv4"]
     assert got[1]["n_phone"] == 2 and got[2]["n_hexsecret"] == 1
+
+
+def test_sampling_hash_parity_extreme_ids():
+    """The masked Knuth-hash arithmetic used by q_doc_sample and
+    q_events_sample_stratified matches DuckDB's HUGEINT form for ids
+    beyond 2^32 and for negative ids — the exact ranges where the
+    pre-fix code silently wrapped int64 while DuckDB raised or used
+    sign-of-dividend modulo."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    K, M = 2654435761, 1 << 32
+    ids = np.array([0, 1, 99, 2**31, 2**32 - 1, 2**32, 2**32 + 7,
+                    2**62, 2**63 - 1, -1, -2**31, -2**62, -(2**63)],
+                   np.int64)
+    r = (ids % M).astype(np.uint64)
+    h_py = ((r * np.uint64(K)) % np.uint64(M)).astype(np.int64)
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"id": pa.array(ids, pa.int64())}))
+    h_sql = con.sql(
+        "SELECT (((id % 4294967296 + 4294967296) % 4294967296)::HUGEINT"
+        "        * 2654435761) % 4294967296 AS h FROM t"
+    ).df()["h"].to_numpy().astype(np.int64)
+    assert (h_py == h_sql).all(), list(zip(ids, h_py, h_sql))
