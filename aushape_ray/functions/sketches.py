@@ -169,6 +169,73 @@ class KllSketch:
         return s
 
 
+def mg_truncate(keys: np.ndarray, counts: np.ndarray,
+                k: int) -> "tuple[np.ndarray, np.ndarray, int]":
+    """Reduce exact (key, count) pairs to a Misra-Gries summary of at most
+    k entries: subtract the (k+1)-th largest count from every entry and
+    drop the non-positives (Misra & Gries 1982; the merge rule is from
+    Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Returns (keys, residual_counts, subtracted) where `subtracted` is the
+    decrement applied — callers accumulate it as the summary's error
+    bound: for every surviving key, residual <= true_count <=
+    residual + total_subtracted, and any key with true count >
+    total_subtracted is guaranteed present.  total_subtracted <=
+    n/(k+1), so the summary never loses a heavy hitter."""
+    if len(keys) <= k:
+        return keys, counts, 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    thresh = int(counts[order[k]])
+    kept = order[:k]
+    residual = counts[kept] - thresh
+    pos = residual > 0
+    return keys[kept][pos], residual[pos], thresh
+
+
+def heavy_hitters(ds: "ray.data.Dataset", column: str,
+                  k: int = 2048) -> "tuple[np.ndarray, np.ndarray, int]":
+    """Distributed heavy-hitters candidates: each batch emits its EXACT
+    in-batch counts truncated to a k-entry Misra-Gries summary (<= k rows
+    per batch cross the wire, never the stream), the driver merges the
+    tiny partials by key-sum + re-truncation.
+
+    Returns (keys, residual_counts, total_err).  Guarantee (mergeable-
+    summaries bound): every key with true count > total_err <= n/(k+1)
+    is in `keys`.  Pair with an exact recount of the candidate set to
+    get EXACT top-m (m << k) — the two-pass pattern that keeps the
+    shuffle at O(k) rows regardless of key cardinality."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if col.null_count:
+            col = col.drop_null()
+        enc = col.combine_chunks().dictionary_encode()
+        counts = np.bincount(
+            np.asarray(enc.indices), minlength=len(enc.dictionary))
+        keys = np.asarray(enc.dictionary.cast(pa.int64()))
+        ks, cs, err = mg_truncate(keys, counts.astype(np.int64), k)
+        # the batch's subtracted error rides on one dedicated null-key row
+        # (so the driver can sum errors without per-row duplication)
+        return pa.table({
+            "key": pa.array(list(ks) + [None], pa.int64()),
+            "cnt": pa.array(list(cs) + [0], pa.int64()),
+            "err": pa.array([0] * len(ks) + [err], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return np.array([], np.int64), np.array([], np.int64), 0
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    total_err = int(df["err"].sum())
+    merged = df.dropna(subset=["key"]).groupby("key", sort=False)["cnt"].sum()
+    keys = merged.index.to_numpy(np.int64)
+    counts = merged.to_numpy(np.int64)
+    ks, cs, err2 = mg_truncate(keys, counts, k)
+    return ks, cs, total_err + err2
+
+
 def hll_distinct(ds: "ray.data.Dataset", column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column): one sketch per batch, register
     merge of the partials (partials are 4 KiB each — the shuffle carries

@@ -211,3 +211,54 @@ def test_kmeans_recovers_separated_blobs(ray_session):
     # each fitted centroid is near one true center
     for c in centers:
         assert np.min(np.linalg.norm(cents - c, axis=1)) < 0.2
+
+
+class TestHeavyHitters:
+    def test_mg_truncate_bound(self):
+        """MG truncation keeps every key with count > subtracted and the
+        residuals under-estimate by at most the returned decrement."""
+        import numpy as np
+
+        from aushape_ray.functions.sketches import mg_truncate
+
+        rng = np.random.default_rng(5)
+        keys = np.arange(500, dtype=np.int64)
+        counts = rng.integers(1, 100, 500).astype(np.int64)
+        ks, cs, err = mg_truncate(keys, counts, k=64)
+        assert len(ks) <= 64
+        true = dict(zip(keys.tolist(), counts.tolist()))
+        for key, c in zip(ks.tolist(), cs.tolist()):
+            assert 0 < c <= true[key] <= c + err
+        # every key above the decrement survives
+        for key, c in true.items():
+            if c > err:
+                assert key in set(ks.tolist())
+
+    def test_heavy_hitters_candidates_contain_top(self, ray_session):
+        """Merged summaries over a skewed stream retain the true top keys
+        (the n/(k+1) mergeable-summaries guarantee)."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data
+
+        from aushape_ray.functions.sketches import heavy_hitters
+
+        rng = np.random.default_rng(11)
+        # 20 hot keys (~500 each) on a 5000-key uniform background
+        hot = np.repeat(np.arange(20), 500)
+        cold = rng.integers(100, 5100, 30_000)
+        vals = np.concatenate([hot, cold])
+        rng.shuffle(vals)
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(vals, pa.int64())})).repartition(8)
+        keys, residuals, err = heavy_hitters(ds, "k", k=1024)
+        assert err <= len(vals) // 1024 + 1024  # loose sanity on the bound
+        got = set(keys.tolist())
+        for h in range(20):
+            assert h in got
+        # residual + err brackets the true count for the hot keys
+        res = dict(zip(keys.tolist(), residuals.tolist()))
+        for h in range(20):
+            true_c = 500 + int((cold == h).sum())
+            assert res[h] <= true_c <= res[h] + err
