@@ -662,6 +662,89 @@ _WS_TABLE = np.zeros(256, dtype=bool)
 _WS_TABLE[[9, 10, 11, 12, 13, 32]] = True
 
 
+def word_hashes_flat(data: np.ndarray,
+                     doc_off: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized per-word 64-bit FNV-1a over a flat UTF-8 byte array with
+    document offsets (the SimHasher kernel, shared with the Bloom n-gram
+    scan).  Words are maximal runs of non-ASCII-whitespace bytes; doc
+    boundaries always split words.  Returns (word_hash, word_doc_index),
+    both in word order.  Column-wise FNV on a length-descending ordering:
+    pass i touches only words longer than i bytes — O(sum of lengths)."""
+    ws = _WS_TABLE[data]
+    nonws = ~ws
+    n_bytes = len(data)
+    # word starts: non-ws byte preceded by ws (or batch start) …
+    prev_ws = np.empty_like(ws)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    start_mask = nonws & prev_ws
+    # … or a doc boundary (a run crossing two docs is two words)
+    next_ws = np.empty_like(ws)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    end_mask = nonws & next_ws
+    doc_first = doc_off[:-1][doc_off[:-1] < n_bytes]
+    start_mask[doc_first] = nonws[doc_first]
+    doc_last = doc_off[1:] - 1
+    doc_last = doc_last[doc_last >= 0]
+    end_mask[doc_last] = nonws[doc_last]
+    starts = np.flatnonzero(start_mask)
+    n_words = len(starts)
+    if n_words == 0:
+        return (np.array([], np.uint64), np.array([], np.int64))
+    lens = np.flatnonzero(end_mask) + 1 - starts
+    order = np.argsort(-lens, kind="stable")
+    s_sorted = starts[order]
+    l_sorted = lens[order]
+    data64 = data.astype(np.uint64)
+    h_sorted = np.full(n_words, _FNV_OFFSET, dtype=np.uint64)
+    max_len = int(l_sorted[0])
+    # words with length > i form a prefix; its size via bincount cumsum
+    longer = n_words - np.cumsum(
+        np.bincount(l_sorted, minlength=max_len + 1))
+    for i in range(max_len):
+        k = int(longer[i])
+        if k == 0:
+            break
+        b = data64[s_sorted[:k] + i]
+        h_sorted[:k] = (h_sorted[:k] ^ b) * _FNV_PRIME
+    word_h = np.empty_like(h_sorted)
+    word_h[order] = h_sorted
+    word_doc = np.searchsorted(doc_off, starts, side="right") - 1
+    return word_h, word_doc.astype(np.int64)
+
+
+def flat_utf8(col) -> "tuple[np.ndarray, np.ndarray, int]":
+    """Zero-copy (data, doc_offsets, n_docs) view of an Arrow string
+    column (nulls treated as empty docs)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, "").cast(pa.large_string())
+    buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
+    off = np.frombuffer(buf_off, np.int64,
+                        count=len(arr) + 1, offset=8 * arr.offset)
+    base = int(off[0])
+    doc_off = (off - base).astype(np.int64)
+    data = np.frombuffer(buf_data, np.uint8)[base:base + int(doc_off[-1])]
+    return data, doc_off, len(arr)
+
+
+def ngram_hashes_flat(word_h: np.ndarray, word_doc: np.ndarray,
+                      n: int) -> "tuple[np.ndarray, np.ndarray]":
+    """splitmix64-chained hashes of all word n-grams that stay inside one
+    document.  Returns (gram_hash, gram_doc_index)."""
+    if len(word_h) < n:
+        return (np.array([], np.uint64), np.array([], np.int64))
+    valid = word_doc[: len(word_doc) - n + 1] == word_doc[n - 1:]
+    gi = np.flatnonzero(valid)
+    if len(gi) == 0:
+        return (np.array([], np.uint64), np.array([], np.int64))
+    gh = _mix64(word_h[gi])
+    for j in range(1, n):
+        gh = _mix64(gh ^ word_h[gi + j])
+    return gh, word_doc[gi]
+
+
 class SimHasher:
     """64-bit simhash over word 3-grams — fully vectorized, no per-gram
     Python loop and no md5.
@@ -705,52 +788,10 @@ class SimHasher:
     def _simhash_flat(data: np.ndarray, doc_off: np.ndarray,
                       n_docs: int) -> np.ndarray:
         out = np.zeros(n_docs, dtype=np.uint64)
-        n_bytes = len(data)
-        if n_bytes == 0 or n_docs == 0:
+        if len(data) == 0 or n_docs == 0:
             return out
-        ws = _WS_TABLE[data]
-        nonws = ~ws
-        # word starts: non-ws byte preceded by ws (or batch start) …
-        prev_ws = np.empty_like(ws)
-        prev_ws[0] = True
-        prev_ws[1:] = ws[:-1]
-        start_mask = nonws & prev_ws
-        # … or a doc boundary (a run crossing two docs is two words)
-        next_ws = np.empty_like(ws)
-        next_ws[-1] = True
-        next_ws[:-1] = ws[1:]
-        end_mask = nonws & next_ws
-        doc_first = doc_off[:-1][doc_off[:-1] < n_bytes]
-        start_mask[doc_first] = nonws[doc_first]
-        doc_last = doc_off[1:] - 1
-        doc_last = doc_last[doc_last >= 0]
-        end_mask[doc_last] = nonws[doc_last]
-        starts = np.flatnonzero(start_mask)
-        n_words = len(starts)
-        if n_words == 0:
-            return out
-        lens = np.flatnonzero(end_mask) + 1 - starts
-        # FNV-1a per word, column-wise on a length-descending ordering:
-        # pass i processes the prefix of words still longer than i bytes
-        order = np.argsort(-lens, kind="stable")
-        s_sorted = starts[order]
-        l_sorted = lens[order]
-        data64 = data.astype(np.uint64)
-        h_sorted = np.full(n_words, _FNV_OFFSET, dtype=np.uint64)
-        max_len = int(l_sorted[0])
-        # words with length > i form a prefix; its size via bincount cumsum
-        longer = n_words - np.cumsum(
-            np.bincount(l_sorted, minlength=max_len + 1))
-        for i in range(max_len):
-            k = int(longer[i])
-            if k == 0:
-                break
-            b = data64[s_sorted[:k] + i]
-            h_sorted[:k] = (h_sorted[:k] ^ b) * _FNV_PRIME
-        word_h = np.empty_like(h_sorted)
-        word_h[order] = h_sorted
-        # 3-grams: word triples that stay inside one document
-        word_doc = np.searchsorted(doc_off, starts, side="right") - 1
+        word_h, word_doc = word_hashes_flat(data, doc_off)
+        n_words = len(word_h)
         if n_words < 3:
             return out
         valid = word_doc[:-2] == word_doc[2:]

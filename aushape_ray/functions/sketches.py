@@ -169,6 +169,55 @@ class KllSketch:
         return s
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over precomputed uint64 element hashes.
+
+    m_bits must be a power of two; probes use the Kirsch-Mitzenmacher
+    double-hashing scheme h1 + i*h2 (h2 forced odd so the probe sequence
+    covers the table).  The bit array is a packed numpy uint8 buffer —
+    m_bits/8 bytes, cheap to `ray.put` once and test against per batch.
+    No false negatives; false-positive rate ~ (1 - e^{-kn/m})^k."""
+
+    def __init__(self, m_bits: int = 1 << 20, n_probes: int = 6,
+                 bits: "np.ndarray | None" = None) -> None:
+        assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+        self.m_bits = m_bits
+        self.n_probes = n_probes
+        self.bits = (np.zeros(m_bits >> 3, np.uint8)
+                     if bits is None else bits)
+
+    def _idx(self, h: np.ndarray, i: int) -> np.ndarray:
+        h1 = h
+        h2 = _splitmix64(h) | np.uint64(1)
+        return (h1 + np.uint64(i) * h2) & np.uint64(self.m_bits - 1)
+
+    def add_many(self, h: np.ndarray) -> None:
+        h = np.asarray(h, np.uint64)
+        for i in range(self.n_probes):
+            idx = self._idx(h, i)
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, np.uint64)
+        ok = np.ones(len(h), bool)
+        for i in range(self.n_probes):
+            idx = self._idx(h, i)
+            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            bit = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+            ok &= (byte & bit) != 0
+            if not ok.any():
+                break
+        return ok
+
+
 def mg_truncate(keys: np.ndarray, counts: np.ndarray,
                 k: int) -> "tuple[np.ndarray, np.ndarray, int]":
     """Reduce exact (key, count) pairs to a Misra-Gries summary of at most

@@ -449,3 +449,91 @@ def redact_pii(batch: pa.Table) -> pa.Table:
     cols["text"] = text
     cols.update(counts)
     return pa.table(cols)
+
+
+def derive_needle_grams(docs: "ray.data.Dataset", n: int = 8,
+                        modulus: int = 37) -> "list[str]":
+    """Deterministic benchmark-needle derivation: the first n-token gram
+    of every doc with doc_id % modulus == 0 (stand-in for a benchmark
+    passage list; distinct strings).  Distributed extract, tiny driver
+    result — the needle SET is small by construction, like a real
+    eval-set n-gram list."""
+
+    def extract(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sub = b.filter(pa.array(ids % modulus == 0))
+        toks = pc.split_pattern(pc.fill_null(sub.column("text"), ""), " ")
+        out = []
+        for lst in toks.to_pylist():  # needle docs only: tiny by filter
+            if len(lst) >= n:
+                out.append(" ".join(lst[:n]))
+        return pa.table({"needle": pa.array(out, pa.string())})
+
+    rows = docs.map_batches(extract, batch_format="pyarrow").take_all()
+    return sorted({r["needle"] for r in rows})
+
+
+def decontaminate_bloom(docs: "ray.data.Dataset", needles: "list[str]",
+                        n: int = 8,
+                        m_bits: int = 1 << 20) -> "ray.data.Dataset":
+    """Benchmark decontamination at corpus scale: word n-gram Bloom
+    prefilter + exact verification of the survivors (GPT-3 appendix-C
+    style n-gram overlap scan).
+
+    Why Bloom: the naive scan is O(corpus x needles) substring searches —
+    fine for 10 needles (q_doc_contamination), impossible for the ~1e5+
+    n-grams a real eval-suite decontamination carries.  Here each doc is
+    scanned ONCE regardless of needle count: all its word n-gram hashes
+    (shared vectorized FNV/splitmix kernel — dedup.word_hashes_flat) are
+    tested against a broadcast m_bits/8-byte bit array.  Only docs with
+    at least one Bloom hit (true matches + the ~(1-e^{-kn/m})^k false
+    positives) reach the exact per-needle verify, so the expensive pass
+    is proportional to the contamination rate, not the corpus.
+
+    Exactness: no false negatives — on space-normalized text (see
+    doc_normalize for the messy-input path) a word-aligned needle
+    occurrence IS one of the doc's token n-grams, hashed by the same
+    kernel that built the filter.  Output (doc_id, n_hits) is therefore
+    byte-equal to the exact scan / the DuckDB oracle.
+
+    Scale: the filter is built once from the needle list (driver-side,
+    needle lists are small), `ray.put` once, read zero-copy per task."""
+    import ray as _ray
+
+    from .dedup import flat_utf8, ngram_hashes_flat, word_hashes_flat
+    from .sketches import BloomFilter
+
+    ndata, noff, _ = flat_utf8(pa.array(needles, pa.string()))
+    wh, wd = word_hashes_flat(ndata, noff)
+    gh, _ = ngram_hashes_flat(wh, wd, n)
+    bloom = BloomFilter(m_bits)
+    bloom.add_many(gh)
+    bits_ref = _ray.put(bloom.bits)
+    padded = [f" {nd} " for nd in needles]
+
+    def scan(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, bits=_ray.get(bits_ref))
+        data, off, ndocs = flat_utf8(b.column("text"))
+        w_h, w_d = word_hashes_flat(data, off)
+        g_h, g_d = ngram_hashes_flat(w_h, w_d, n)
+        hit_docs = np.unique(g_d[bf.contains_many(g_h)])
+        if not len(hit_docs):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        sub = b.take(pa.array(hit_docs, pa.int64()))
+        text = pc.binary_join_element_wise(
+            " ", pc.fill_null(sub.column("text"), ""), " ", "")
+        hits = np.zeros(len(hit_docs), np.int64)
+        for nd in padded:  # survivors only — exact, collision-free
+            hits += pc.match_substring(text, nd).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+        keep = hits > 0
+        ids = sub.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_hits": pa.array(hits[keep], pa.int64()),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow")

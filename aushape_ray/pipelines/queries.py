@@ -2521,6 +2521,34 @@ FROM events GROUP BY user_id
 ORDER BY n DESC, user_id LIMIT 10"""
 
 
+def q_doc_decontaminate_bloom(sf_dir: str):
+    """Eval-suite n-gram decontamination with a Bloom prefilter: needle
+    set = the first word-8-gram of every doc_id % 37 == 0 document (the
+    deterministic stand-in for a benchmark passage list); each corpus
+    doc is scanned once against the broadcast filter, survivors get the
+    exact per-needle verify.  Output is EXACT (no false negatives on the
+    space-normalized corpus) — DuckDB oracle-checked, unlike a plain
+    approximate membership query."""
+    from ..functions.textops import decontaminate_bloom, derive_needle_grams
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    needles = derive_needle_grams(docs, n=8, modulus=37)
+    return decontaminate_bloom(docs, needles, n=8)
+
+
+def sql_doc_decontaminate_bloom() -> str:
+    return """
+WITH needles AS (
+  SELECT DISTINCT array_to_string(string_split(text, ' ')[1:8], ' ') AS needle
+  FROM documents
+  WHERE doc_id % 37 = 0 AND len(string_split(text, ' ')) >= 8
+)
+SELECT d.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_hits
+FROM documents d JOIN needles n
+  ON contains(' ' || d.text || ' ', ' ' || n.needle || ' ')
+GROUP BY d.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2604,6 +2632,7 @@ def build_registry():
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -2672,4 +2701,5 @@ def _build_oracle(t01):
         # entries past the driver's 50-row CORRECTNESS window still run in
         # the local gate (scripts/check_queries.py) and pytest
         "events_heavy_hitters": sql_events_heavy_hitters(),
+        "doc_decontaminate_bloom": sql_doc_decontaminate_bloom(),
     }

@@ -262,3 +262,61 @@ class TestHeavyHitters:
         for h in range(20):
             true_c = 500 + int((cold == h).sum())
             assert res[h] <= true_c <= res[h] + err
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self):
+        import numpy as np
+
+        from aushape_ray.functions.sketches import BloomFilter
+
+        rng = np.random.default_rng(7)
+        added = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64)
+        other = rng.integers(0, 2**63, 20000, dtype=np.int64).astype(np.uint64)
+        other = other[~np.isin(other, added)]
+        bf = BloomFilter(m_bits=1 << 17, n_probes=6)
+        bf.add_many(added)
+        assert bf.contains_many(added).all()  # no false negatives, ever
+        fp = bf.contains_many(other).mean()
+        # k=6, n=5000, m=131072: (1-e^{-kn/m})^k ~ 2.4e-4; allow 10x slack
+        assert fp < 0.005
+
+    def test_bloom_decontaminate_matches_exact_scan(self, ray_session):
+        """Bloom prefilter + exact verify == plain exact scan, including
+        a high-collision-pressure filter (tiny m_bits forces false
+        positives through to the verify stage)."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data
+
+        from aushape_ray.functions.textops import decontaminate_bloom
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(8, 60)))
+                 for _ in range(300)]
+        # plant needle occurrences mid-document
+        needles = [" ".join(rng.choice(vocab, 8)) for _ in range(40)]
+        for i in range(0, 300, 7):
+            nd = needles[i % len(needles)]
+            toks = texts[i].split(" ")
+            pos = int(rng.integers(0, len(toks)))
+            texts[i] = " ".join(toks[:pos] + nd.split(" ") + toks[pos:])
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(4)
+        got = decontaminate_bloom(docs, sorted(set(needles)), n=8,
+                                  m_bits=1 << 10).to_pandas()
+        got = got.sort_values("doc_id", ignore_index=True)
+        # exact reference scan
+        exp_ids, exp_hits = [], []
+        for i, t in enumerate(texts):
+            h = sum(f" {nd} " in f" {t} " for nd in sorted(set(needles)))
+            if h:
+                exp_ids.append(i)
+                exp_hits.append(h)
+        assert got["doc_id"].tolist() == exp_ids
+        assert got["n_hits"].tolist() == exp_hits
+        assert len(exp_ids) > 20  # the planted hits were actually found
