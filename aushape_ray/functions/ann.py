@@ -300,3 +300,144 @@ def lsh_bucket_stats(ds: "ray.data.Dataset", dim: int) -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     return ds.map_batches(assign, batch_format="pyarrow").groupby("bucket").count()
+
+
+def _lloyd_numpy(x: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """Small deterministic in-memory Lloyd's (codebook training on a
+    SAMPLE — the FAISS-standard PQ recipe; the corpus-scale path is
+    kmeans_fit).  Init: k points spread by hashed order."""
+    order = np.argsort(_mix_ids(np.arange(len(x))), kind="stable")
+    cents = x[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((x * x).sum(1)[:, None] - 2 * x @ cents.T
+              + (cents * cents).sum(1)[None, :])
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def pq_fit(ds: "ray.data.Dataset", m_sub: int = 8, k: int = 16,
+           sample_cap: int = 4096, iters: int = 12) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) on a
+    deterministic hash-sample of the corpus.
+
+    Vectors are L2-normalized (so squared-L2 ADC ranks exactly like
+    cosine) and split into m_sub contiguous sub-spaces; each sub-space
+    gets its own k-entry codebook.  Training runs on <= sample_cap
+    sampled vectors on the driver — sample-based training is the
+    standard PQ recipe (the codebook is a few KiB; the EXPENSIVE parts,
+    encoding and scanning, stay distributed).  Returns codebooks with
+    shape (m_sub, k, dim/m_sub)."""
+    import pyarrow.compute as pc_
+
+    n = ds.count()
+    mod = max(1, n // sample_cap)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return b.filter(pa.array(_mix_ids(ids) % np.uint64(mod) == 0))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    mat = _normalize(mat)
+    dim = mat.shape[1]
+    assert dim % m_sub == 0, "dim must divide into m_sub sub-spaces"
+    d_sub = dim // m_sub
+    return np.stack([
+        _lloyd_numpy(np.ascontiguousarray(mat[:, j * d_sub:(j + 1) * d_sub]),
+                     k, iters)
+        for j in range(m_sub)])
+
+
+def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Dataset":
+    """Distributed PQ encoding: (vec_id, codes uint8[m_sub]) — dim*8
+    bytes per vector shrink to m_sub bytes.  Codebooks broadcast once."""
+    m_sub, k, d_sub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def encode(b: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        mat = _normalize(np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64))
+        n = len(mat)
+        codes = np.empty((n, m_sub), np.uint8)
+        for j in range(m_sub):
+            sub = mat[:, j * d_sub:(j + 1) * d_sub]
+            c = cb[j]
+            d2 = ((sub * sub).sum(1)[:, None] - 2 * sub @ c.T
+                  + (c * c).sum(1)[None, :])
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            "vec_id": b.column("vec_id").cast(pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m_sub),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
+                query_vecs: "dict[int, np.ndarray]", k: int = 10) -> pa.Table:
+    """Asymmetric-distance top-k over PQ codes: per query a (m_sub x k)
+    LUT of sub-distances to the UNQUANTIZED query, per batch one LUT
+    gather + sum per sub-space (no decode, no float matmul against the
+    corpus), partial top-k per batch, tiny driver merge.  Returns
+    (query_id, rank, neighbor_id) like brute_force_topk."""
+    m_sub, kk, d_sub = codebooks.shape
+    qids = sorted(query_vecs)
+    luts = {}
+    for q in qids:
+        v = np.asarray(query_vecs[q], np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        luts[q] = np.stack([
+            ((codebooks[j] - v[j * d_sub:(j + 1) * d_sub]) ** 2).sum(axis=1)
+            for j in range(m_sub)])
+    ref = ray.put(luts)
+
+    def scan(b: pa.Table) -> pa.Table:
+        lt = ray.get(ref)
+        codes = np.asarray(b.column("codes").combine_chunks().values
+                           ).reshape(-1, m_sub)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        out_q, out_n, out_d = [], [], []
+        for q in qids:
+            d = np.zeros(len(codes))
+            lut = lt[q]
+            for j in range(m_sub):
+                d += lut[j][codes[:, j]]
+            top = np.argsort(d, kind="stable")[: k + 1]
+            out_q += [q] * len(top)
+            out_n += ids[top].tolist()
+            out_d += d[top].tolist()
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "dist": pa.array(out_d, pa.float64()),
+        })
+
+    partials = codes_ds.map_batches(scan, batch_format="pyarrow").take_all()
+    best: dict[int, list] = {q: [] for q in qids}
+    for r in partials:
+        best[r["query_id"]].append((r["dist"], r["neighbor_id"]))
+    out_q, out_r, out_n = [], [], []
+    for q in qids:
+        rank = 0
+        for d, nid in sorted(best[q]):
+            if nid == q:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            out_q.append(q)
+            out_r.append(rank)
+            out_n.append(nid)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "neighbor_id": pa.array(out_n, pa.int64()),
+    })

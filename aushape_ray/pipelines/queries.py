@@ -2536,6 +2536,48 @@ def q_doc_decontaminate_bloom(sf_dir: str):
     return decontaminate_bloom(docs, needles, n=8)
 
 
+def q_ann_pq_recall(sf_dir: str):
+    """Product quantization end-to-end (Jegou et al. 2011): sample-train
+    m=8 sub-codebooks, encode the corpus distributed (512-byte float64
+    vectors -> 8-byte codes, 64x), asymmetric-distance top-10 scan via
+    per-query LUT gathers (no float matmul against the corpus), recall@10
+    vs exact brute force reported in-band (rows-only: quality metric).
+    The compression stage of an IVF-PQ index; pairs with
+    ann_ivf_kmeans_recall's coarse quantizer."""
+    from ..functions.ann import brute_force_topk, pq_adc_topk, pq_encode, pq_fit
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = list(range(8))
+    exact = brute_force_topk(ds, query_ids=qids, k=10)
+    exact_sets: dict[int, set] = {}
+    for r in exact.to_pylist():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    M_SUB, K_CB = 16, 64  # 16 uint8 codes/vec = 32x over float64 (dim 64);
+    # recall@10 at sf0.01: 56% (vs 28% at m=8,k=16 and 2% random) —
+    # parameter sweep in BASELINE.md round-3 notes
+    codebooks = pq_fit(ds, m_sub=M_SUB, k=K_CB)
+    codes = pq_encode(ds, codebooks).materialize()
+    q_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"),
+                                    pa.array(qids, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    q_vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+              for r in q_rows}
+    approx = pq_adc_topk(codes, codebooks, q_vecs, k=10)
+    hits = sum(1 for r in approx.to_pylist()
+               if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
+    dim = len(next(iter(q_vecs.values())))
+    return pa.table({
+        "n_queries": pa.array([len(qids)], pa.int64()),
+        "k": pa.array([10], pa.int64()),
+        "hits": pa.array([hits], pa.int64()),
+        "recall_pct": pa.array([hits * 100 // (10 * len(qids))], pa.int64()),
+        "bytes_per_vec": pa.array([M_SUB], pa.int64()),
+        "compression_x": pa.array([dim * 8 // M_SUB], pa.int64()),
+    })
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2633,6 +2675,7 @@ def build_registry():
         "media_frames": q_media_frames,
         "events_heavy_hitters": q_events_heavy_hitters,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "ann_pq_recall": q_ann_pq_recall,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

@@ -320,3 +320,45 @@ class TestBloom:
         assert got["doc_id"].tolist() == exp_ids
         assert got["n_hits"].tolist() == exp_hits
         assert len(exp_ids) > 20  # the planted hits were actually found
+
+
+def test_pq_adc_finds_planted_neighbors(ray_session):
+    """PQ encode + ADC scan must rank a query's own cluster first on
+    well-separated blobs (quantization noise << blob separation), and
+    codes must be m_sub bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.ann import pq_adc_topk, pq_encode, pq_fit
+
+    rng = np.random.default_rng(21)
+    dim, per = 32, 25
+    centers = rng.normal(0, 1, (8, dim)) * 5
+    vecs, ids = [], []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            vecs.append(c + rng.normal(0, 0.05, dim))
+            ids.append(vid)
+            vid += 1
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64(), dim)),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    cb = pq_fit(ds, m_sub=8, k=16)
+    assert cb.shape == (8, 16, 4)
+    codes = pq_encode(ds, cb)
+    first = codes.take(1)[0]
+    assert len(first["codes"]) == 8
+    # queries: the first vector of each blob; its true neighbors are the
+    # rest of its blob
+    qv = {int(b * per): np.asarray(vecs[b * per]) for b in range(8)}
+    top = pq_adc_topk(codes, cb, qv, k=10).to_pylist()
+    assert len(top) == 80
+    ok = sum(1 for r in top
+             if r["neighbor_id"] // per == r["query_id"] // per)
+    assert ok >= 72  # >=90% of retrieved neighbors from the right blob
