@@ -263,12 +263,14 @@ def heavy_hitters(ds: "ray.data.Dataset", column: str,
             np.asarray(enc.indices), minlength=len(enc.dictionary))
         keys = np.asarray(enc.dictionary.cast(pa.int64()))
         ks, cs, err = mg_truncate(keys, counts.astype(np.int64), k)
-        # the batch's subtracted error rides on one dedicated null-key row
-        # (so the driver can sum errors without per-row duplication)
+        # the batch's subtracted error rides on one dedicated flagged row
+        # (key stays all-int64: a null key would coerce the driver-side
+        # pandas column to float64 and round large 64-bit hash keys)
         return pa.table({
-            "key": pa.array(list(ks) + [None], pa.int64()),
+            "key": pa.array(list(ks) + [0], pa.int64()),
             "cnt": pa.array(list(cs) + [0], pa.int64()),
             "err": pa.array([0] * len(ks) + [err], pa.int64()),
+            "is_err_row": pa.array([False] * len(ks) + [True], pa.bool_()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
@@ -278,7 +280,8 @@ def heavy_hitters(ds: "ray.data.Dataset", column: str,
 
     df = pd.DataFrame(parts)
     total_err = int(df["err"].sum())
-    merged = df.dropna(subset=["key"]).groupby("key", sort=False)["cnt"].sum()
+    df = df[~df["is_err_row"]]
+    merged = df.groupby("key", sort=False)["cnt"].sum()
     keys = merged.index.to_numpy(np.int64)
     counts = merged.to_numpy(np.int64)
     ks, cs, err2 = mg_truncate(keys, counts, k)

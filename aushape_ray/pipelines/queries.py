@@ -2578,6 +2578,29 @@ def q_ann_pq_recall(sf_dir: str):
     })
 
 
+def q_doc_compression(sf_dir: str):
+    """Per-doc zlib compression ratio (redundancy / quality signal;
+    rows-only: no zlib in SQL, but the output is bit-deterministic —
+    fixed input + level gives fixed zlib bytes)."""
+    from ..functions.textops import compression_stats
+
+    return _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        compression_stats, batch_format="pyarrow")
+
+
+def q_doc_perplexity(sf_dir: str):
+    """CCNet-style corpus quality gate: fit a capped-vocab bigram LM over
+    the corpus (one partial-aggregation pass; vocabulary capped by the
+    mergeable heavy-hitters summary), then score every document's
+    perplexity under the broadcast model (rows-only: float log/exp; a
+    scalar single-process reference is pytest-enforced)."""
+    from ..functions.lm import bigram_lm_fit, perplexity_score
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    model = bigram_lm_fit(docs, vocab_k=4096)
+    return perplexity_score(docs, model)
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2676,6 +2699,8 @@ def build_registry():
         "events_heavy_hitters": q_events_heavy_hitters,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "ann_pq_recall": q_ann_pq_recall,
+        "doc_compression": q_doc_compression,
+        "doc_perplexity": q_doc_perplexity,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

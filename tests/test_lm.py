@@ -1,0 +1,86 @@
+"""Bigram-LM perplexity scoring: distributed fit/score vs a scalar
+single-process reference, plus signal-direction checks."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_bigram_lm_matches_scalar_reference(ray_session):
+    import ray.data
+
+    from aushape_ray.functions.lm import ALPHA, bigram_lm_fit, perplexity_score
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 50)))
+             for _ in range(120)]
+    texts.append("w0 w1 " * 40)      # highly repetitive -> low ppl
+    texts.append("")                 # empty -> neutral 0
+    texts.append("solo")             # one token, no bigrams -> 0
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(4)
+    model = bigram_lm_fit(docs, vocab_k=256)
+    got = perplexity_score(docs, model).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split() if t else []
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(uni)  # everything fits in vocab_k, so <unk> is unused
+    assert len(model["vocab"]) == V
+    assert model["total"] == sum(uni.values())
+    ref = []
+    for t in texts:
+        toks = t.split() if t else []
+        prs = list(zip(toks, toks[1:]))
+        if not prs:
+            ref.append(0)
+            continue
+        lp = [np.log(bi[p] + ALPHA) - np.log(uni[p[0]] + ALPHA * (V + 1))
+              for p in prs]
+        ref.append(int(round(np.exp(-np.mean(lp)) * 100)))
+    assert got["ppl_e2"].tolist() == ref
+    # signal direction: the repetitive doc scores far below the median
+    med = float(np.median(got["ppl_e2"][:120]))
+    assert got["ppl_e2"][120] < med / 3
+
+
+def test_bigram_lm_vocab_cap_collapses_tail_to_unk(ray_session):
+    """With vocab_k smaller than the vocabulary, tail tokens collapse to
+    <unk> and total mass is conserved."""
+    import ray.data
+
+    from aushape_ray.functions.lm import bigram_lm_fit
+
+    texts = ["hot " * 50] * 10 + [f"rare{i} only once" for i in range(60)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(4)
+    model = bigram_lm_fit(docs, vocab_k=4)
+    assert len(model["vocab"]) == 4
+    n_tokens = 500 + 60 * 3
+    assert model["total"] == n_tokens
+    assert model["uni"][-1] > 0  # <unk> carries the tail
+
+
+def test_compression_stats_signal_and_determinism(ray_session):
+    import ray.data
+
+    from aushape_ray.functions.textops import compression_stats
+
+    rng = np.random.default_rng(9)
+    rand = "".join(rng.choice(list("abcdefghijklmnop"), 2000))
+    rep = "abc " * 500
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([rand, rep], pa.string())}))
+    out = compression_stats(docs.take_batch(2, batch_format="pyarrow"))
+    d = {r["doc_id"]: r["zlib_ratio_e4"] for r in out.to_pylist()}
+    assert d[1] < d[0] / 5          # repetition compresses much harder
+    out2 = compression_stats(docs.take_batch(2, batch_format="pyarrow"))
+    assert out.equals(out2)          # bit-deterministic
