@@ -32,7 +32,11 @@ def con():
 
 def test_every_oracle_sql_plans(registry, con):
     queries, oracle = registry
-    assert len(oracle) == 50
+    # the driver records CORRECTNESS rows for the first 50 entries only;
+    # the window must be completely filled with oracle-backed queries.
+    # MORE than 50 oracles is fine — the overflow is checked by
+    # scripts/check_queries.py and pytest instead of the driver.
+    assert len(oracle) >= 50
     bad = {}
     for name, sql in oracle.items():
         try:
@@ -45,9 +49,10 @@ def test_every_oracle_sql_plans(registry, con):
 def test_registry_ordering_invariant(registry):
     queries, oracle = registry
     names = list(queries)
-    # every oracle-backed query inside the driver's 50-entry window,
-    # oracle-backed block strictly first
-    assert all(n in names[:50] for n in oracle)
+    # the driver's 50-entry window holds only oracle-backed queries, and
+    # the oracle-backed block is strictly first (so a rows-only query can
+    # never displace an oracle-checked one from driver coverage)
+    assert all(n in oracle for n in names[:50])
     assert names[:len(oracle)] == [n for n in names if n in oracle]
     # every oracle key is a registered query
     assert set(oracle) <= set(queries)
