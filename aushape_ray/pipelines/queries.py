@@ -2601,6 +2601,29 @@ def q_doc_perplexity(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def q_doc_curate_full(sf_dir: str):
+    """The documents-side flagship: the full resumable curation write
+    pipeline (quality/lang -> exact dedup -> Bloom decontamination ->
+    near-dup dedup -> PII redaction -> partitioned parquet with
+    stage-level checkpoints and lineage manifests).  Returns the route
+    counts (rows-only: the orchestration is pytest-verified on a
+    constructed corpus in tests/test_curation.py; each leg has its own
+    oracle)."""
+    import os
+
+    from .curation import curate_corpus
+
+    out = f"/tmp/aushape_curate_{os.path.basename(os.path.normpath(sf_dir))}"
+    res = curate_corpus(sf_dir, out)
+    routes = dict(res["routes"])
+    routes["kept"] = res["kept"]
+    names = sorted(routes)
+    return pa.table({
+        "route": pa.array(names, pa.string()),
+        "n": pa.array([routes[n] for n in names], pa.int64()),
+    })
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2701,6 +2724,7 @@ def build_registry():
         "ann_pq_recall": q_ann_pq_recall,
         "doc_compression": q_doc_compression,
         "doc_perplexity": q_doc_perplexity,
+        "doc_curate_full": q_doc_curate_full,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
