@@ -2504,8 +2504,11 @@ def q_events_heavy_hitters(sf_dir: str):
             "n": pa.array(counts.astype(np.int64), pa.int64()),
         })
 
+    # partials are <= |candidates| rows per batch — a default ~200-task
+    # sort exchange would be all fixed cost (measured 2.7s vs 1.1s at 8)
     exact = ds.map_batches(recount, batch_format="pyarrow").groupby(
-        "user_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+        "user_id", num_partitions=8).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
     exact = exact.sort_values(["n", "user_id"],
                               ascending=[False, True]).head(TOP)
     return pa.table({
