@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
                          "pipeline to stderr after the run (per-operator "
                          "wall/cpu times — the per-stage tuning feedback)")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--curate", action="store_true",
+                    help="run the corpus-curation pipeline instead of the "
+                         "event pipeline: INPUT_DIR must contain "
+                         "documents.parquet; writes kept/ + _rejects/ + "
+                         "_manifests/ under OUT_DIR (quality/lang gate, "
+                         "exact + near-dup dedup, Bloom decontamination, "
+                         "PII redaction; --resume = stage-level skip)")
     args = ap.parse_args(argv)
 
     import ray
@@ -102,6 +109,15 @@ def main(argv: list[str] | None = None) -> int:
         events_per_doc=args.events_per_doc, num_parts=args.num_parts,
         shuffle=args.shuffle, salt_threshold=args.salt_threshold,
     )
+
+    if args.curate:
+        from .pipelines.curation import curate_corpus
+
+        res = curate_corpus(args.input_dir, args.out_dir,
+                            resume=args.resume)
+        print(json.dumps(res))
+        ray.shutdown()
+        return 0
 
     if args.resume:
         from .state.manifest import run_resumable

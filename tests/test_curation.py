@@ -98,3 +98,23 @@ def test_curation_resume_skips_and_invalidates(ray_session, corpus_dir,
     third = curate_corpus(corpus_dir, out, resume=True)
     assert third["resumed_stages"] == []
     assert third["routes"] == first["routes"]
+
+
+def test_cli_curate(ray_session, corpus_dir, tmp_path, capsys):
+    """`python -m aushape_ray IN OUT --curate --resume` runs the curation
+    pipeline and prints its JSON result."""
+    import json
+
+    from aushape_ray.__main__ import main
+
+    out = tmp_path / "out"
+    rc = main([corpus_dir, str(out), "--curate"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 4
+    assert res["routes"]["near_dup"] == 1
+    # resume via the CLI skips all stages
+    rc = main([corpus_dir, str(out), "--curate", "--resume"])
+    assert rc == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res2["resumed_stages"]) == 4
