@@ -101,3 +101,109 @@ def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800,
     return ds.map_batches(to_us, batch_format="pyarrow").groupby(
         "part", num_partitions=n_parts).map_groups(
         per_partition, batch_format="pandas")
+
+
+def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
+                     n_parts: int = 32,
+                     order_col: str = "event_id") -> "ray.data.Dataset":
+    """Watermark-based late-data accounting (the streaming-engine
+    semantics, simulated deterministically over a table): arrival order
+    is `order_col` ascending; after each arrival the watermark is
+    max(event time so far) - allow_s; an event is LATE iff its event
+    time is below the watermark of the strictly preceding arrivals.
+    Returns (event_type, n_total, n_late).
+
+    Distributed shape — a classic PREFIX SCAN WITH CARRY, no sort and no
+    sequential pass:
+      1. events are range-partitioned by event_id VALUE (order-preserving
+         partitioning; one pass emits each range's max event-time, P tiny
+         rows to the driver);
+      2. the driver exclusive-cummaxes the P maxima into per-range
+         carries (P ints, broadcast back);
+      3. a second pass computes each range's late flags vectorized:
+         running max = np.maximum.accumulate shifted one right, seeded
+         with the carry — and emits per-type (n_total, n_late) partials;
+         a final k-row groupby sums them.
+    Skew note: value-range partitioning assumes event_ids are roughly
+    uniform (dense surrogate keys); a skewed id space would need
+    sample-based range bounds (Ray's sort exchange does exactly that)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    allow_us = allow_s * 1_000_000
+
+    lohi = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column(order_col)).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t.column(order_col)).as_py()], pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in lohi)
+    hi = max(r["hi"] for r in lohi)
+    span = max(hi - lo + 1, 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        eid = t.column(order_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        part = ((eid - lo) * n_parts // span).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+
+    # pass 1: per-range event-time max (P tiny rows)
+    def range_max(t: pa.Table) -> pa.Table:
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        tus = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out_p, out_m = [], []
+        for p in np.unique(part):
+            out_p.append(int(p))
+            out_m.append(int(tus[part == p].max()))
+        return pa.table({"part": pa.array(out_p, pa.int64()),
+                         "mx": pa.array(out_m, pa.int64())})
+
+    # per-batch partials are <= n_parts rows; the driver max-merge is
+    # O(n_batches * n_parts) ints — no exchange needed
+    maxima = parted.map_batches(range_max, batch_format="pyarrow").take_all()
+    mx = np.full(n_parts, np.iinfo(np.int64).min, np.int64)
+    for r in maxima:
+        mx[r["part"]] = max(mx[r["part"]], r["mx"])
+    # exclusive cummax: carry[p] = max event time of all ranges before p
+    carry = np.empty(n_parts, np.int64)
+    carry[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(mx[:-1], out=carry[1:]) if n_parts > 1 else None
+    carry_ref = _ray.put(carry)
+
+    # pass 2: per-range vectorized late flags + per-type partials
+    def flags(g: pa.Table) -> pa.Table:
+        cr = _ray.get(carry_ref)
+        df = pa.table({
+            "event_id": g.column(order_col).cast(pa.int64()),
+            "tus": g.column("ts").cast(pa.int64()),
+            "event_type": g.column("event_type"),
+        }).to_pandas()
+        df = df.sort_values("event_id", ignore_index=True)
+        p = int(g.column("part")[0].as_py())
+        tus = df["tus"].to_numpy(np.int64)
+        run = np.empty(len(tus), np.int64)
+        run[0] = cr[p]
+        if len(tus) > 1:
+            np.maximum.accumulate(tus[:-1], out=run[1:])
+            run[1:] = np.maximum(run[1:], cr[p])
+        big = np.iinfo(np.int64).min
+        late = (run != big) & (tus < run - allow_us)
+        out = df.groupby("event_type", sort=False).agg(
+            n_total=("tus", "size"))
+        out["n_late"] = pd.Series(late, index=df.index).groupby(
+            df["event_type"], sort=False).sum().astype(np.int64)
+        out = out.reset_index()
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_total": pa.array(out["n_total"].to_numpy(np.int64)),
+            "n_late": pa.array(out["n_late"].to_numpy(np.int64)),
+        })
+
+    flags.__name__ = "late_flags_partition"
+    partials = parted.groupby("part", num_partitions=n_parts).map_groups(
+        flags, batch_format="pyarrow")
+    return partials.groupby("event_type", num_partitions=2).aggregate(
+        Sum("n_total", alias_name="n_total"),
+        Sum("n_late", alias_name="n_late"))

@@ -2627,6 +2627,44 @@ def q_doc_curate_full(sf_dir: str):
     })
 
 
+def q_events_late_data(sf_dir: str):
+    """Watermark late-data accounting (streaming-engine semantics over a
+    table): arrival order is a deterministic bounded-disorder permutation
+    of event_id (each aligned block of 8 reversed — real streams arrive
+    slightly out of order, not shuffled), watermark = max event time seen
+    minus 30 min; per event_type: total events and late-past-watermark
+    events.  Distributed as a prefix scan with carry
+    (functions/windows.late_event_stats) — no global sort, no sequential
+    pass."""
+    from ..functions.windows import late_event_stats
+
+    ds = _read_table(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        arr = (eid // 8) * 8 + 7 - (eid % 8)
+        return t.append_column("arrival", pa.array(arr, pa.int64()))
+
+    out = ds.map_batches(arrival, batch_format="pyarrow")
+    return late_event_stats(out, allow_s=1800, order_col="arrival")
+
+
+def sql_events_late_data() -> str:
+    return """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) AS tus,
+         max(epoch_us(ts)) OVER (
+             ORDER BY (event_id // 8) * 8 + 7 - (event_id % 8)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT event_type,
+       count(*)::BIGINT AS n_total,
+       count(*) FILTER (WHERE wm IS NOT NULL
+                        AND tus < wm - 1800000000)::BIGINT AS n_late
+FROM a GROUP BY event_type"""
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2728,6 +2766,7 @@ def build_registry():
         "doc_compression": q_doc_compression,
         "doc_perplexity": q_doc_perplexity,
         "doc_curate_full": q_doc_curate_full,
+        "events_late_data": q_events_late_data,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -2797,4 +2836,5 @@ def _build_oracle(t01):
         # the local gate (scripts/check_queries.py) and pytest
         "events_heavy_hitters": sql_events_heavy_hitters(),
         "doc_decontaminate_bloom": sql_doc_decontaminate_bloom(),
+        "events_late_data": sql_events_late_data(),
     }

@@ -84,3 +84,34 @@ def test_compression_stats_signal_and_determinism(ray_session):
     assert d[1] < d[0] / 5          # repetition compresses much harder
     out2 = compression_stats(docs.take_batch(2, batch_format="pyarrow"))
     assert out.equals(out2)          # bit-deterministic
+
+
+def test_late_event_stats_carry_across_ranges(ray_session):
+    """Hand-built stream where the late rows depend on the prefix-max
+    CARRY from earlier ranges (n_parts > 1 forces cross-range flow):
+    arrival i has event time 1000*i except plants that regress behind
+    the watermark."""
+    import ray.data
+
+    from aushape_ray.functions.windows import late_event_stats
+
+    n = 400
+    tus = np.arange(n, dtype=np.int64) * 1_000_000_000  # 1000 s apart
+    # plants: arrival 150 regresses 3000s (late for allow=1800s);
+    # arrival 151 regresses 1000s (inside allowance, NOT late);
+    # arrival 300 regresses 10_000s (late) — different range than 150
+    tus[150] = tus[149] - 3_000 * 1_000_000
+    tus[151] = tus[152] - 2 * 1_000_000_000  # monotone vs prefix: not late
+    tus[300] = tus[299] - 10_000 * 1_000_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(tus, pa.timestamp("us")),
+        "event_type": pa.array(["a" if i % 2 else "b" for i in range(n)],
+                               pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = late_event_stats(ds, allow_s=1800, n_parts=16).to_pandas()
+    got = dict(zip(out["event_type"], zip(out["n_total"], out["n_late"])))
+    # 150 is even->'b', 300 is even->'b'; 151 odd->'a' not late
+    assert got["b"] == (200, 2)
+    assert got["a"] == (200, 0)
