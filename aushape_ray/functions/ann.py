@@ -441,3 +441,64 @@ def pq_adc_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
         "rank": pa.array(out_r, pa.int64()),
         "neighbor_id": pa.array(out_n, pa.int64()),
     })
+
+
+def pca_fit(ds: "ray.data.Dataset", n_components: int = 8):
+    """Distributed PCA over the embedding column — the classic two-pass
+    covariance reduction: each batch emits (count, sum vector, X^T X
+    partial), the driver sums the tiny (d x d) partials, forms the
+    covariance, and eigendecomposes (d x d is KiB-scale for any sane
+    embedding dim; the corpus-sized work stays in the batches).
+
+    Returns (components (k x d), mean (d,), explained_ratio (k,))."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        d = mat.shape[1]
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tolist()],
+                          pa.list_(pa.float64(), d)),
+            "xtx": pa.array([(mat.T @ mat).ravel().tolist()],
+                            pa.list_(pa.float64(), d * d)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    d = len(s)
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T                    # (k, d)
+    # deterministic sign: make the largest-|.| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    explained = evals[order] / max(evals.sum(), 1e-300)
+    return comps, mean, explained
+
+
+def pca_transform(ds: "ray.data.Dataset", comps: np.ndarray,
+                  mean: np.ndarray) -> "ray.data.Dataset":
+    """Project the corpus onto the broadcast components (one matmul per
+    batch): (vec_id, proj list<float64, k>)."""
+    ref = ray.put({"c": comps, "m": mean})
+    k = comps.shape[0]
+
+    def proj(b: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        mat = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        out = (mat - p["m"]) @ p["c"].T
+        return pa.table({
+            "vec_id": b.column("vec_id").cast(pa.int64()),
+            "proj": pa.array([r.tolist() for r in out],
+                             pa.list_(pa.float64(), k)),
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow")

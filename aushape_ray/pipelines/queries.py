@@ -2665,6 +2665,51 @@ SELECT event_type,
 FROM a GROUP BY event_type"""
 
 
+def q_emb_pca(sf_dir: str):
+    """Distributed PCA (two-pass covariance reduction: batches emit
+    (n, sum, X^T X) partials, the driver eigendecomposes the KiB-scale
+    d x d covariance) + a broadcast projection pass.  Rows-only quality
+    metric: top-8 explained-variance in basis points, plus a
+    reconstruction check (mean squared residual of projecting back)."""
+    import ray as _ray
+
+    from ..functions.ann import pca_fit, pca_transform
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    comps, mean, explained = pca_fit(ds, n_components=8)
+
+    # reconstruction residual via one more partial pass
+    ref = _ray.put({"c": comps, "m": mean})
+
+    def resid(b: pa.Table) -> pa.Table:
+        p = _ray.get(ref)
+        mat = np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        z = (mat - p["m"]) @ p["c"].T
+        back = z @ p["c"] + p["m"]
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "sse": pa.array([float(((mat - back) ** 2).sum())],
+                            pa.float64()),
+            "tot": pa.array([float(((mat - p["m"]) ** 2).sum())],
+                            pa.float64()),
+        })
+
+    agg = ds.map_batches(resid, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sse", alias_name="sse"),
+        Sum("tot", alias_name="tot"))
+    n_proj = pca_transform(ds, comps, mean).count()
+    return pa.table({
+        "component": pa.array(range(len(explained)), pa.int64()),
+        "explained_bp": pa.array(
+            np.round(explained * 10_000).astype(np.int64), pa.int64()),
+        "resid_over_total_bp": pa.array(
+            [int(round(agg["sse"] / max(agg["tot"], 1e-300) * 10_000))]
+            * len(explained), pa.int64()),
+        "n_vectors": pa.array([n_proj] * len(explained), pa.int64()),
+    })
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2767,6 +2812,7 @@ def build_registry():
         "doc_perplexity": q_doc_perplexity,
         "doc_curate_full": q_doc_curate_full,
         "events_late_data": q_events_late_data,
+        "emb_pca": q_emb_pca,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

@@ -115,3 +115,36 @@ def test_late_event_stats_carry_across_ranges(ray_session):
     # 150 is even->'b', 300 is even->'b'; 151 odd->'a' not late
     assert got["b"] == (200, 2)
     assert got["a"] == (200, 0)
+
+
+def test_pca_recovers_planted_subspace(ray_session):
+    """Data generated in a known 3-dim subspace + tiny noise: PCA must
+    put ~all variance in 3 components and reconstruct near-perfectly,
+    and the distributed partials must match an in-memory PCA."""
+    import ray.data
+
+    from aushape_ray.functions.ann import pca_fit, pca_transform
+
+    rng = np.random.default_rng(17)
+    d, n, k_true = 16, 500, 3
+    basis = np.linalg.qr(rng.normal(0, 1, (d, k_true)))[0].T  # (3, d)
+    z = rng.normal(0, [5.0, 2.0, 1.0], (n, k_true))
+    x = z @ basis + rng.normal(0, 0.01, (n, d)) + 7.0
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float64(), d)),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    comps, mean, explained = pca_fit(ds, n_components=4)
+    assert explained[:3].sum() > 0.999
+    assert explained[3] < 1e-3
+    # distributed == in-memory covariance eigendecomposition
+    cov = np.cov(x.T, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    got = explained * cov.trace() / 1  # un-normalize approximately
+    np.testing.assert_allclose(
+        explained[:3], evals[:3] / evals.sum(), rtol=1e-6)
+    # projection round-trip
+    proj = pca_transform(ds, comps[:3], mean).to_pandas()
+    assert len(proj) == n and len(proj["proj"][0]) == 3
