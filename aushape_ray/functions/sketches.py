@@ -339,3 +339,72 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
         row = part.take(1)
         val_at[r] = float(row[0][col]) if row else float("nan")
     return [(q, val_at[r]) for q, r in zip(qs, ranks)]
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over uint64 key
+    hashes: depth rows of width counters, point-frequency estimate =
+    min over rows (never under-estimates; over-estimate <= e*n/width
+    with probability 1 - e^-depth).  Mergeable: elementwise sum — the
+    per-batch partial is a (depth x width) int64 grid, a few hundred
+    KiB regardless of key cardinality."""
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 table: "np.ndarray | None" = None) -> None:
+        assert width & (width - 1) == 0, "width must be a power of two"
+        self.width = width
+        self.depth = depth
+        self.table = (np.zeros((depth, width), np.int64)
+                      if table is None else table)
+
+    def _idx(self, h: np.ndarray, row: int) -> np.ndarray:
+        h2 = _splitmix64(h) | np.uint64(1)
+        return ((h + np.uint64(row) * h2)
+                & np.uint64(self.width - 1)).astype(np.int64)
+
+    def add_many(self, h: np.ndarray) -> None:
+        h = np.asarray(h, np.uint64)
+        for r in range(self.depth):
+            np.add.at(self.table[r], self._idx(h, r), 1)
+
+    def estimate_many(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, np.uint64)
+        est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+        for r in range(self.depth):
+            np.minimum(est, self.table[r][self._idx(h, r)], out=est)
+        return est
+
+    def merge(self, other: "CountMin") -> None:
+        assert other.table.shape == self.table.shape
+        self.table += other.table
+
+
+def cm_frequencies(ds: "ray.data.Dataset", column: str,
+                   probe_keys: np.ndarray, width: int = 2048,
+                   depth: int = 4) -> "tuple[np.ndarray, int]":
+    """Merged Count-Min estimates for probe_keys over ds[column] (int64
+    keys hashed with splitmix64).  Returns (estimates, total_n)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        if col.null_count:
+            col = col.drop_null()
+        keys = np.asarray(col.cast(pa.int64()).combine_chunks(),
+                          np.int64)
+        cm = CountMin(width, depth)
+        cm.add_many(_splitmix64(keys.view(np.uint64)))
+        return pa.table({
+            "tab": pa.array([cm.table.ravel().tolist()],
+                            pa.list_(pa.int64(), width * depth)),
+            "n": pa.array([len(keys)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = CountMin(width, depth)
+    total = 0
+    for r in parts:
+        acc.merge(CountMin(width, depth, np.asarray(
+            r["tab"], np.int64).reshape(depth, width)))
+        total += r["n"]
+    probes = _splitmix64(np.asarray(probe_keys, np.int64).view(np.uint64))
+    return acc.estimate_many(probes), total

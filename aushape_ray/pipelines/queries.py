@@ -2710,6 +2710,31 @@ def q_emb_pca(sf_dir: str):
     })
 
 
+def q_events_cm_freq(sf_dir: str):
+    """Count-Min point-frequency estimates for the exact top-10 users:
+    merged (depth x width) partial grids — a few hundred KiB per batch
+    regardless of key cardinality — probed for the heavy keys; exact
+    counts and the theoretical e*n/width bound reported in-band
+    (rows-only: CM is one-sided approximate by construction; the
+    invariant exact <= estimate <= exact + bound is test-enforced)."""
+    import math
+
+    from ..functions.sketches import cm_frequencies
+
+    ds = _read_table(sf_dir, "events", ["user_id"])
+    exact = q_events_heavy_hitters(sf_dir).to_pandas()
+    keys = exact["user_id"].to_numpy(np.int64)
+    est, total = cm_frequencies(ds, "user_id", keys,
+                                width=2048, depth=4)
+    bound = int(math.ceil(math.e * total / 2048))
+    return pa.table({
+        "user_id": pa.array(keys, pa.int64()),
+        "exact": pa.array(exact["n"].to_numpy(np.int64), pa.int64()),
+        "estimate": pa.array(est, pa.int64()),
+        "bound": pa.array([bound] * len(keys), pa.int64()),
+    })
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2813,6 +2838,7 @@ def build_registry():
         "doc_curate_full": q_doc_curate_full,
         "events_late_data": q_events_late_data,
         "emb_pca": q_emb_pca,
+        "events_cm_freq": q_events_cm_freq,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

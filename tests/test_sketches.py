@@ -362,3 +362,36 @@ def test_pq_adc_finds_planted_neighbors(ray_session):
     ok = sum(1 for r in top
              if r["neighbor_id"] // per == r["query_id"] // per)
     assert ok >= 72  # >=90% of retrieved neighbors from the right blob
+
+
+def test_count_min_invariants(ray_session):
+    """CM never under-estimates; merged estimates stay within the
+    e*n/width bound; merge == single-stream."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from aushape_ray.functions.sketches import CountMin, _splitmix64, cm_frequencies
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([np.repeat(np.arange(10), 300),
+                           rng.integers(100, 3000, 20000)]).astype(np.int64)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(vals, pa.int64())})).repartition(8)
+    probes = np.arange(10, dtype=np.int64)
+    est, total = cm_frequencies(ds, "k", probes, width=2048, depth=4)
+    assert total == len(vals)
+    bound = math.ceil(math.e * total / 2048)
+    for i in range(10):
+        exact = 300 + int((vals == i).sum()) - 300 + 300  # = count of i
+        exact = int((vals == i).sum())
+        assert exact <= est[i] <= exact + bound
+    # merge parity: one sketch over the whole stream gives the same table
+    one = CountMin(2048, 4)
+    one.add_many(_splitmix64(vals.view(np.uint64)))
+    np.testing.assert_array_equal(
+        one.estimate_many(_splitmix64(probes.view(np.uint64))), est)
