@@ -2735,6 +2735,27 @@ def q_events_cm_freq(sf_dir: str):
     })
 
 
+def q_doc_dedup_online(sf_dir: str):
+    """Online dedup against a sharded shared index (state/dedup_index):
+    the streaming-ingestion counterpart of doc_dedup_exact — every batch
+    asks "seen before?" against everything ingested so far, via batched
+    RPCs to hash-range shard actors.  Counts are arrival-order
+    independent (n_first == count distinct), so the query is DuckDB
+    oracle-checked even though first-wins attribution is not."""
+    from ..state.dedup_index import online_dedup_stats
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return online_dedup_stats(docs, n_shards=8)
+
+
+def sql_doc_dedup_online() -> str:
+    return """
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT text)::BIGINT AS n_first,
+       (count(*) - count(DISTINCT text))::BIGINT AS n_dup
+FROM documents"""
+
+
 def sql_doc_decontaminate_bloom() -> str:
     return """
 WITH needles AS (
@@ -2839,6 +2860,7 @@ def build_registry():
         "events_late_data": q_events_late_data,
         "emb_pca": q_emb_pca,
         "events_cm_freq": q_events_cm_freq,
+        "doc_dedup_online": q_doc_dedup_online,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -2909,4 +2931,5 @@ def _build_oracle(t01):
         "events_heavy_hitters": sql_events_heavy_hitters(),
         "doc_decontaminate_bloom": sql_doc_decontaminate_bloom(),
         "events_late_data": sql_events_late_data(),
+        "doc_dedup_online": sql_doc_dedup_online(),
     }

@@ -395,3 +395,56 @@ def test_count_min_invariants(ray_session):
     one.add_many(_splitmix64(vals.view(np.uint64)))
     np.testing.assert_array_equal(
         one.estimate_many(_splitmix64(probes.view(np.uint64))), est)
+
+
+class TestOnlineDedup:
+    def test_two_wave_incremental(self, ray_session):
+        """The SAME index across two ingestion waves: wave 2 re-sends
+        wave-1 content and must come back all-duplicate."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data
+
+        from aushape_ray.state.dedup_index import OnlineDeduper
+
+        texts = [f"document number {i} body" for i in range(200)]
+        t1 = pa.table({
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(texts, pa.string())})
+        dedup = OnlineDeduper(n_shards=4)
+        w1 = ray.data.from_arrow(t1).repartition(4).map_batches(
+            dedup, batch_format="pyarrow").to_pandas()
+        assert w1["is_first"].sum() == 200  # all new
+        # wave 2: half repeats, half new
+        t2 = pa.table({
+            "doc_id": pa.array(range(200, 400), pa.int64()),
+            "text": pa.array(texts[:100]
+                             + [f"fresh {i}" for i in range(100)],
+                             pa.string())})
+        w2 = ray.data.from_arrow(t2).repartition(4).map_batches(
+            dedup, batch_format="pyarrow").to_pandas()
+        seen = dict(zip(w2["doc_id"], w2["is_first"]))
+        assert all(not seen[i] for i in range(200, 300))   # repeats
+        assert all(seen[i] for i in range(300, 400))       # fresh
+        assert dedup.index_size() == 300
+
+    def test_stats_order_independent(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data
+
+        from aushape_ray.state.dedup_index import online_dedup_stats
+
+        rng = np.random.default_rng(31)
+        base = [f"text {i}" for i in range(50)]
+        picks = rng.integers(0, 50, 400)
+        t = pa.table({
+            "doc_id": pa.array(range(400), pa.int64()),
+            "text": pa.array([base[p] for p in picks], pa.string())})
+        out = online_dedup_stats(
+            ray.data.from_arrow(t).repartition(8)).to_pylist()[0]
+        n_distinct = len(set(picks.tolist()))
+        assert out == {"n_docs": 400, "n_first": n_distinct,
+                       "n_dup": 400 - n_distinct}
