@@ -19,6 +19,44 @@ import sys
 import time
 
 
+def _calib_burn(seconds: float = 0.4) -> float:
+    """Fixed CPython work loop; returns million iterations/sec on one core."""
+    t0 = time.perf_counter()
+    x = 0
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        for i in range(100_000):
+            x += i * i
+        n += 1
+    return n * 0.1 / (time.perf_counter() - t0)
+
+
+def _host_calibration(num_cpus: int) -> dict:
+    """Host-speed microbenchmark, run BEFORE ray.init (no interference).
+
+    This sandbox host's effective CPU speed swings up to ~3x between
+    minutes-apart windows (external co-tenancy that /proc/stat steal only
+    partially reports).  Recording a fixed-work calibration next to every
+    benchmark run makes cross-window comparisons verifiable in-band:
+    pipeline throughput should move proportionally with loop_miters_all.
+    BASELINE.md pairs each recorded run with its calibration numbers.
+    """
+    import multiprocessing as mp
+
+    single = _calib_burn()
+    with mp.Pool(num_cpus) as pool:
+        rates = pool.map(_calib_burn_star, [0.4] * num_cpus)
+    return {
+        "loop_miters_1core": round(single, 1),
+        "loop_miters_all": round(sum(rates), 1),
+        "n_procs": num_cpus,
+    }
+
+
+def _calib_burn_star(seconds: float) -> float:
+    return _calib_burn(seconds)
+
+
 def _scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -56,6 +94,8 @@ def main() -> None:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    host_calib = _host_calibration(num_cpus)
 
     import ray
 
@@ -156,6 +196,7 @@ def main() -> None:
         "n_turns": n_turns,
         "epochs": EPOCHS,
         "headline_runs_sec": headline_runs,
+        "host_calib": host_calib,
         "queries": timings,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
