@@ -2769,6 +2769,173 @@ FROM documents d JOIN needles n
 GROUP BY d.doc_id"""
 
 
+def q_doc_mixture_sample(sf_dir: str):
+    """Mixture rebalancing (DoReMi/multilingual-curation style): sample the
+    largest sub-corpus whose language mix matches fixed target weights
+    (en 40%, de/es/fr/zh 15% each), deterministically.
+
+    Two passes, both tiny on the wire:
+      1. per-batch lang count partials -> driver sum (5 rows) -> integer
+         budget: N_out = min_l floor(n_l * 100 / w_l), m_l = floor(w_l *
+         N_out / 100).  All-integer so the SQL oracle reproduces it bit
+         for bit.
+      2. per-lang smallest-hash selection, reusing the stratified-sample
+         shape: each batch keeps at most m_l rows per lang (partial
+         top-k on the doc_id hash), the per-lang merge takes the global
+         m_l — the shuffle carries <= m_l * n_batches rows, never the
+         corpus.
+    """
+    K, M = 2654435761, 1 << 32
+    TARGETS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("lang").value_counts()
+        return pa.table({"lang": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow")
+    counts: dict[str, int] = {}
+    for row in partials.take_all():  # <= n_langs * n_batches tiny rows
+        counts[row["lang"]] = counts.get(row["lang"], 0) + row["n"]
+    n_out = min(counts.get(lang, 0) * 100 // w for lang, w in TARGETS.items())
+    quota = {lang: w * n_out // 100 for lang, w in TARGETS.items()}
+
+    def pick_partial(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        df = pd.DataFrame({"doc_id": did,
+                           "lang": b.column("lang").to_pylist()})
+        r = (did % M).astype(np.uint64)  # mask-first (q_doc_sample guard)
+        df["h"] = ((r * np.uint64(K)) % np.uint64(M)).astype(np.int64)
+        df["m"] = df["lang"].map(quota).fillna(0).astype(np.int64)
+        df = df.sort_values(["h", "doc_id"])
+        df = df[df.groupby("lang", sort=False).cumcount() < df["m"]]
+        return pa.Table.from_pandas(df[["lang", "doc_id", "h", "m"]],
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(int(g["m"].iloc[0]))
+        return g[["lang", "doc_id"]]
+
+    merge.__name__ = "mixture_merge"
+    out = ds.map_batches(pick_partial, batch_format="pyarrow").groupby(
+        "lang", num_partitions=8).map_groups(merge, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"),
+                            "doc_id": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def sql_doc_mixture_sample() -> str:
+    # weights as integer percent; // is DuckDB integer division — exact
+    # parity with the python integer budget arithmetic above
+    return """
+WITH w AS (
+  SELECT lang, CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS wt,
+         count(*) AS n
+  FROM documents WHERE lang IN ('en','de','es','fr','zh') GROUP BY lang),
+nout AS (SELECT min(n * 100 // wt) AS v FROM w),
+quota AS (SELECT lang, wt * (SELECT v FROM nout) // 100 AS m FROM w),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY (((doc_id % 4294967296 + 4294967296)
+                        % 4294967296)::HUGEINT * 2654435761) % 4294967296,
+                      doc_id) AS rn
+  FROM documents)
+SELECT r.lang, r.doc_id::BIGINT AS doc_id
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.rn <= q.m"""
+
+
+def q_doc_shuffle_shard(sf_dir: str):
+    """Global training-order shuffle: assign each doc a shard (hash % 16)
+    and a deterministic pseudo-random rank within its shard — the
+    "shuffle the corpus once, stream shards in rank order" primitive.
+    Two independent multiplicative hashes decorrelate shard choice from
+    within-shard order.  The shuffle moves only (doc_id, shard, h2):
+    24 bytes/doc; rank assignment is a per-shard sort + arange."""
+    K1, K2, M = 2654435761, 2246822519, 1 << 32
+    S = 16
+    ds = _read_table(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        r = (did % M).astype(np.uint64)
+        h1 = (r * np.uint64(K1)) % np.uint64(M)
+        h2 = (r * np.uint64(K2)) % np.uint64(M)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "shard": pa.array((h1 % np.uint64(S)).astype(np.int64)),
+            "h2": pa.array(h2.astype(np.int64)),
+        })
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h2", "doc_id"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "shard", "rank"]]
+
+    rank.__name__ = "shard_rank"
+    return ds.map_batches(assign, batch_format="pyarrow").groupby(
+        "shard", num_partitions=S).map_groups(rank, batch_format="pandas")
+
+
+def sql_doc_shuffle_shard() -> str:
+    return """
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id % 4294967296 + 4294967296) % 4294967296)::HUGEINT
+          * 2654435761) % 4294967296 AS h1,
+         (((doc_id % 4294967296 + 4294967296) % 4294967296)::HUGEINT
+          * 2246822519) % 4294967296 AS h2
+  FROM documents)
+SELECT doc_id::BIGINT AS doc_id, (h1 % 16)::BIGINT AS shard,
+       row_number() OVER (PARTITION BY h1 % 16
+                          ORDER BY h2, doc_id)::BIGINT AS rank
+FROM h"""
+
+
+def q_doc_pack(sf_dir: str):
+    """Sequence packing: greedy next-fit of docs into 256-token training
+    contexts, per hash shard (functions/packing.py documents the
+    per-shard-not-global design and its scale budget).  Output is one
+    row per pack: (part, pack_id, n_docs, n_tokens, first_doc_id).
+    Token counts via Arrow RE2 (same \\S+ kernel as doc_token_stats);
+    the only exchange carries 24 bytes/doc."""
+    from ..functions.packing import pack_summary
+
+    CAPACITY = 256
+    P = 8
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def measure(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nt = pc.count_substring_regex(
+            b.column("text"), r"\S+").cast(pa.int64())
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "part": pa.array(did % P, pa.int64()),
+            "n_tokens": nt,
+        })
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        cols = pack_summary(g["doc_id"].to_numpy(),
+                            g["n_tokens"].to_numpy(), CAPACITY)
+        out = pd.DataFrame(cols)
+        out.insert(0, "part", np.int64(g["part"].iloc[0]))
+        return out
+
+    pack_part.__name__ = "pack_shard"
+    return ds.map_batches(measure, batch_format="pyarrow").groupby(
+        "part", num_partitions=P).map_groups(
+        pack_part, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2861,6 +3028,9 @@ def build_registry():
         "emb_pca": q_emb_pca,
         "events_cm_freq": q_events_cm_freq,
         "doc_dedup_online": q_doc_dedup_online,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_shuffle_shard": q_doc_shuffle_shard,
+        "doc_pack": q_doc_pack,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -2932,4 +3102,6 @@ def _build_oracle(t01):
         "doc_decontaminate_bloom": sql_doc_decontaminate_bloom(),
         "events_late_data": sql_events_late_data(),
         "doc_dedup_online": sql_doc_dedup_online(),
+        "doc_mixture_sample": sql_doc_mixture_sample(),
+        "doc_shuffle_shard": sql_doc_shuffle_shard(),
     }
