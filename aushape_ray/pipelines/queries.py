@@ -2936,6 +2936,73 @@ def q_doc_pack(sf_dir: str):
         pack_part, batch_format="pandas")
 
 
+def q_doc_bpe_pairs(sf_dir: str):
+    """Tokenizer training primitive: corpus-wide adjacent character-pair
+    frequencies (= the count step of ONE BPE merge round), top 20.
+
+    Vectorized: each batch joins its texts with a NUL sentinel, views the
+    codepoints as a uint32 array, masks pairs that cross doc boundaries
+    or touch whitespace, packs (a << 32 | b) into one int64, and
+    np.unique-counts — so the partial leaving each batch is (pair, n)
+    with at most alphabet^2 rows.  Partials tree-reduce on
+    joins.bucket_reduce (pair % 8): the reduced table is bounded by the
+    corpus's distinct-pair count (~alphabet^2), never its size, so the
+    driver-side top-20 sort is O(KB) at any corpus scale."""
+    from ..functions.joins import bucket_reduce
+
+    B = 8
+    ds = _read_table(sf_dir, "documents", ["text"])
+    WS = np.array([0x20, 0x09, 0x0A], np.uint32)  # space, tab, newline
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        if not texts:
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        joined = "\x00".join(texts)
+        arr = np.frombuffer(joined.encode("utf-32-le"), "<u4")
+        a, c = arr[:-1], arr[1:]
+        ok = (a != 0) & (c != 0)
+        ok &= ~np.isin(a, WS) & ~np.isin(c, WS)
+        packed = (a[ok].astype(np.uint64) << np.uint64(32)) | c[ok]
+        pairs, counts = np.unique(packed, return_counts=True)
+        pairs = pairs.astype(np.int64)  # codepoints < 2^21: fits exactly
+        return pa.table({"pair": pa.array(pairs),
+                         "n": pa.array(counts.astype(np.int64)),
+                         "b": pa.array(pairs % B)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("pair", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = bucket_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                          B, merge)
+    allp = pa.concat_tables(parts).to_pandas()
+    allp = allp.sort_values(["n", "pair"],
+                            ascending=[False, True]).head(20)
+    pair_str = [chr(int(p) >> 32) + chr(int(p) & 0xFFFFFFFF)
+                for p in allp["pair"]]
+    return pa.table({"pair": pa.array(pair_str, pa.string()),
+                     "n": pa.array(allp["n"].to_numpy(), pa.int64())})
+
+
+def sql_doc_bpe_pairs() -> str:
+    # unnest(generate_series(...)) replicates the row per position;
+    # substring/length are codepoint-based in DuckDB, matching the
+    # utf-32 view on the Ray side.  Binary UTF-8 collation == codepoint
+    # order, so the deterministic tie-break agrees with python sorting.
+    return """
+WITH idx AS (
+  SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+  FROM documents),
+pairs AS (
+  SELECT substring(text, i::INT, 2) AS pair FROM idx
+  WHERE NOT regexp_matches(substring(text, i::INT, 2), '[ \t\n]'))
+SELECT pair, count(*)::BIGINT AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3031,6 +3098,7 @@ def build_registry():
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_shuffle_shard": q_doc_shuffle_shard,
         "doc_pack": q_doc_pack,
+        "doc_bpe_pairs": q_doc_bpe_pairs,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3104,4 +3172,5 @@ def _build_oracle(t01):
         "doc_dedup_online": sql_doc_dedup_online(),
         "doc_mixture_sample": sql_doc_mixture_sample(),
         "doc_shuffle_shard": sql_doc_shuffle_shard(),
+        "doc_bpe_pairs": sql_doc_bpe_pairs(),
     }

@@ -129,3 +129,28 @@ def test_doc_shuffle_shard_is_a_permutation(ray_session):
     assert out["doc_id"].is_unique
     for _, g in out.groupby("shard"):
         assert sorted(g["rank"].tolist()) == list(range(1, len(g) + 1))
+
+
+def test_doc_bpe_pairs_matches_scalar_reference(ray_session):
+    """Distributed pair counting == a per-doc python loop over the same
+    corpus (whitespace-excluded adjacent codepoint pairs, top 20 with
+    (n desc, pair) tie-break) — the SQL oracle covers DuckDB parity, this
+    covers the packed-uint64 vectorization against obvious scalar code."""
+    import collections
+
+    import duckdb
+
+    from aushape_ray.pipelines.queries import q_doc_bpe_pairs
+
+    got = q_doc_bpe_pairs(SF).to_pandas()
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'").df()["text"]
+    ws = set(" \t\n")
+    counter = collections.Counter()
+    for t in texts:
+        for a, b in zip(t, t[1:]):
+            if a not in ws and b not in ws:
+                counter[a + b] += 1
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["pair"], got["n"])) == want
