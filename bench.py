@@ -83,6 +83,10 @@ def _scaling() -> None:
         "turns_per_sec_32": hi32["turns_per_sec"],
         "scaling_efficiency": round(eff_4_16, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "host_calib": {"4": lo4.get("host_calib"),
+                       "16": hi16.get("host_calib"),
+                       "8": lo8.get("host_calib"),
+                       "32": hi32.get("host_calib")},
         "sf": lo4["sf"],
     }))
 
