@@ -2936,6 +2936,34 @@ def q_doc_pack(sf_dir: str):
         pack_part, batch_format="pandas")
 
 
+def sql_doc_pack() -> str:
+    # next-fit is a sequential recurrence, expressed as a recursive CTE
+    # stepping one doc per shard per iteration (63 iterations at the
+    # driver's sf0.01 scale).  The used>0 guard mirrors next_fit_pack:
+    # an oversize doc only closes a pack it did not open.  doc_id % 8
+    # matches numpy's % for the non-negative doc_ids of this corpus.
+    return r"""
+WITH RECURSIVE num AS (
+  SELECT doc_id % 8 AS part, doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS nt,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+pk AS (
+  SELECT part, rn, doc_id, nt, 0::BIGINT AS pack, nt AS used
+  FROM num WHERE rn = 1
+  UNION ALL
+  SELECT n.part, n.rn, n.doc_id, n.nt,
+         CASE WHEN p.used > 0 AND p.used + n.nt > 256
+              THEN p.pack + 1 ELSE p.pack END,
+         CASE WHEN p.used > 0 AND p.used + n.nt > 256
+              THEN n.nt ELSE p.used + n.nt END
+  FROM pk p JOIN num n ON n.part = p.part AND n.rn = p.rn + 1)
+SELECT part::BIGINT AS part, pack AS pack_id, count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS n_tokens,
+       arg_min(doc_id, rn)::BIGINT AS first_doc_id
+FROM pk GROUP BY part, pack"""
+
+
 def q_doc_bpe_pairs(sf_dir: str):
     """Tokenizer training primitive: corpus-wide adjacent character-pair
     frequencies (= the count step of ONE BPE merge round), top 20.
@@ -3173,4 +3201,5 @@ def _build_oracle(t01):
         "doc_mixture_sample": sql_doc_mixture_sample(),
         "doc_shuffle_shard": sql_doc_shuffle_shard(),
         "doc_bpe_pairs": sql_doc_bpe_pairs(),
+        "doc_pack": sql_doc_pack(),
     }
