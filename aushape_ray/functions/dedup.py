@@ -693,14 +693,30 @@ def word_hashes_flat(data: np.ndarray,
     if n_words == 0:
         return (np.array([], np.uint64), np.array([], np.int64))
     lens = np.flatnonzero(end_mask) + 1 - starts
+    word_h = fnv_segments(data, starts, lens)
+    word_doc = np.searchsorted(doc_off, starts, side="right") - 1
+    return word_h, word_doc.astype(np.int64)
+
+
+def fnv_segments(data: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """64-bit FNV-1a of arbitrary byte segments of a flat uint8 array —
+    the column-wise kernel shared by word_hashes_flat (whitespace words)
+    and span_dedup (fixed-word-count spans).  Computed column-wise over a
+    length-descending segment ordering so pass i touches only segments
+    longer than i bytes: total work O(sum of segment lengths).
+    Zero-length segments hash to the FNV offset basis."""
+    n_seg = len(starts)
+    if n_seg == 0:
+        return np.array([], np.uint64)
     order = np.argsort(-lens, kind="stable")
     s_sorted = starts[order]
     l_sorted = lens[order]
     data64 = data.astype(np.uint64)
-    h_sorted = np.full(n_words, _FNV_OFFSET, dtype=np.uint64)
+    h_sorted = np.full(n_seg, _FNV_OFFSET, dtype=np.uint64)
     max_len = int(l_sorted[0])
-    # words with length > i form a prefix; its size via bincount cumsum
-    longer = n_words - np.cumsum(
+    # segments with length > i form a prefix; its size via bincount cumsum
+    longer = n_seg - np.cumsum(
         np.bincount(l_sorted, minlength=max_len + 1))
     for i in range(max_len):
         k = int(longer[i])
@@ -708,10 +724,9 @@ def word_hashes_flat(data: np.ndarray,
             break
         b = data64[s_sorted[:k] + i]
         h_sorted[:k] = (h_sorted[:k] ^ b) * _FNV_PRIME
-    word_h = np.empty_like(h_sorted)
-    word_h[order] = h_sorted
-    word_doc = np.searchsorted(doc_off, starts, side="right") - 1
-    return word_h, word_doc.astype(np.int64)
+    out = np.empty_like(h_sorted)
+    out[order] = h_sorted
+    return out
 
 
 def flat_utf8(col) -> "tuple[np.ndarray, np.ndarray, int]":
@@ -1454,3 +1469,207 @@ def dup_span_stats(ds: "ray.data.Dataset", window: int = 64,
     post = ds.map_batches(anchors, batch_format="pyarrow")
     flagged = bucket_exchange(post, n_parts, flag, bucket_col="bucket")
     return bucket_exchange(flagged, n_parts, summarize, bucket_col="dbucket")
+
+
+# ---------------- exact span dedup (dedupe + reassemble) -------------------
+
+
+def _explode_spans(batch: pa.Table, span_words: int,
+                   n_buckets: int) -> pa.Table:
+    """(doc_id, text) -> one row per aligned span of `span_words`
+    consecutive words (split on single space, string_split semantics:
+    empties preserved, '' -> ['']).  Fully vectorized: Arrow
+    split_pattern gives the word ListArray; span offsets are every
+    span_words-th word offset (numpy repeat/arange over the list
+    offsets); the span strings come back through ONE binary_join call.
+    Because spans tile each doc's word list exactly and the join
+    separator equals the split separator, joining the surviving spans
+    with ' ' reproduces the original text byte-for-byte when nothing is
+    removed."""
+    col = batch.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, "").cast(pa.large_string())
+    words = pc.split_pattern(arr, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = np.asarray(words.offsets, dtype=np.int64)
+    vals = words.values
+    n_words = np.diff(off)          # >= 1 always ('' splits to [''])
+    n_spans = -(-n_words // span_words)
+    total = int(n_spans.sum())
+    doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "seg_idx": pa.array([], pa.int64()),
+                         "seg": pa.array([], pa.large_string()),
+                         "__bucket": pa.array([], pa.int64())})
+    span_start_cum = np.concatenate(([0], np.cumsum(n_spans)))[:-1]
+    seg_idx = np.arange(total, dtype=np.int64) - np.repeat(span_start_cum,
+                                                           n_spans)
+    seg_word_starts = np.repeat(off[:-1], n_spans) + seg_idx * span_words
+    seg_off = np.empty(total + 1, np.int64)
+    seg_off[:-1] = seg_word_starts
+    seg_off[-1] = off[-1]
+    lists = pa.LargeListArray.from_arrays(seg_off, vals)
+    segs = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+    # bucket on a mixed FNV of the span bytes (collisions only co-locate:
+    # the per-bucket grouping below is on the exact span string)
+    sdata, soff, _ = flat_utf8(segs)
+    h = fnv_segments(sdata, soff[:-1], np.diff(soff))
+    bucket = (_mix64(h) % np.uint64(n_buckets)).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(doc_np, n_spans), pa.int64()),
+        "seg_idx": pa.array(seg_idx, pa.int64()),
+        "seg": segs,
+        "__bucket": pa.array(bucket, pa.int64()),
+    })
+
+
+_SPAN_BUCKETS = 32
+_SEG_IDX_BITS = 21  # pack key = doc_id << 21 | seg_idx (8M-span guard)
+
+
+def _span_losers(t: pa.Table) -> pa.Table:
+    """Per span-hash bucket: emit (doc_id, seg_idx) of every NON-FIRST
+    occurrence of each exact span string (first = lexicographic min
+    (doc_id, seg_idx) corpus-wide; the bucket owns the whole hash slice,
+    so per-bucket first-wins IS the global rule).  Grouping is on the
+    exact string via dictionary_encode — the route hash only co-locates."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "seg_idx": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    seg = t.column("seg")
+    if isinstance(seg, pa.ChunkedArray):
+        seg = seg.combine_chunks()
+    codes = pc.dictionary_encode(seg).indices.to_numpy(zero_copy_only=False)
+    d = t.column("doc_id").to_numpy(zero_copy_only=False)
+    s = t.column("seg_idx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((s, d, codes))
+    c_sorted = codes[order]
+    first = np.empty(len(c_sorted), bool)
+    first[0] = True
+    first[1:] = c_sorted[1:] != c_sorted[:-1]
+    lose = order[~first]
+    if len(lose) == 0:
+        return empty
+    return pa.table({"doc_id": pa.array(d[lose], pa.int64()),
+                     "seg_idx": pa.array(s[lose], pa.int64())})
+
+
+def _span_reassemble(t: pa.Table) -> pa.Table:
+    """Per doc bucket: drop loser spans, rejoin the survivors per doc with
+    ' ', and summarize (doc_id, n_spans, n_removed, clean_md5).  All
+    array work (drop mask, per-doc counts, the rejoin) is vectorized;
+    the only per-doc Python is one md5 call per document."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_spans": pa.array([], pa.int64()),
+                      "n_removed": pa.array([], pa.int64()),
+                      "clean_md5": pa.array([], pa.string())})
+    if t.num_rows == 0:
+        return empty
+    side = t.column("__side")
+    spans = t.filter(pc.equal(side, 0))
+    losers = t.filter(pc.equal(side, 1))
+    if spans.num_rows == 0:
+        return empty
+    d = spans.column("doc_id").to_numpy(zero_copy_only=False)
+    s = spans.column("seg_idx").to_numpy(zero_copy_only=False)
+    if s.size and int(s.max()) >= (1 << _SEG_IDX_BITS):
+        raise ValueError("span_dedup: document exceeds 2^21 spans; "
+                         "raise _SEG_IDX_BITS for longer documents")
+    key = (d.astype(np.uint64) << np.uint64(_SEG_IDX_BITS)) | s.astype(
+        np.uint64)
+    ld = losers.column("doc_id").to_numpy(zero_copy_only=False)
+    ls = losers.column("seg_idx").to_numpy(zero_copy_only=False)
+    lkey = (ld.astype(np.uint64) << np.uint64(_SEG_IDX_BITS)) | ls.astype(
+        np.uint64)
+    drop = np.isin(key, lkey)
+    order = np.lexsort((s, d))
+    d_sorted = d[order]
+    drop_sorted = drop[order]
+    doc_u, doc_start, counts = np.unique(d_sorted, return_index=True,
+                                         return_counts=True)
+    n_removed = np.add.reduceat(drop_sorted.astype(np.int64), doc_start)
+    keep_order = order[~drop_sorted]
+    seg = spans.column("seg")
+    if isinstance(seg, pa.ChunkedArray):
+        seg = seg.combine_chunks()
+    kept = seg.take(pa.array(keep_order, pa.int64()))
+    kept_counts = counts - n_removed
+    off = np.concatenate(([0], np.cumsum(kept_counts)))
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(off.astype(np.int64), kept),
+        pa.scalar(" ", pa.large_string()))
+    md5s = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in joined.to_pylist()]
+    return pa.table({
+        "doc_id": pa.array(doc_u, pa.int64()),
+        "n_spans": pa.array(counts.astype(np.int64), pa.int64()),
+        "n_removed": pa.array(n_removed, pa.int64()),
+        "clean_md5": pa.array(md5s, pa.string()),
+    })
+
+
+def span_dedup(docs: "ray.data.Dataset", span_words: int = 16,
+               n_buckets: int = _SPAN_BUCKETS) -> "ray.data.Dataset":
+    """EXACT corpus-wide dedup of aligned fixed-word-count spans with
+    document reassembly — the span-granular exact-substring dedup of
+    C4 / Lee et al. ACL'22 (their three-sentence / 50-token spans become
+    aligned `span_words`-word spans here), keeping only the FIRST
+    occurrence (min (doc_id, seg_idx)) of every duplicated span and
+    rejoining each document from its survivors.
+
+    Distributed shape (two bucket exchanges, no driver materialization):
+      1. explode (stateless map_batches): doc -> aligned spans, routed by
+         a mixed FNV-1a of the span bytes;
+      2. span-hash exchange: per bucket, exact keep-first per span STRING
+         (dictionary_encode + lexsort) emits only the loser
+         (doc_id, seg_idx) pairs — the only cross-stage traffic besides
+         the spans themselves;
+      3. doc-hash exchange: spans (re-exploded; the explode is cheaper
+         than materializing it) union the tiny loser side, drop, rejoin,
+         summarize per doc.
+    At 100 TB the exchanged span text is the corpus itself — the same
+    volume any exact substring dedup must move once — and the loser side
+    is proportional to the duplication rate.  Returns
+    (doc_id, n_spans, n_removed, clean_md5); clean_md5 is the md5 of the
+    reassembled text so the full byte content is oracle-checkable without
+    shipping it to the driver."""
+    from .joins import bucket_exchange, hash_part
+
+    def explode(b: pa.Table) -> pa.Table:
+        return _explode_spans(b, span_words, n_buckets)
+
+    explode.__name__ = "explode_spans"
+    losers = bucket_exchange(docs.map_batches(explode,
+                                              batch_format="pyarrow"),
+                             n_buckets, _span_losers)
+
+    cols = ["doc_id", "seg_idx", "seg", "__side", "__bucket"]
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        e = _explode_spans(b, span_words, n_buckets)
+        dnp = e.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": e.column("doc_id"),
+            "seg_idx": e.column("seg_idx"),
+            "seg": e.column("seg"),
+            "__side": pa.array(np.zeros(e.num_rows, np.int32)),
+            "__bucket": pa.array(hash_part(dnp, n_buckets), pa.int64()),
+        }).select(cols)
+
+    def tag_losers(b: pa.Table) -> pa.Table:
+        dnp = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "seg_idx": b.column("seg_idx"),
+            "seg": pa.nulls(b.num_rows, pa.large_string()),
+            "__side": pa.array(np.ones(b.num_rows, np.int32)),
+            "__bucket": pa.array(hash_part(dnp, n_buckets), pa.int64()),
+        }).select(cols)
+
+    both = docs.map_batches(tag_spans, batch_format="pyarrow").union(
+        losers.map_batches(tag_losers, batch_format="pyarrow"))
+    return bucket_exchange(both, n_buckets, _span_reassemble)

@@ -2139,6 +2139,25 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_span_stats(docs, window=64, sample_mod=8)
 
 
+def q_doc_span_dedup(sf_dir: str):
+    """EXACT span-level dedup with reassembly (C4 / Lee et al. ACL'22
+    substring dedup at aligned 16-word-span granularity): every
+    duplicated span keeps only its first corpus occurrence
+    (min (doc_id, seg_idx)) and each document is rejoined from its
+    survivors.  Complements doc_dup_spans (which only REPORTS duplicated
+    substrings): this one produces the deduplicated corpus.  Distributed
+    shape: stateless explode -> span-hash bucket exchange (exact
+    keep-first per span string) -> doc-hash bucket exchange (drop +
+    rejoin); see functions/dedup.span_dedup.  Returns
+    (doc_id, n_spans, n_removed, clean_md5) — the md5 makes the full
+    reassembled bytes oracle-checkable.  DuckDB oracle: unnest +
+    row_number + ordered string_agg (sql_doc_span_dedup)."""
+    from ..functions.dedup import span_dedup
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(docs, span_words=16)
+
+
 def q_doc_redact_pii(sf_dir: str):
     """PII scrub pass (emails / IPv4 / phone-ish / long hex secrets ->
     typed placeholders, plus integer per-category counts): stateless
@@ -3031,6 +3050,33 @@ SELECT pair, count(*)::BIGINT AS n FROM pairs
 GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""
 
 
+def sql_doc_span_dedup() -> str:
+    # string_split preserves empties exactly like Arrow split_pattern;
+    # array_to_string over 1-based inclusive slices rebuilds each aligned
+    # 16-word span; keep-first = row_number over (doc_id, seg_idx);
+    # string_agg with ORDER BY seg_idx rejoins the survivors (coalesce
+    # covers docs whose every span was removed -> md5('')).
+    return """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(ws[(i*16+1):(i*16+16)], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(generate_series(0,
+       CAST(ceil(len(ws)/16.0) AS INT) - 1)) AS i)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE rn > 1) AS n_removed,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1), '')) AS clean_md5
+FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3127,6 +3173,7 @@ def build_registry():
         "doc_shuffle_shard": q_doc_shuffle_shard,
         "doc_pack": q_doc_pack,
         "doc_bpe_pairs": q_doc_bpe_pairs,
+        "doc_span_dedup": q_doc_span_dedup,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3202,4 +3249,5 @@ def _build_oracle(t01):
         "doc_shuffle_shard": sql_doc_shuffle_shard(),
         "doc_bpe_pairs": sql_doc_bpe_pairs(),
         "doc_pack": sql_doc_pack(),
+        "doc_span_dedup": sql_doc_span_dedup(),
     }
