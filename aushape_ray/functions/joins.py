@@ -289,7 +289,14 @@ def bucket_reduce(ds: "ray.data.Dataset", n_buckets: int, reduce_fn,
     split = _ray.remote(num_returns=n_buckets)(_split_by_bucket)
 
     def _reduce(*tables: pa.Table) -> pa.Table:
-        return reduce_fn(pa.concat_tables(tables).combine_chunks())
+        # same empty-slice posture as bucket_exchange: schema-less empty
+        # slices (from empty upstream blocks) are dropped before concat;
+        # the widest empty survives if ALL are empty so reduce_fn still
+        # sees the real columns when any block had them
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            live = [max(tables, key=lambda t: t.num_columns)]
+        return reduce_fn(pa.concat_tables(live).combine_chunks())
 
     red = _ray.remote(_reduce)
     parts = [split.remote(ref, n_buckets, bucket_col)

@@ -3034,6 +3034,23 @@ def q_doc_bpe_pairs(sf_dir: str):
                      "n": pa.array(allp["n"].to_numpy(), pa.int64())})
 
 
+def q_doc_bpe_train(sf_dir: str):
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016) —
+    16 learned merges over the corpus, extending doc_bpe_pairs (one
+    count round) to the real merge loop: distributed word-count ONCE,
+    then per round a weighted vectorized pair-count partial ->
+    bucket_reduce -> per-bucket top-1 -> driver argmax over n_buckets
+    candidate rows -> broadcast 3-int merge rule applied by one
+    vectorized map_batches pass (functions/bpe.py).  Everything after
+    the word count is bounded by VOCABULARY, not corpus size.  Not
+    SQL-expressible (iterative); exact scalar-Sennrich parity is
+    pytest-enforced (tests/test_bpe.py)."""
+    from ..functions.bpe import bpe_train
+
+    docs = _read_table(sf_dir, "documents", ["text"])
+    return bpe_train(docs, num_merges=16)
+
+
 def sql_doc_bpe_pairs() -> str:
     # unnest(generate_series(...)) replicates the row per position;
     # substring/length are codepoint-based in DuckDB, matching the
@@ -3174,6 +3191,7 @@ def build_registry():
         "doc_pack": q_doc_pack,
         "doc_bpe_pairs": q_doc_bpe_pairs,
         "doc_span_dedup": q_doc_span_dedup,
+        "doc_bpe_train": q_doc_bpe_train,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
