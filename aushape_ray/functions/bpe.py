@@ -295,3 +295,124 @@ def bpe_train(docs: "ray.data.Dataset", num_merges: int = 16,
             lambda t, a=a_id, b=b_id, nid=new_id: _apply_merge(t, a, b, nid),
             batch_format="pyarrow").materialize()
     return emit(rows)
+
+
+# ---------------- tokenizer application (encode) ---------------------------
+
+
+def merges_to_ids(merges: pa.Table) -> "list[tuple[int, int, int]]":
+    """Recover the (a_id, b_id, new_id) triples from bpe_train's string
+    merge table by replaying creation order (single-char symbols are
+    always base codepoints; multi-char ones were minted at
+    _MERGE_BASE + rank)."""
+    sid: dict[str, int] = {}
+    out = []
+    for rank, left, right, token in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("left").to_pylist(),
+            merges.column("right").to_pylist(),
+            merges.column("token").to_pylist()):
+        a = sid[left] if left in sid else ord(left)
+        b = sid[right] if right in sid else ord(right)
+        new_id = _MERGE_BASE + rank
+        sid[token] = new_id
+        out.append((a, b, new_id))
+    return out
+
+
+def _apply_merge_flat(vals: np.ndarray, seg: np.ndarray, a_id: int,
+                      b_id: int, new_id: int):
+    """One merge pass over a flat symbol array with a segment-id array
+    (merges never cross segment boundaries) — the same greedy leftmost
+    run-parity rule as _apply_merge."""
+    if len(vals) < 2:
+        return vals, seg
+    match = ((vals[:-1] == a_id) & (vals[1:] == b_id)
+             & (seg[:-1] == seg[1:]))
+    m = np.flatnonzero(match)
+    if len(m) == 0:
+        return vals, seg
+    run_first = np.empty(len(m), bool)
+    run_first[0] = True
+    run_first[1:] = np.diff(m) > 1
+    run_start = m[run_first]
+    run_idx = np.cumsum(run_first) - 1
+    fire = m[(m - run_start[run_idx]) % 2 == 0]
+    vals = vals.copy()
+    vals[fire] = new_id
+    keep = np.ones(len(vals), bool)
+    keep[fire + 1] = False
+    return vals[keep], seg[keep]
+
+
+def bpe_encode_counts(docs: "ray.data.Dataset",
+                      merges: pa.Table) -> "ray.data.Dataset":
+    """Tokenize the corpus with a learned merge table (rank order), one
+    stateless vectorized map_batches pass: per batch the texts become one
+    flat codepoint array with word segment ids (whitespace-run split,
+    training parity), each merge is one vectorized pass, and the result
+    is per-document (n_tokens, token_checksum).  The checksum is an
+    order-sensitive uint64 (sum over mix64(token ^ mix64(position)))
+    so two docs agree iff their token streams agree (mod collisions) —
+    cheap to verify against the scalar encoder without shipping token
+    streams anywhere.  The merge list is a few hundred ints riding the
+    task closure; at a real vocabulary size ray.put it instead."""
+    from .dedup import _mix64
+
+    triples = merges_to_ids(merges)
+
+    def encode(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b.column("text"), "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words_list = pc.utf8_split_whitespace(col)
+        if isinstance(words_list, pa.ChunkedArray):
+            words_list = words_list.combine_chunks()
+        woff = np.asarray(words_list.offsets, dtype=np.int64)
+        words = words_list.values
+        keep = pc.not_equal(words, "")
+        # word -> doc mapping BEFORE dropping empties
+        word_doc = np.repeat(np.arange(len(col), dtype=np.int64),
+                             np.diff(woff))
+        word_doc = word_doc[keep.to_numpy(zero_copy_only=False)]
+        words = words.filter(keep)
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        n_docs = len(col)
+        if len(words) == 0:
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(np.zeros(n_docs, np.int64)),
+                "token_checksum": pa.array(np.zeros(n_docs, np.int64)),
+            })
+        lens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        joined = "\x00".join(words.to_pylist())
+        arr = np.frombuffer(joined.encode("utf-32-le"), "<u4")
+        cum = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        starts = cum + np.arange(len(lens), dtype=np.int64)
+        total = int(lens.sum())
+        flat_idx = (np.repeat(starts, lens)
+                    + (np.arange(total) - np.repeat(cum, lens)))
+        vals = arr[flat_idx].astype(np.int32)
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        for a_id, b_id, new_id in triples:
+            vals, seg = _apply_merge_flat(vals, seg, a_id, b_id, new_id)
+        tok_doc = word_doc[seg]
+        n_tokens = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+        # order-sensitive checksum: position within doc via running index
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_tokens)))[:-1], n_tokens)
+        mixed = _mix64(vals.astype(np.uint64)
+                       ^ _mix64(pos.astype(np.uint64)))
+        csum = np.zeros(n_docs, np.uint64)
+        if len(mixed):
+            bounds = np.concatenate(([0], np.cumsum(n_tokens)))[:-1]
+            live = n_tokens > 0
+            csum[live] = np.add.reduceat(mixed, bounds[live])
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "token_checksum": pa.array(csum.view(np.int64)),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")

@@ -3051,6 +3051,24 @@ def q_doc_bpe_train(sf_dir: str):
     return bpe_train(docs, num_merges=16)
 
 
+def q_doc_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION: encode the whole corpus with the 16 merges
+    learned by doc_bpe_train — one stateless vectorized map_batches pass
+    per batch (each merge rule is one numpy pass over the batch's flat
+    codepoint array; rules never cross word/doc boundaries).  Returns
+    per-doc (n_tokens, token_checksum) where the checksum is an
+    order-sensitive uint64 over the token stream, so parity with the
+    scalar encoder checks the full sequence, not just counts.  Rows-only
+    (iterative training upstream); scalar parity pytest-enforced
+    (tests/test_bpe.py)."""
+    from ..functions.bpe import bpe_encode_counts, bpe_train
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(_read_table(sf_dir, "documents", ["text"]),
+                       num_merges=16)
+    return bpe_encode_counts(docs, merges)
+
+
 def sql_doc_bpe_pairs() -> str:
     # unnest(generate_series(...)) replicates the row per position;
     # substring/length are codepoint-based in DuckDB, matching the
@@ -3192,6 +3210,7 @@ def build_registry():
         "doc_bpe_pairs": q_doc_bpe_pairs,
         "doc_span_dedup": q_doc_span_dedup,
         "doc_bpe_train": q_doc_bpe_train,
+        "doc_bpe_encode": q_doc_bpe_encode,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

@@ -82,6 +82,51 @@ def test_bpe_train_distributed_path_matches_scalar(ray_session):
             == scalar_bpe(TEXTS, 12))
 
 
+def test_bpe_encode_matches_scalar(ray_session):
+    import numpy as np
+
+    from aushape_ray.functions.bpe import bpe_encode_counts, bpe_train
+    from aushape_ray.functions.dedup import _mix64
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS, pa.large_string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    merges = bpe_train(ds, num_merges=12, min_count=2, n_buckets=4)
+    got = (bpe_encode_counts(ds, merges).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+
+    # scalar encode: replay merges left-to-right per word
+    rules = [(m[1], m[2], m[3]) for m in scalar_bpe(TEXTS, 12)]
+
+    def encode_word(w):
+        syms = list(w)
+        for a, b, tok in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    sid = {m[3]: 0x200000 + m[0] for m in scalar_bpe(TEXTS, 12)}
+    for d, (t, row) in enumerate(zip(TEXTS, got.itertuples())):
+        toks = [s for w in t.split() for s in encode_word(w)]
+        assert row.n_tokens == len(toks), (d, t)
+        ids = np.array([sid.get(s, ord(s) if len(s) == 1 else -1)
+                        for s in toks], np.uint64)
+        pos = np.arange(len(ids), dtype=np.uint64)
+        v = (int(np.sum(_mix64(ids ^ _mix64(pos)), dtype=np.uint64))
+             if len(ids) else 0)
+        exp = v - (1 << 64) if v >= (1 << 63) else v
+        assert row.token_checksum == exp, (d, t)
+
+
 def test_bpe_train_early_stop_and_empty(ray_session):
     # all words length 1: no pairs at all -> zero merges
     assert _run(["a b c d", "e f"], 5) == []
