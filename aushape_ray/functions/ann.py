@@ -502,3 +502,105 @@ def pca_transform(ds: "ray.data.Dataset", comps: np.ndarray,
         })
 
     return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def semdedup_victims(ds: "ray.data.Dataset", threshold: float,
+                     k: int = 16, iters: int = 5,
+                     probes: int = 1) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal that only compares vectors WITHIN a k-means cluster.
+
+    The scale story vs the exact path (all_pairs_cosine): exact all-pairs
+    ships every row n_blocks times and does O(n^2 / tasks) matmul work per
+    task; SemDeDup does one k-means fit (k-row partials per round), ONE
+    cluster-key exchange, and O(sum c_i^2) within-cluster work — with k
+    grown proportionally to n, cluster sizes stay bounded and total work
+    is ~O(n^2/k).  The price is misses across cluster boundaries, which
+    q_emb_semdedup reports in-band as victim recall vs the exact chain.
+
+    probes > 1 is the IVF multi-probe upgrade: each vector is shipped to
+    its `probes` nearest cells (replication factor = probes), so pairs
+    straddling one boundary are still co-located somewhere.  Victims
+    stay precision-exact under union: a vector is a victim only if some
+    shared cell proves a >= threshold chain to a smaller vec_id, and the
+    globally-min id of any duplicate component is never a victim in any
+    cell, so no component is ever fully removed.  Victim rows are
+    deduplicated before return.
+
+    Within a cluster: rows sorted by vec_id (determinism), normalized
+    matmul in row chunks (bounds the sims temporary regardless of cluster
+    size), union-find with keep-min-vec_id representative — identical
+    keep semantics to cluster_pairs + keep-min, restricted to the
+    cluster.  Returns a Dataset of (vec_id,) victims (rows to drop).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401 (parity with module style)
+
+    centroids, _, _, _ = kmeans_fit(ds, k=k, iters=iters)
+    cref = ray.put(centroids)
+    p = max(1, min(probes, k))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        d2 = ((mat * mat).sum(1)[:, None] - 2 * mat @ c.T
+              + (c * c).sum(1)[None, :])
+        if p == 1:
+            return batch.append_column(
+                "cell", pa.array(d2.argmin(axis=1).astype(np.int64),
+                                 pa.int64()))
+        near = np.argpartition(d2, p - 1, axis=1)[:, :p]  # p nearest cells
+        n = batch.num_rows
+        t = batch.take(pa.array(np.repeat(np.arange(n), p)))
+        return t.append_column(
+            "cell", pa.array(near.reshape(-1).astype(np.int64), pa.int64()))
+
+    def per_cell(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(np.stack(g["embedding"].to_numpy())[order]
+                         .astype(np.float64))
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        # chunk rows so the sims temporary stays ~<=32 MiB at any cluster
+        # size; the pair loop below touches only above-threshold pairs
+        # (near-dup mass, not cluster mass)
+        chunk = max(1, (1 << 22) // max(n, 1))
+        for lo in range(0, n, chunk):
+            sims = mat[lo:lo + chunk] @ mat.T
+            r, c = np.nonzero(sims >= threshold)
+            r = r + lo
+            keep = r < c
+            for i, j in zip(r[keep], c[keep]):
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    # ids are sorted, so the smaller index IS the
+                    # smaller vec_id — union toward it
+                    parent[max(ri, rj)] = min(ri, rj)
+        victims = np.array([i for i in range(n) if find(i) != i], np.int64)
+        return pd.DataFrame({"vec_id": ids[victims]})
+
+    per_cell.__name__ = "semdedup_cell"
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+    out = cells.groupby("cell", num_partitions=min(k, 16)).map_groups(
+        per_cell, batch_format="pandas")
+    # emit Arrow blocks: downstream raw bucket exchanges (hash_join)
+    # consume block refs directly and require pa.Table.  Under
+    # multi-probe the same victim can surface in up to p cells — dedup
+    # within each output block; cross-block duplicates are removed by
+    # one tiny groupby (victim rows are a small fraction of the corpus)
+    out = out.map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+    if p == 1:
+        return out
+    return out.groupby("vec_id").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow")

@@ -246,11 +246,23 @@ def interval_count_join(intervals: "ray.data.Dataset",
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def _ensure_arrow(tbl) -> pa.Table:
+    """Blocks handed to the raw exchanges are usually Arrow, but Ray
+    Data propagates EMPTY blocks past map_batches without running the
+    UDF — so a pandas-blocked upstream (map_groups batch_format=
+    "pandas") can leak zero-row DataFrame blocks through an Arrow
+    conversion stage straight into to_arrow_refs."""
+    if isinstance(tbl, pd.DataFrame):
+        return pa.Table.from_pandas(tbl, preserve_index=False)
+    return tbl
+
+
 def _split_by_bucket(tbl: pa.Table, n_buckets: int,
                      col: str) -> "list[pa.Table]":
     """Map side of bucket_reduce: slice one block into n_buckets
     sub-tables by its precomputed bucket column.  Zero-row blocks may
     arrive schema-less (empty upstream stages); route them as empties."""
+    tbl = _ensure_arrow(tbl)
     if tbl.num_rows == 0 or col not in tbl.column_names:
         return [tbl.slice(0, 0)] * n_buckets
     b = tbl.column(col).to_numpy(zero_copy_only=False)
@@ -293,6 +305,7 @@ def bucket_reduce(ds: "ray.data.Dataset", n_buckets: int, reduce_fn,
         # slices (from empty upstream blocks) are dropped before concat;
         # the widest empty survives if ALL are empty so reduce_fn still
         # sees the real columns when any block had them
+        tables = [_ensure_arrow(t) for t in tables]
         live = [t for t in tables if t.num_rows]
         if not live:
             live = [max(tables, key=lambda t: t.num_columns)]
@@ -336,6 +349,7 @@ def bucket_exchange(ds: "ray.data.Dataset", n_buckets: int, fn,
         # NO combine_chunks: on multi-GB buckets (dense near-dup verify)
         # the contiguous copy doubles peak memory; fn gets a chunked
         # table, which filter/take/to_numpy all handle
+        tables = [_ensure_arrow(t) for t in tables]
         live = [t for t in tables if t.num_rows]
         if not live:
             live = [max(tables, key=lambda t: t.num_columns)]

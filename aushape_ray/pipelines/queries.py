@@ -2220,6 +2220,62 @@ SELECT v.vec_id::BIGINT AS vec_id FROM embeddings v
 WHERE v.vec_id NOT IN (SELECT vec_id FROM victims)"""
 
 
+def q_emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+    near-dup pairs are only sought WITHIN a cluster, so the all-to-all
+    of the exact path collapses to one cluster-key exchange plus
+    O(sum c_i^2) local work (functions/ann.semdedup_victims).  This is
+    the 100 TB embedding-dedup path; q_emb_dedup_near is its exact
+    reference.  Reports in-band quality (rows-only): victim recall vs
+    the exact all-pairs chain at the same threshold, plus a survivor-id
+    checksum so the driver's rows-only hash still pins the result set.
+    Misses are exactly the pairs split across cluster boundaries;
+    probes=2 multi-probe assignment recovers most of them (measured at
+    sf0.01, k=16: probes 1/2/3 -> recall 33/81/96% at precision 100%;
+    replication factor = probes, vs n_blocks=4 on the exact path)."""
+    import ray as _ray  # noqa: F401
+
+    from ..functions.ann import semdedup_victims
+    from ..functions.dedup import cluster_pairs
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pin: victims feed three consumers (count, checksum, intersection)
+    sem = semdedup_victims(ds, SIM_THRESHOLD, k=16, iters=5,
+                           probes=2).materialize()
+
+    pairs = q_emb_sim_pairs(sf_dir).map_batches(
+        lambda t: pa.table({"doc_a": t.column("vec_a").cast(pa.int64()),
+                            "doc_b": t.column("vec_b").cast(pa.int64())}),
+        batch_format="pyarrow")
+    exact = cluster_pairs(pairs).map_batches(
+        lambda t: pa.table({"evict": t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        ).column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # every scalar below is a distributed aggregate or a join count —
+    # the driver never holds an id set
+    n_vec = ds.count()
+    n_sem, n_exact = sem.count(), exact.count()
+    hits = hash_join(sem, exact, "vec_id", "evict", how="inner").count()
+    total = _read_table(sf_dir, "embeddings", ["vec_id"]).aggregate(
+        Sum("vec_id", alias_name="s"))["s"]
+    vict = sem.aggregate(Sum("vec_id", alias_name="s"))["s"] if n_sem else 0
+    return pa.table({
+        "n_vectors": pa.array([n_vec], pa.int64()),
+        "n_victims_sem": pa.array([n_sem], pa.int64()),
+        "n_victims_exact": pa.array([n_exact], pa.int64()),
+        "victim_hits": pa.array([hits], pa.int64()),
+        "victim_recall_pct": pa.array(
+            [hits * 100 // max(n_exact, 1)], pa.int64()),
+        "survivor_id_sum": pa.array([int(total) - int(vict)], pa.int64()),
+    })
+
+
 def q_ann_ivf_recall(sf_dir: str):
     """Scale-path ANN: LSH/IVF-bucketed search probing only the query's
     bucket; reports recall@10 vs the exact brute force (rows-only oracle:
@@ -3211,6 +3267,7 @@ def build_registry():
         "doc_span_dedup": q_doc_span_dedup,
         "doc_bpe_train": q_doc_bpe_train,
         "doc_bpe_encode": q_doc_bpe_encode,
+        "emb_semdedup": q_emb_semdedup,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
