@@ -2679,6 +2679,60 @@ def q_doc_perplexity(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def q_doc_quality_model(sf_dir: str):
+    """Model-based quality filtering (the fastText/CCNet bootstrap):
+    heuristic-labeled logistic regression trained by distributed
+    full-batch damped Newton / IRLS (functions/classifier.logreg_fit —
+    one gradient+6x6-Hessian partial row per batch per iteration,
+    weights broadcast per round, ~8 rounds to convergence), then
+    applied corpus-wide as a stateless scoring pass.
+    Deterministic 80/20 train/holdout split on a doc_id hash; reports
+    train loss / train+holdout accuracy in integer basis points
+    (rows-only: iterative float optimization, not SQL-expressible)."""
+    from ..functions.classifier import featurize, logreg_apply, logreg_fit
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    K, M = 2654435761, 1 << 32
+    # pin features once: raw corpus is read/featurized exactly once,
+    # then both split sides and every Newton iteration reuse the
+    # 7-floats-per-doc feature blocks
+    feats = docs.map_batches(featurize,
+                             batch_format="pyarrow").materialize()
+
+    def split(t: pa.Table, want_holdout: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = ((ids % M).astype(np.uint64) * np.uint64(K)) % np.uint64(M)
+        hold = (h % np.uint64(5)) == 0
+        return t.filter(pa.array(hold if want_holdout else ~hold))
+
+    train = feats.map_batches(lambda t: split(t, False),
+                              batch_format="pyarrow").materialize()
+    holdout = feats.map_batches(lambda t: split(t, True),
+                                batch_format="pyarrow")
+    w, mean, std, hist = logreg_fit(train, iters=8)
+    scored = logreg_apply(holdout, w, mean, std)
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        ok = pc.sum(pc.equal(t.column("pred"),
+                             t.column("label"))).as_py() or 0
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "ok": pa.array([int(ok)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = scored.map_batches(eval_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("ok", alias_name="ok"))
+    n_train = train.count()
+    return pa.table({
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_holdout": pa.array([int(agg["n"])], pa.int64()),
+        "iters": pa.array([len(hist)], pa.int64()),
+        "train_loss_e6": pa.array([int(hist[-1][0] * 1e6)], pa.int64()),
+        "train_acc_bp": pa.array([int(hist[-1][1] * 10_000)], pa.int64()),
+        "holdout_acc_bp": pa.array(
+            [int(agg["ok"]) * 10_000 // max(int(agg["n"]), 1)], pa.int64()),
+    })
+
+
 def q_doc_curate_full(sf_dir: str):
     """The documents-side flagship: the full resumable curation write
     pipeline (quality/lang -> exact dedup -> Bloom decontamination ->
@@ -3268,6 +3322,7 @@ def build_registry():
         "doc_bpe_train": q_doc_bpe_train,
         "doc_bpe_encode": q_doc_bpe_encode,
         "emb_semdedup": q_emb_semdedup,
+        "doc_quality_model": q_doc_quality_model,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
