@@ -109,16 +109,28 @@ _EMPTY_TRANSCRIPTS = pa.table({
 })
 
 
+def _open_log(path: str):
+    """Plain or gzip-compressed log, by suffix (rotated auditd logs are
+    commonly gzipped: audit.log.1.gz).  gzip members are NOT splittable,
+    which is fine here — the read unit is already one whole rotation
+    file per task; at cluster scale rotation sizing bounds task skew."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8", errors="replace")
+    return open(path, "r", encoding="utf-8", errors="replace")
+
+
 def read_audit_log(files: "list[str]") -> "ray.data.Dataset":
-    """Raw audit.log files -> transcript Dataset, one task per file
-    (rotation chunk = the contiguity/resume unit)."""
+    """Raw audit.log files (plain or .gz) -> transcript Dataset, one
+    task per file (rotation chunk = the contiguity/resume unit)."""
     if not files:
         raise ValueError("read_audit_log: no input files")
 
     def load(batch) -> pa.Table:
         out = []
         for path in batch["path"]:
-            with open(path, "r", encoding="utf-8", errors="replace") as f:
+            with _open_log(path) as f:
                 out.append(parse_audit_lines(f.readlines()))
         return pa.concat_tables(out)
 
@@ -164,10 +176,17 @@ def format_audit_lines(tbl: pa.Table, sanitize: bool = False) -> "list[str]":
 
 
 def write_audit_log(tbl: pa.Table, path: str, sanitize: bool = False) -> int:
-    """Serialize one transcript chunk to a raw audit.log file; returns
-    the line count (test/round-trip helper)."""
+    """Serialize one transcript chunk to a raw audit.log file (gzipped
+    when path ends in .gz); returns the line count (test/round-trip
+    helper)."""
     lines = format_audit_lines(tbl, sanitize=sanitize)
-    with open(path, "w", encoding="utf-8") as f:
+    if path.endswith(".gz"):
+        import gzip
+
+        f = gzip.open(path, "wt", encoding="utf-8")
+    else:
+        f = open(path, "w", encoding="utf-8")
+    with f:
         for ln in lines:
             f.write(ln + "\n")
     return len(lines)

@@ -286,3 +286,30 @@ def test_cli_rawlog_to_syslog_discrete(ray_session, tmp_path):
         assert pri.match(ln), ln[:40]
         doc = _json.loads(ln[pri.match(ln).end():])
         assert "serial" in doc
+
+
+def test_rawlog_gzip_matches_plain(ray_session, tmp_path):
+    """A gzipped rotation (.gz) reads identically to the plain file —
+    mixed plain+gz inputs produce the same transcript table."""
+    import numpy as np
+
+    src = pq.read_table(
+        __import__("aushape_ray.fixtures", fromlist=["transcripts_path"])
+        .transcripts_path("/root/testdata/sf0.001"))
+    src = src.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    half = src.num_rows // 2
+    p1 = str(tmp_path / "audit.log.1")
+    p2 = str(tmp_path / "audit.log.2")
+    g2 = str(tmp_path / "audit.log.2.gz")
+    write_audit_log(src.slice(0, half), p1, sanitize=True)
+    write_audit_log(src.slice(half), p2, sanitize=True)
+    write_audit_log(src.slice(half), g2, sanitize=True)
+
+    plain = pa.Table.from_pylist(sorted(
+        read_audit_log([p1, p2]).take_all(),
+        key=lambda r: (r["conv_id"], r["turn_idx"], r["text"])))
+    mixed = pa.Table.from_pylist(sorted(
+        read_audit_log([p1, g2]).take_all(),
+        key=lambda r: (r["conv_id"], r["turn_idx"], r["text"])))
+    assert plain.equals(mixed)
+    assert plain.num_rows > 0
