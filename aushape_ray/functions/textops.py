@@ -292,6 +292,163 @@ def shared_term_pairs(docs: "ray.data.Dataset", min_shared: int = 10,
         sum_pairs, batch_format="pyarrow")
 
 
+def tfidf_pairs(docs: "ray.data.Dataset", threshold: float,
+                max_df: int = 64, n_parts: int = 32):
+    """Sparse TF-IDF cosine similarity join (the classic all-pairs
+    similarity search over an inverted index): document pairs with
+    cosine(tfidf_a, tfidf_b) >= threshold.
+
+    Semantics (mirrored exactly by the SQL oracle): tf = raw term count
+    per (doc, term); idf = ln(N / df); norms are over ALL of a doc's
+    terms; the dot product only sums terms with df <= max_df — the cap
+    that bounds pair fan-out to C(max_df, 2) per term (df >= 2 is not a
+    restriction: df-1 terms can't contribute to any pair).
+
+    Scale shape: postings shuffle ONCE by coarse term bucket; the bucket
+    task computes per-term df locally (exact: all postings of a term are
+    co-located), weights w = tf*ln(N/df), and emits BOTH presummed pair
+    dot partials and per-doc norm partials from the same pass (tagged
+    rows, one exchange instead of two).  Pair partials then sum by
+    coarse pair partition, norms by doc partition, and two partitioned
+    hash joins attach norms to dots.  The threshold test is done on
+    squared terms (dot^2 >= t^2 * n2a * n2b) so no sqrt enters either
+    engine.  N (one scalar) is the only driver value.
+    Returns (doc_a, doc_b), doc_a < doc_b."""
+    import re
+
+    from .joins import hash_join, hash_part
+
+    word = re.compile(r"[a-z]+")
+    n_docs = docs.count()  # one scalar on the driver
+    t2 = threshold * threshold
+
+    def postings(batch: pa.Table) -> pa.Table:
+        import collections
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_doc: list[int] = []
+        o_term: list[str] = []
+        o_tf: list[int] = []
+        for d, t in zip(ids, texts):
+            cnt = collections.Counter(word.findall(t or ""))
+            o_doc.extend([d] * len(cnt))
+            o_term.extend(cnt.keys())
+            o_tf.extend(cnt.values())
+        tb = np.array([zlib.crc32(s.encode()) for s in o_term],
+                      dtype=np.int64) % n_parts
+        return pa.table({
+            "term_bucket": pa.array(tb, pa.int32()),
+            "term": pa.array(o_term, pa.string()),
+            "doc_id": pa.array(o_doc, pa.int64()),
+            "tf": pa.array(o_tf, pa.int64()),
+        })
+
+    def bucket_pass(g: pa.Table) -> pa.Table:
+        """One term bucket -> tagged partial rows:
+        (a, b, v, part): b >= 0 pair dot partial, b == -1 norm partial
+        keyed by doc a.  A sentinel (-1, -2) row keeps the schema alive
+        for fully-pruned buckets."""
+        import pandas as pd
+
+        term = g.column("term").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, _ = pd.factorize(term)
+        order = np.argsort(codes, kind="stable")
+        c2, d2, f2 = codes[order], doc[order], tf[order]
+        bounds = np.flatnonzero(np.concatenate([[True], c2[1:] != c2[:-1]]))
+        counts = np.diff(np.append(bounds, len(c2)))
+        df = np.repeat(counts, counts)  # per-posting df of its term
+        w = f2 * np.log(float(n_docs) / df)
+        # norm partials: per-doc sum of w^2 over this bucket's terms
+        dsort = np.argsort(d2, kind="stable")
+        dd, ww2 = d2[dsort], (w * w)[dsort]
+        nb = np.flatnonzero(np.concatenate([[True], dd[1:] != dd[:-1]]))
+        norm_doc = dd[nb]
+        norm_v = np.add.reduceat(ww2, nb)
+        # pair dot partials, df-capped
+        o_a = [norm_doc, np.array([-1], np.int64)]
+        o_b = [np.full(len(norm_doc), -1, np.int64),
+               np.array([-2], np.int64)]
+        o_v = [norm_v, np.array([0.0])]
+        for s, c in zip(bounds.tolist(), counts.tolist()):
+            if c < 2 or c > max_df:
+                continue
+            seg_d, seg_w = d2[s:s + c], w[s:s + c]
+            so = np.argsort(seg_d)
+            seg_d, seg_w = seg_d[so], seg_w[so]
+            iu, ju = np.triu_indices(c, k=1)
+            o_a.append(seg_d[iu])
+            o_b.append(seg_d[ju])
+            o_v.append(seg_w[iu] * seg_w[ju])
+        a = np.concatenate(o_a)
+        b = np.concatenate(o_b)
+        v = np.concatenate(o_v)
+        part = hash_part(a * np.int64(1_000_003) + b, n_parts)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "v": pa.array(v, pa.float64()),
+                         "part": pa.array(part, pa.int32())})
+
+    bucket_pass.__name__ = "tfidf_bucket"
+
+    def sum_part(g: pa.Table) -> pa.Table:
+        """Sum v per (a, b) key — works for both row kinds (norm rows
+        key on (doc, -1)); drops the (-1, -2) sentinels."""
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        real = b != -2
+        a, b, v = a[real], b[real], v[real]
+        order = np.lexsort((b, a))
+        a2, b2, v2 = a[order], b[order], v[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]))
+        if len(a2) == 0:
+            bounds = np.array([], np.int64)
+            sums = np.array([], np.float64)
+        else:
+            sums = np.add.reduceat(v2, bounds)
+        return pa.table({"a": pa.array(a2[bounds], pa.int64()),
+                         "b": pa.array(b2[bounds], pa.int64()),
+                         "v": pa.array(sums, pa.float64())})
+
+    sum_part.__name__ = "tfidf_sum"
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    tagged = post.groupby("term_bucket", num_partitions=n_parts).map_groups(
+        bucket_pass, batch_format="pyarrow")
+    summed = tagged.groupby("part", num_partitions=n_parts).map_groups(
+        sum_part, batch_format="pyarrow").materialize()  # dots + norms
+
+    dots = summed.map_batches(
+        lambda t: pa.table({
+            "doc_a": t.filter(pc.greater_equal(t.column("b"), 0)).column("a"),
+            "doc_b": t.filter(pc.greater_equal(t.column("b"), 0)).column("b"),
+            "dot": t.filter(pc.greater_equal(t.column("b"), 0)).column("v"),
+        }), batch_format="pyarrow")
+    norms = summed.map_batches(
+        lambda t: pa.table({
+            "nd": t.filter(pc.equal(t.column("b"), -1)).column("a"),
+            "n2": t.filter(pc.equal(t.column("b"), -1)).column("v"),
+        }), batch_format="pyarrow")
+    norms_b = norms.map_batches(
+        lambda t: pa.table({"nd_b": t.column("nd"), "n2_b": t.column("n2")}),
+        batch_format="pyarrow")
+
+    j1 = hash_join(dots, norms, "doc_a", "nd", how="inner")
+    j2 = hash_join(j1, norms_b, "doc_b", "nd_b", how="inner")
+    return j2.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater(t.column("dot"), 0),
+            pc.greater_equal(
+                pc.multiply(t.column("dot"), t.column("dot")),
+                pc.multiply(pa.scalar(t2),
+                            pc.multiply(t.column("n2"), t.column("n2_b")))),
+        )).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+
+
 def repetition_stats(batch: pa.Table) -> pa.Table:
     """Within-document repetition signals (the MassiveText/Gopher quality
     filters: Rae et al. 2021, table A1): per doc, how much of it is

@@ -2679,6 +2679,52 @@ def q_doc_perplexity(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+TFIDF_THRESHOLD = 0.584  # biggest inter-pair gap at sf0.01 (8.2e-3 margin)
+
+
+def q_doc_tfidf_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine similarity join over the inverted index
+    (functions/textops.tfidf_pairs): pairs with cosine >= 0.584 between
+    raw-count TF x ln(N/df) IDF vectors.  ONE term-bucket exchange
+    computes df/weights and emits presummed pair-dot AND per-doc-norm
+    partials as tagged rows; a pair/doc-keyed sum plus two partitioned
+    hash joins finish the cosine test (squared form — no sqrt in either
+    engine).  The df <= 64 cap bounds per-term fan-out to C(64,2) pairs
+    (same lever as doc_jaccard_pairs); the oracle applies the identical
+    cap, so parity is exact by construction.  Completes the similarity
+    family: n-gram Jaccard (set), MinHash/SimHash (sketch), embedding
+    cosine (dense), TF-IDF cosine (weighted sparse)."""
+    from ..functions.textops import tfidf_pairs
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_pairs(docs, TFIDF_THRESHOLD, max_df=64)
+
+
+def sql_doc_tfidf_pairs() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id,
+               UNNEST(regexp_extract_all(text, '[a-z]+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS w, df.df
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+norms AS (SELECT doc_id, sum(w*w) AS nrm2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE a.df <= 64
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b
+FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+JOIN norms nb ON nb.doc_id = dots.doc_b
+WHERE dot > 0
+  AND dot * dot >= {TFIDF_THRESHOLD * TFIDF_THRESHOLD} * na.nrm2 * nb.nrm2"""
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3323,6 +3369,7 @@ def build_registry():
         "doc_bpe_encode": q_doc_bpe_encode,
         "emb_semdedup": q_emb_semdedup,
         "doc_quality_model": q_doc_quality_model,
+        "doc_tfidf_pairs": q_doc_tfidf_pairs,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3399,4 +3446,5 @@ def _build_oracle(t01):
         "doc_bpe_pairs": sql_doc_bpe_pairs(),
         "doc_pack": sql_doc_pack(),
         "doc_span_dedup": sql_doc_span_dedup(),
+        "doc_tfidf_pairs": sql_doc_tfidf_pairs(),
     }

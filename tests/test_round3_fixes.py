@@ -624,3 +624,50 @@ def test_sampling_hash_parity_extreme_ids():
         "        * 2654435761) % 4294967296 AS h FROM t"
     ).df()["h"].to_numpy().astype(np.int64)
     assert (h_py == h_sql).all(), list(zip(ids, h_py, h_sql))
+
+
+def test_tfidf_pairs_matches_bruteforce(ray_session):
+    """tfidf_pairs == single-process numpy TF-IDF cosine all-pairs on a
+    synthetic corpus spread over several Ray blocks (df cap inactive:
+    every df <= max_df, so the result is the full exact pair set)."""
+    import collections
+    import re
+
+    import ray.data
+
+    from aushape_ray.functions.textops import tfidf_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(90):
+        base = rng.choice(vocab, size=rng.integers(5, 25))
+        texts.append(" ".join(base))
+    # a few heavy near-dup pairs
+    for i in range(0, 20, 2):
+        texts[i + 1] = texts[i] + " extra"
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    word = re.compile(r"[a-z]+")
+    tf = [collections.Counter(word.findall(x)) for x in texts]
+    terms = sorted({w for c in tf for w in c})
+    df = collections.Counter(w for c in tf for w in set(c))
+    n = len(texts)
+    idx = {w: j for j, w in enumerate(terms)}
+    m = np.zeros((n, len(terms)))
+    for i, c in enumerate(tf):
+        for w, k in c.items():
+            m[i, idx[w]] = k * np.log(n / df[w])
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    thr = 0.55
+    r, c = np.nonzero(sims >= thr)
+    want = {(int(i), int(j)) for i, j in zip(r, c) if i < j}
+    assert len(want) >= 10
+
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = {(row["doc_a"], row["doc_b"])
+           for row in tfidf_pairs(ds, thr, max_df=1000, n_parts=8)
+           .take_all()}
+    assert got == want
