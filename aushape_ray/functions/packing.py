@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["next_fit_pack", "pack_summary"]
+__all__ = ["next_fit_pack", "pack_summary", "chunk_plan"]
 
 
 def next_fit_pack(tokens: np.ndarray, capacity: int) -> np.ndarray:
@@ -76,3 +76,107 @@ def pack_summary(doc_ids: np.ndarray, tokens: np.ndarray,
         "n_tokens": csum[ends] - csum[starts],
         "first_doc_id": ids[starts],
     }
+
+
+def chunk_plan(docs, chunk_tokens: int = 256,
+               n_parts: int = 32):
+    """Fixed-block causal-LM chunking plan (GPT-style: documents
+    concatenated in doc_id order, the token stream sliced into
+    chunk_tokens blocks that CROSS document boundaries — the complement
+    of next_fit_pack, which never crosses).  Returns one row per chunk:
+    (chunk_idx, start_doc, start_off) — the document containing the
+    chunk's first token and that token's offset within the document.
+
+    Distributed shape — prefix scan with carry, no global sort and no
+    sequential pass (same pattern as windows.late_event_stats):
+      1. one stateless pass counts tokens per doc (Arrow RE2 \\S+) and
+         range-partitions by doc_id VALUE (order-preserving);
+      2. per-range token sums: P ints to the driver, exclusive cumsum
+         -> per-range carries, broadcast back;
+      3. ONE exchange of 16-byte (doc_id, n) rows groups each range;
+         within a range the chunk starts are fully vectorized (cumsum
+         seeded with the carry; per-doc chunk-start counts via integer
+         ceil; repeat/arange expansion).
+    The exchange carries doc COUNTS, never text — wire volume is
+    16 bytes/doc regardless of document size.
+
+    Skew note: value-range partitioning assumes dense doc_ids (true for
+    surrogate keys); a skewed id space needs sampled range bounds.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray  # noqa: F401
+
+    C = int(chunk_tokens)
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+        })
+
+    tok = docs.map_batches(counts, batch_format="pyarrow")
+
+    lohi = tok.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column("doc_id")).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t.column("doc_id")).as_py()], pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in lohi)
+    hi = max(r["hi"] for r in lohi)
+    span = max(hi - lo + 1, 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        part = ((ids - lo) * n_parts // span).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    parted = tok.map_batches(add_part, batch_format="pyarrow").materialize()
+
+    # pass 1: per-range token sums (<= n_parts rows per batch)
+    def range_sum(t: pa.Table) -> pa.Table:
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        out_p, out_s = [], []
+        for p in np.unique(part):
+            out_p.append(int(p))
+            out_s.append(int(n[part == p].sum()))
+        return pa.table({"part": pa.array(out_p, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    sums = parted.map_batches(range_sum, batch_format="pyarrow").take_all()
+    per_range = np.zeros(n_parts, np.int64)
+    for r in sums:
+        per_range[r["part"]] += r["s"]
+    carry = np.concatenate([[0], np.cumsum(per_range)[:-1]])  # exclusive
+
+    def emit_chunks(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, n = ids[order], n[order]
+        before = carry[p] + np.concatenate([[0], np.cumsum(n)[:-1]])
+        # chunk starts landing inside doc i: k*C in [before_i, before_i+n_i)
+        k0 = -(-before // C)  # ceil
+        k1 = -(-(before + n) // C) - 1
+        cnt = np.maximum(k1 - k0 + 1, 0)
+        doc_rep = np.repeat(ids, cnt)
+        base = np.repeat(k0, cnt)
+        step = np.arange(cnt.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        k = base + step
+        off = k * C - np.repeat(before, cnt)
+        return pa.table({
+            "chunk_idx": pa.array(k.astype(np.int64), pa.int64()),
+            "start_doc": pa.array(doc_rep.astype(np.int64), pa.int64()),
+            "start_off": pa.array(off.astype(np.int64), pa.int64()),
+        })
+
+    emit_chunks.__name__ = "emit_chunks"
+    return parted.groupby("part", num_partitions=n_parts).map_groups(
+        emit_chunks, batch_format="pyarrow")

@@ -2679,6 +2679,45 @@ def q_doc_perplexity(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def q_doc_chunk_plan(sf_dir: str):
+    """GPT-style fixed-block chunking plan: documents concatenated in
+    doc_id order, the token stream sliced into 256-token blocks that
+    CROSS document boundaries (the complement of doc_pack's never-cross
+    next-fit); one row per chunk = (chunk_idx, start_doc, start_off).
+    Distributed as a prefix scan with carry
+    (functions/packing.chunk_plan): value-range partition by doc_id,
+    per-range token sums to the driver (P ints), exclusive-cumsum
+    carries broadcast back, per-range chunk starts fully vectorized.
+    The one exchange carries 16-byte (doc_id, n) count rows — never
+    text."""
+    from ..functions.packing import chunk_plan
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_plan(docs, chunk_tokens=256)
+
+
+def sql_doc_chunk_plan() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+  FROM documents),
+cum AS (
+  SELECT doc_id, n,
+         COALESCE(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM tok),
+tot AS (SELECT sum(n)::BIGINT AS t FROM tok),
+chunks AS (
+  SELECT UNNEST(generate_series(0, (SELECT (t + 255) // 256 - 1 FROM tot)))
+         ::BIGINT AS chunk_idx)
+SELECT c.chunk_idx,
+       cu.doc_id AS start_doc,
+       (c.chunk_idx * 256 - cu.before)::BIGINT AS start_off
+FROM chunks c
+JOIN cum cu ON c.chunk_idx * 256 >= cu.before
+           AND c.chunk_idx * 256 < cu.before + cu.n"""
+
+
 TFIDF_THRESHOLD = 0.584  # biggest inter-pair gap at sf0.01 (8.2e-3 margin)
 
 
@@ -3370,6 +3409,7 @@ def build_registry():
         "emb_semdedup": q_emb_semdedup,
         "doc_quality_model": q_doc_quality_model,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
+        "doc_chunk_plan": q_doc_chunk_plan,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3447,4 +3487,5 @@ def _build_oracle(t01):
         "doc_pack": sql_doc_pack(),
         "doc_span_dedup": sql_doc_span_dedup(),
         "doc_tfidf_pairs": sql_doc_tfidf_pairs(),
+        "doc_chunk_plan": sql_doc_chunk_plan(),
     }

@@ -154,3 +154,44 @@ def test_doc_bpe_pairs_matches_scalar_reference(ray_session):
                 counter[a + b] += 1
     want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(zip(got["pair"], got["n"])) == want
+
+
+def test_chunk_plan_matches_scalar(ray_session):
+    """chunk_plan == pure-python reference over multi-block input with
+    empty docs, null text, and docs longer than one chunk."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from aushape_ray.functions.packing import chunk_plan
+
+    rng = np.random.default_rng(23)
+    texts = []
+    for i in range(80):
+        if i % 13 == 0:
+            texts.append("")          # empty doc: no chunk may start here
+        elif i % 17 == 0:
+            texts.append(None)        # null text
+        else:
+            texts.append(" ".join(
+                ["tok"] * int(rng.integers(1, 120))))
+    t = pa.table({"doc_id": pa.array(np.arange(80), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    C = 32
+    pos, ref = 0, []
+    for did, text in zip(range(80), texts):
+        n = len(re.findall(r"\S+", text or ""))
+        k0, k1 = -(-pos // C), -(-(pos + n) // C) - 1
+        for k in range(k0, k1 + 1):
+            ref.append((k, did, k * C - pos))
+        pos += n
+    assert len(ref) == -(-pos // C)  # every chunk start exists exactly once
+
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = sorted((r["chunk_idx"], r["start_doc"], r["start_off"])
+                 for r in chunk_plan(ds, chunk_tokens=C, n_parts=5)
+                 .take_all())
+    assert got == ref
