@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["next_fit_pack", "pack_summary", "chunk_plan"]
+__all__ = ["next_fit_pack", "pack_summary", "chunk_plan", "chunk_texts"]
 
 
 def next_fit_pack(tokens: np.ndarray, capacity: int) -> np.ndarray:
@@ -180,3 +180,139 @@ def chunk_plan(docs, chunk_tokens: int = 256,
     emit_chunks.__name__ = "emit_chunks"
     return parted.groupby("part", num_partitions=n_parts).map_groups(
         emit_chunks, batch_format="pyarrow")
+
+
+def chunk_texts(docs, chunk_tokens: int = 256, n_parts: int = 32):
+    """Materialized fixed-block LM chunks: the chunk_plan boundaries
+    APPLIED — every 256-token block's actual payload, assembled across
+    document boundaries.  Returns (chunk_idx, n_tokens, chunk_md5) —
+    the md5 is over the space-joined token stream of the chunk, so the
+    full reassembled bytes are oracle-checkable without shipping chunk
+    text to the driver.
+
+    Distributed shape: the chunk_plan carry machinery positions every
+    document's token stream globally (two cheap count passes: P ints to
+    the driver), then ONE range exchange ships each document's text to
+    its doc-range group, which splits it into per-chunk FRAGMENTS
+    (contiguous token runs), and ONE chunk-range exchange delivers all
+    fragments of a chunk to one task for ordered assembly.  Text moves
+    exactly twice (doc-range + fragment exchange) — the unavoidable
+    payload motion for boundary-crossing chunks; everything else is
+    integer rows.  Tokenization is re.findall(r"\\S+") per doc inside
+    the group task: the work is inherently per-token string assembly,
+    O(total tokens), not a vectorizable fixed-width kernel.
+    """
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    C = int(chunk_tokens)
+    word = re.compile(r"\S+")
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+        })
+
+    tok = docs.map_batches(counts, batch_format="pyarrow")
+    lohi = tok.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column("doc_id")).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t.column("doc_id")).as_py()], pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in lohi)
+    hi = max(r["hi"] for r in lohi)
+    span = max(hi - lo + 1, 1)
+
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids - lo) * n_parts // span).astype(np.int64)
+
+    def range_sum(t: pa.Table) -> pa.Table:
+        part = part_of(t.column("doc_id").to_numpy(zero_copy_only=False))
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        out_p, out_s = [], []
+        for p in np.unique(part):
+            out_p.append(int(p))
+            out_s.append(int(n[part == p].sum()))
+        return pa.table({"part": pa.array(out_p, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    sums = tok.map_batches(range_sum, batch_format="pyarrow").take_all()
+    per_range = np.zeros(n_parts, np.int64)
+    for r in sums:
+        per_range[r["part"]] += r["s"]
+    carry = np.concatenate([[0], np.cumsum(per_range)[:-1]])
+    total = int(per_range.sum())
+    n_chunks = max(-(-total // C), 1)
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": t.column("text").cast(pa.string()),
+            "part": pa.array(part_of(ids), pa.int64()),
+        })
+
+    def fragments(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = g.column("text").to_pylist()
+        order = np.argsort(ids)
+        pos = carry[p]
+        o_k, o_ord, o_frag, o_n = [], [], [], []
+        for i in order:
+            toks = word.findall(texts[i] or "")
+            j = 0
+            while j < len(toks):
+                take = min(C - pos % C, len(toks) - j)
+                o_k.append((pos // C))
+                o_ord.append(pos)
+                o_frag.append(" ".join(toks[j:j + take]))
+                o_n.append(take)
+                j += take
+                pos += take
+        ka = np.asarray(o_k, np.int64) if o_k else np.array([], np.int64)
+        return pa.table({
+            "k": pa.array(ka, pa.int64()),
+            "ord": pa.array(o_ord, pa.int64()),
+            "frag": pa.array(o_frag, pa.string()),
+            "nt": pa.array(o_n, pa.int64()),
+            "kpart": pa.array(ka * n_parts // n_chunks, pa.int64()),
+        })
+
+    fragments.__name__ = "chunk_fragments"
+
+    def assemble(g: pa.Table) -> pa.Table:
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        o = g.column("ord").to_numpy(zero_copy_only=False)
+        frag = g.column("frag").to_pylist()
+        nt = g.column("nt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        k2, nt2 = k[order], nt[order]
+        bounds = np.flatnonzero(np.concatenate([[True], k2[1:] != k2[:-1]]))
+        out_k, out_n, out_md5 = [], [], []
+        for s, e in zip(bounds.tolist(),
+                        np.append(bounds[1:], len(k2)).tolist()):
+            joined = " ".join(frag[order[i]] for i in range(s, e))
+            out_k.append(int(k2[s]))
+            out_n.append(int(nt2[s:e].sum()))
+            out_md5.append(hashlib.md5(joined.encode()).hexdigest())
+        return pa.table({
+            "chunk_idx": pa.array(out_k, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        })
+
+    assemble.__name__ = "chunk_assemble"
+    parted = docs.map_batches(tag_part, batch_format="pyarrow")
+    frags = parted.groupby("part", num_partitions=n_parts).map_groups(
+        fragments, batch_format="pyarrow")
+    return frags.groupby("kpart", num_partitions=n_parts).map_groups(
+        assemble, batch_format="pyarrow")

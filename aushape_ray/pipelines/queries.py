@@ -2718,6 +2718,36 @@ JOIN cum cu ON c.chunk_idx * 256 >= cu.before
            AND c.chunk_idx * 256 < cu.before + cu.n"""
 
 
+def q_doc_chunk_text(sf_dir: str):
+    """doc_chunk_plan APPLIED: every 256-token block's actual payload
+    assembled across document boundaries (the LM dataloader's real
+    output).  Two payload exchanges — doc-range groups split each doc's
+    token stream into per-chunk fragments, chunk-range groups assemble
+    them in order (functions/packing.chunk_texts); everything else is
+    integer count rows.  Returns (chunk_idx, n_tokens, chunk_md5): the
+    md5 pins every byte of every chunk without shipping chunk text to
+    the driver — the same oracle-checkable-digest trick as
+    doc_normalize / doc_span_dedup."""
+    from ..functions.packing import chunk_texts
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_texts(docs, chunk_tokens=256)
+
+
+def sql_doc_chunk_text() -> str:
+    return r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS lst
+           FROM documents),
+tokpos AS (
+  SELECT tk, row_number() OVER (ORDER BY doc_id, i) - 1 AS p
+  FROM (SELECT doc_id, UNNEST(lst) AS tk,
+               UNNEST(range(len(lst))) AS i FROM l))
+SELECT (p // 256)::BIGINT AS chunk_idx,
+       count(*)::BIGINT AS n_tokens,
+       md5(string_agg(tk, ' ' ORDER BY p)) AS chunk_md5
+FROM tokpos GROUP BY 1"""
+
+
 TFIDF_THRESHOLD = 0.584  # biggest inter-pair gap at sf0.01 (8.2e-3 margin)
 
 
@@ -3410,6 +3440,7 @@ def build_registry():
         "doc_quality_model": q_doc_quality_model,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "doc_chunk_plan": q_doc_chunk_plan,
+        "doc_chunk_text": q_doc_chunk_text,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3488,4 +3519,5 @@ def _build_oracle(t01):
         "doc_span_dedup": sql_doc_span_dedup(),
         "doc_tfidf_pairs": sql_doc_tfidf_pairs(),
         "doc_chunk_plan": sql_doc_chunk_plan(),
+        "doc_chunk_text": sql_doc_chunk_text(),
     }

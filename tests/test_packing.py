@@ -195,3 +195,42 @@ def test_chunk_plan_matches_scalar(ray_session):
                  for r in chunk_plan(ds, chunk_tokens=C, n_parts=5)
                  .take_all())
     assert got == ref
+
+
+def test_chunk_texts_matches_scalar(ray_session):
+    """chunk_texts == pure-python assembly: every chunk md5/count equal;
+    all chunks except the last are exactly C tokens (conservation)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from aushape_ray.functions.packing import chunk_texts
+
+    rng = np.random.default_rng(31)
+    texts = []
+    for i in range(60):
+        if i % 11 == 0:
+            texts.append("")
+        else:
+            texts.append(" ".join(
+                f"w{int(x)}" for x in rng.integers(0, 500,
+                                                   rng.integers(1, 90))))
+    t = pa.table({"doc_id": pa.array(np.arange(60), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    C = 48
+    stream = [tok for x in texts for tok in re.findall(r"\S+", x)]
+    ref = {}
+    for k in range(-(-len(stream) // C)):
+        seg = stream[k * C:(k + 1) * C]
+        ref[k] = (len(seg), hashlib.md5(" ".join(seg).encode()).hexdigest())
+
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = {r["chunk_idx"]: (r["n_tokens"], r["chunk_md5"])
+           for r in chunk_texts(ds, chunk_tokens=C, n_parts=5).take_all()}
+    assert got == ref
+    sizes = [v[0] for k, v in sorted(got.items())]
+    assert all(s == C for s in sizes[:-1]) and 0 < sizes[-1] <= C
