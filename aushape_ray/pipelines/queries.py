@@ -2794,6 +2794,89 @@ WHERE dot > 0
   AND dot * dot >= {TFIDF_THRESHOLD * TFIDF_THRESHOLD} * na.nrm2 * nb.nrm2"""
 
 
+def q_doc_len_outliers(sf_dir: str):
+    """Per-source length-outlier filter (Gopher-style doc-length
+    hygiene): docs whose n_chars sits beyond 2 sigma of their source's
+    mean.  Two-pass shape: per-batch (source, n, sum, sumsq) partials ->
+    k-row groupby -> broadcast dict -> stateless flag pass.  The 2-sigma
+    test is EXACT INTEGER arithmetic on both sides —
+    (n*x - sum)^2 > 4*(n*sumsq - sum^2) — multiplied through by n^2 so
+    no float boundary can flip a count between engines."""
+    docs = _read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = t.column("source").to_pandas()
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = pd.DataFrame({"source": src, "n": 1, "sm": x, "sq": x * x}) \
+            .groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "source").aggregate(Sum("n", alias_name="n"),
+                            Sum("sm", alias_name="sm"),
+                            Sum("sq", alias_name="sq")).take_all()
+    bc = {r["source"]: (int(r["n"]), int(r["sm"]), int(r["sq"]))
+          for r in stats}
+    import ray as _ray
+
+    ref = _ray.put(bc)
+
+    # per-source integer threshold ONCE (exact big-int isqrt): for
+    # integers, d^2 > R <=> |d| > isqrt(R) — so the per-row test is a
+    # plain int64 compare, fully vectorized.  n^2*var = n*sumsq - sum^2;
+    # 2-sigma is d^2 > 4*(n*sq - sm^2).  |n*x - sm| fits int64 for any
+    # realistic per-source count (n ~ 1e12 x chars ~ 1e4 < 2^63).
+    import math
+
+    thr = {k: math.isqrt(4 * max(n * sq - sm * sm, 0))
+           for k, (n, sm, sq) in bc.items()}
+    nref = _ray.put({k: (v[0], v[1], thr[k]) for k, v in bc.items()})
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = _ray.get(nref)
+        src = t.column("source").to_pandas()
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_arr = src.map(lambda k: s[k][0]).to_numpy(np.int64)
+        sm_arr = src.map(lambda k: s[k][1]).to_numpy(np.int64)
+        th_arr = src.map(lambda k: s[k][2]).to_numpy(np.int64)
+        out = np.abs(n_arr * x - sm_arr) > th_arr
+        g = pd.DataFrame({"source": src,
+                          "o": out.astype(np.int64), "c": 1}) \
+            .groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = docs.map_batches(flag, batch_format="pyarrow").groupby(
+        "source").aggregate(Sum("c", alias_name="n_docs"),
+                            Sum("o", alias_name="n_outliers"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_outliers": t.column("n_outliers").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_doc_len_outliers() -> str:
+    return """
+WITH s AS (SELECT source, count(*)::HUGEINT AS n,
+                  sum(n_chars)::HUGEINT AS sm,
+                  sum(n_chars::HUGEINT * n_chars)::HUGEINT AS sq
+           FROM documents GROUP BY source)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(*) FILTER (
+         (s.n * d.n_chars - s.sm) * (s.n * d.n_chars - s.sm)
+           > 4 * (s.n * s.sq - s.sm * s.sm))::BIGINT AS n_outliers
+FROM documents d JOIN s USING (source)
+GROUP BY d.source"""
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3441,6 +3524,7 @@ def build_registry():
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "doc_chunk_plan": q_doc_chunk_plan,
         "doc_chunk_text": q_doc_chunk_text,
+        "doc_len_outliers": q_doc_len_outliers,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3520,4 +3604,5 @@ def _build_oracle(t01):
         "doc_tfidf_pairs": sql_doc_tfidf_pairs(),
         "doc_chunk_plan": sql_doc_chunk_plan(),
         "doc_chunk_text": sql_doc_chunk_text(),
+        "doc_len_outliers": sql_doc_len_outliers(),
     }
