@@ -207,3 +207,76 @@ def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
     return partials.groupby("event_type", num_partitions=2).aggregate(
         Sum("n_total", alias_name="n_total"),
         Sum("n_late", alias_name="n_late"))
+
+
+def global_rank(ds: "ray.data.Dataset", value_col: str, id_col: str,
+                n_parts: int = 32) -> "ray.data.Dataset":
+    """EXACT global dense ordering: rank of every row under
+    (value_col, id_col) ascending — row_number semantics with a
+    deterministic tie-break, WITHOUT a full sort exchange.
+
+    Distributed shape (prefix scan with carry, same family as
+    late_event_stats / packing.chunk_plan): rows range-partition by
+    value_col VALUE (order-preserving); pass 1 sends per-range COUNTS to
+    the driver (P ints), which exclusive-cumsums them into per-range
+    rank carries; pass 2 sorts only WITHIN each range and adds the
+    carry.  The exchange ships each row once; the driver holds P ints —
+    vs Ray's sort exchange, which samples, range-splits, and merges the
+    same rows with a ~2-3s fixed cost at any size.
+
+    Skew note: value-range partitioning assumes value_col is roughly
+    uniform over its min/max span.  A skewed distribution needs sampled
+    range bounds (what Ray's sort exchange does) — stated, not hidden.
+    Returns (id_col, rank) with rank 0-based."""
+    import ray  # noqa: F401
+
+    lohi = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column(value_col)).as_py()],
+                           pa.int64()),
+            "hi": pa.array([pc.max(t.column(value_col)).as_py()],
+                           pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in lohi)
+    hi = max(r["hi"] for r in lohi)
+    span = max(hi - lo + 1, 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        part = ((v - lo) * n_parts // span).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            value_col: pa.array(v, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+
+    def range_count(t: pa.Table) -> pa.Table:
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(part, minlength=n_parts)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"part": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    counts = parted.map_batches(range_count,
+                                batch_format="pyarrow").take_all()
+    per_range = np.zeros(n_parts, np.int64)
+    for r in counts:
+        per_range[r["part"]] += r["c"]
+    carry = np.concatenate([[0], np.cumsum(per_range)[:-1]])
+
+    def rank_range(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        i = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        rank = np.empty(len(v), np.int64)
+        rank[order] = carry[p] + np.arange(len(v))
+        return pa.table({id_col: pa.array(i, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    rank_range.__name__ = "rank_range"
+    return parted.groupby("part", num_partitions=n_parts).map_groups(
+        rank_range, batch_format="pyarrow")

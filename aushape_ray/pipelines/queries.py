@@ -2877,6 +2877,59 @@ FROM documents d JOIN s USING (source)
 GROUP BY d.source"""
 
 
+def q_doc_global_rank(sf_dir: str):
+    """Exact global row_number (order by n_chars, doc_id) WITHOUT a full
+    sort exchange: range partition by value, per-range counts to the
+    driver (P ints), exclusive-cumsum carries, within-range sort + carry
+    (functions/windows.global_rank — the prefix-scan-with-carry family).
+    The primitive behind exact quantiles / NTILE / deterministic
+    training order at corpus scale; vs the sort exchange it ships each
+    row once and skips the sample/merge fixed cost."""
+    from ..functions.windows import global_rank
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_rank(docs, "n_chars", "doc_id")
+
+
+def sql_doc_global_rank() -> str:
+    return """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT AS rank
+FROM documents"""
+
+
+def q_doc_pagerank(sf_dir: str):
+    """PageRank centrality over the verified near-dup pair graph
+    (functions/graph.pagerank): the centrality-based cluster-
+    representative picker (keep the best-connected member of every
+    duplicate neighborhood instead of the min id).  Static weighted
+    edge buckets pinned in plasma (cluster_pairs' design); each of the
+    20 power-iteration rounds moves ONLY 16-byte rank rows; segment
+    sums are lexsorted by (node, emitting bucket) so ranks are
+    bit-deterministic across runs/placements.  Rows-only: iterative
+    float fixpoint (1e-9 single-process parity is pytest-enforced);
+    convergence residual reported in-band as the first row
+    (node = -1)."""
+    from ..functions.graph import pagerank
+
+    pairs = q_doc_minhash_pairs(sf_dir)
+    ranks, n_nodes, residual = pagerank(pairs, iters=20)
+    out = ranks.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "rank_e12": pa.array(
+                np.round(t.column("rank").to_numpy(zero_copy_only=False)
+                         * 1e12).astype(np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    head = pa.table({
+        "node": pa.array([-1], pa.int64()),
+        "rank_e12": pa.array([int(residual * 1e12)], pa.int64()),
+    })
+    import ray.data as _rd
+
+    return _rd.from_arrow(head).union(out)
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3525,6 +3578,8 @@ def build_registry():
         "doc_chunk_plan": q_doc_chunk_plan,
         "doc_chunk_text": q_doc_chunk_text,
         "doc_len_outliers": q_doc_len_outliers,
+        "doc_global_rank": q_doc_global_rank,
+        "doc_pagerank": q_doc_pagerank,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3605,4 +3660,5 @@ def _build_oracle(t01):
         "doc_chunk_plan": sql_doc_chunk_plan(),
         "doc_chunk_text": sql_doc_chunk_text(),
         "doc_len_outliers": sql_doc_len_outliers(),
+        "doc_global_rank": sql_doc_global_rank(),
     }
