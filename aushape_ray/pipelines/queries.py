@@ -2930,6 +2930,56 @@ def q_doc_pagerank(sf_dir: str):
     return _rd.from_arrow(head).union(out)
 
 
+def q_doc_dedup_central(sf_dir: str):
+    """Near-dup dedup with CENTRALITY-based representative picking:
+    keep each duplicate cluster's highest-PageRank member (the best-
+    connected exemplar — what SemDeDup's authors pick by distance to
+    centroid, done here by graph structure) instead of doc_dedup_near's
+    min-id.  Composition of tested parts: verified MinHash pairs ->
+    pagerank (rank per node) + cluster_pairs (cluster id per node) ->
+    per-cluster argmax(rank, tie min node) inside one bucket exchange ->
+    anti-join victims.  Rows-only (iterative float ranks); every leg has
+    its own oracle/parity test."""
+    from ..functions.dedup import cluster_pairs
+    from ..functions.graph import pagerank
+    from ..functions.joins import hash_join
+
+    pairs = q_doc_minhash_pairs(sf_dir).materialize()
+    ranks, n_nodes, _ = pagerank(pairs, iters=20)
+    clusters = cluster_pairs(pairs)
+    if n_nodes:
+        j = hash_join(
+            clusters.map_batches(
+                lambda t: pa.table({"node": t.column("doc_id"),
+                                    "cluster_id": t.column("cluster_id")}),
+                batch_format="pyarrow"),
+            ranks, "node", "node", how="inner")
+    else:
+        j = clusters.map_batches(
+            lambda t: pa.table({"node": t.column("doc_id"),
+                                "cluster_id": t.column("cluster_id"),
+                                "rank": pa.array([0.0] * t.num_rows,
+                                                 pa.float64())}),
+            batch_format="pyarrow")
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rank", "node"], ascending=[False, True])
+        best = g.groupby("cluster_id", as_index=False).first()
+        victims = g[~g["node"].isin(best["node"])]
+        return pd.DataFrame({"victim": victims["node"].to_numpy(np.int64)})
+
+    keep_best.__name__ = "keep_best"
+    victims = j.groupby("cluster_id", num_partitions=8).map_groups(
+        keep_best, batch_format="pandas").map_batches(
+        lambda t: t.select(["victim"]), batch_format="pyarrow")
+    docs = _read_table(sf_dir, "documents", ["doc_id"])
+    out = hash_join(docs, victims, "doc_id", "victim", how="left")
+    return out.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("victim")))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3580,6 +3630,7 @@ def build_registry():
         "doc_len_outliers": q_doc_len_outliers,
         "doc_global_rank": q_doc_global_rank,
         "doc_pagerank": q_doc_pagerank,
+        "doc_dedup_central": q_doc_dedup_central,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

@@ -98,3 +98,39 @@ def test_pagerank_fast_path_matches_distributed(ray_session):
     for v in gf:
         assert abs(gf[v] - gs[v]) < 1e-9
     assert abs(r1 - r2) < 1e-9
+
+
+def test_dedup_central_is_cluster_transversal(ray_session):
+    """doc_dedup_central keeps EXACTLY one member per duplicate cluster
+    (a valid dedup transversal), same survivor COUNT as min-id dedup,
+    and the kept member is the cluster's max-PageRank node."""
+    from aushape_ray.functions.dedup import cluster_pairs
+    from aushape_ray.functions.graph import pagerank
+    from aushape_ray.pipelines.queries import (q_doc_dedup_central,
+                                               q_doc_minhash_pairs)
+
+    SF = "/root/testdata/sf0.001"
+    survivors = {r["doc_id"] for r in q_doc_dedup_central(SF).take_all()}
+
+    pairs = q_doc_minhash_pairs(SF).materialize()
+    clus = {r["doc_id"]: r["cluster_id"]
+            for r in cluster_pairs(pairs).take_all()}
+    ranks_ds, _, _ = pagerank(pairs, iters=20)
+    rank = {r["node"]: r["rank"] for r in ranks_ds.take_all()}
+
+    import collections
+    by_cluster = collections.defaultdict(list)
+    for node, c in clus.items():
+        by_cluster[c].append(node)
+    n_docs = 100  # sf0.001 documents table size
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+
+    # every clustered node not kept is a victim; unclustered docs survive
+    expect_survivors = n_docs - (len(clus) - len(by_cluster))
+    assert len(survivors) == expect_survivors
+    for c, members in by_cluster.items():
+        kept = [m for m in members if m in survivors]
+        assert len(kept) == 1, c
+        best = max(members, key=lambda m: (rank[m], -m))
+        assert kept[0] == best, c
