@@ -2526,6 +2526,22 @@ def q_media_features(sf_dir: str):
     return media_features(docs)
 
 
+def q_media_image_stats(sf_dir: str):
+    """REAL image decode end-to-end, zero dependencies: documents ->
+    P6/PPM-encoded deterministic images -> actor-pool numpy decode
+    (header parse + frombuffer), exact integer pixel stats
+    (sum*1000//n — no float boundary), strided-subsample thumbnail
+    re-encoded and md5-pinned (functions/media.PpmDecoder).  Upgrades
+    the multimodal leg from a declared stub to a real codec path for a
+    genuine interchange format; jpeg/png stay behind the optional
+    Pillow extra.  Rows-only (binary codec not SQL-expressible);
+    scalar decode/stat/thumbnail parity is pytest-enforced."""
+    from ..functions.media import media_image_stats
+
+    docs = _read_table(sf_dir, "documents", ["doc_id"])
+    return media_image_stats(docs)
+
+
 def q_media_frames(sf_dir: str):
     """Video frame-sampling chain (decode -> sample): one row per sampled
     frame (rows-only: payloads are deterministic stubs).  Raw frame bytes
@@ -3631,6 +3647,7 @@ def build_registry():
         "doc_global_rank": q_doc_global_rank,
         "doc_pagerank": q_doc_pagerank,
         "doc_dedup_central": q_doc_dedup_central,
+        "media_image_stats": q_media_image_stats,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

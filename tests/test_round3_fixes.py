@@ -671,3 +671,45 @@ def test_tfidf_pairs_matches_bruteforce(ray_session):
            for row in tfidf_pairs(ds, thr, max_df=1000, n_parts=8)
            .take_all()}
     assert got == want
+
+
+class TestPpmCodec:
+    """Real zero-dependency image codec: round trip, header tolerance,
+    and distributed stats/thumbnail parity vs a driver-side reference."""
+
+    def test_roundtrip_and_header_tolerance(self):
+        from aushape_ray.functions.media import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(a)) == a).all()
+        # whitespace variants + comment lines in the header
+        raw = b"P6 # comment\n 23\t17 # again\n 255\n" + a.tobytes()
+        assert (decode_ppm(raw) == a).all()
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5 1 1 255\n\x00")
+
+    def test_media_image_stats_matches_reference(self, ray_session):
+        import hashlib
+
+        from aushape_ray.functions.media import (decode_ppm, encode_ppm,
+                                                 synthesize_ppm)
+        from aushape_ray.pipelines.queries import q_media_image_stats
+
+        got = {r["media_id"]: r for r in
+               q_media_image_stats("/root/testdata/sf0.001").take_all()}
+        ids = pa.table({"doc_id": pa.array(sorted(got), pa.int64())})
+        synth = synthesize_ppm(ids)
+        assert len(got) == synth.num_rows > 0
+        for mid, p in zip(synth.column("media_id").to_pylist(),
+                          synth.column("payload").to_pylist()):
+            arr = decode_ppm(p)
+            r = got[mid]
+            assert (r["height"], r["width"]) == arr.shape[:2]
+            s, npix = int(arr.sum(dtype=np.int64)), arr.size
+            assert r["bright_milli"] == s * 1000 // npix
+            sy = max(1, -(-arr.shape[0] // 16))
+            sx = max(1, -(-arr.shape[1] // 16))
+            thumb = np.ascontiguousarray(arr[::sy, ::sx])
+            assert r["thumb_md5"] == hashlib.md5(
+                encode_ppm(thumb)).hexdigest()
