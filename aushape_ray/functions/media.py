@@ -319,3 +319,115 @@ def media_image_stats(docs: "ray.data.Dataset",
     return media.map_batches(PpmDecoder, batch_format="pyarrow",
                              batch_size=256, concurrency=(1, 4),
                              fn_constructor_kwargs={"max_side": max_side})
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec, zero dependencies: RIFF/WAV PCM16 mono.  Same upgrade as
+# the PPM path: WAV is header + raw little-endian samples, so struct+numpy
+# decode it without an audio library.
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 (n,) -> RIFF/WAV PCM16 mono."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav wants int16 (n,)")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """RIFF/WAV PCM16 mono -> (int16 samples, sample_rate).  Walks the
+    chunk list (tolerates extra chunks before data)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    rate, bits, channels = None, None, None
+    while pos + 8 <= n:
+        cid, size = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            return np.frombuffer(body, np.int16), rate
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def synthesize_wav(batch: pa.Table) -> pa.Table:
+    """documents rows -> REAL WAV payloads: doc_id-seeded sine + square
+    mixture, int16 PCM, variable length."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    out = []
+    for d in doc_ids:
+        n = 800 + (d % 40) * 25
+        t = np.arange(n, dtype=np.float64)
+        f1, f2 = 1 + d % 17, 3 + d % 29
+        x = (8000 * np.sin(2 * np.pi * f1 * t / n)
+             + 4000 * np.sign(np.sin(2 * np.pi * f2 * t / n)))
+        out.append(encode_wav(x.astype(np.int16)))
+    return pa.table({
+        "media_id": pa.array(doc_ids, pa.int64()),
+        "kind": pa.array(["audio"] * len(doc_ids), pa.string()),
+        "payload": pa.array(out, pa.binary()),
+        "n_bytes": pa.array([len(p) for p in out], pa.int64()),
+    })
+
+
+class WavDecoder:
+    """Actor-pool REAL audio decode + signal stats: exact integer
+    features — duration in microseconds, sum of |x| (mean abs
+    amplitude * n), energy sum x^2, peak, and zero-crossing count —
+    no float anywhere, so results are placement-independent."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rows = {"media_id": [], "n_samples": [], "rate": [],
+                "dur_us": [], "sum_abs": [], "energy": [],
+                "peak": [], "zero_cross": []}
+        for mid, p in zip(ids, payloads):
+            x, rate = decode_wav(p)
+            xi = x.astype(np.int64)
+            rows["media_id"].append(mid)
+            rows["n_samples"].append(len(x))
+            rows["rate"].append(rate)
+            rows["dur_us"].append(len(x) * 1_000_000 // rate)
+            rows["sum_abs"].append(int(np.abs(xi).sum()))
+            rows["energy"].append(int((xi * xi).sum()))
+            rows["peak"].append(int(np.abs(xi).max()) if len(x) else 0)
+            s = np.sign(xi[xi != 0])
+            rows["zero_cross"].append(
+                int((s[1:] != s[:-1]).sum()) if len(s) > 1 else 0)
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+            "rate": pa.array(rows["rate"], pa.int32()),
+            "dur_us": pa.array(rows["dur_us"], pa.int64()),
+            "sum_abs": pa.array(rows["sum_abs"], pa.int64()),
+            "energy": pa.array(rows["energy"], pa.int64()),
+            "peak": pa.array(rows["peak"], pa.int32()),
+            "zero_cross": pa.array(rows["zero_cross"], pa.int64()),
+        })
+
+
+def media_audio_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """documents -> real WAV payloads -> real decode/signal stats."""
+    media = docs.map_batches(synthesize_wav, batch_format="pyarrow",
+                             batch_size=256)
+    return media.map_batches(WavDecoder, batch_format="pyarrow",
+                             batch_size=256, concurrency=(1, 4))

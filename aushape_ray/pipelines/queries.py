@@ -2542,6 +2542,19 @@ def q_media_image_stats(sf_dir: str):
     return media_image_stats(docs)
 
 
+def q_media_audio_stats(sf_dir: str):
+    """REAL audio decode end-to-end, zero dependencies: documents ->
+    RIFF/WAV PCM16 payloads (doc_id-seeded sine+square mixtures) ->
+    actor-pool numpy decode (chunk-list walk + frombuffer) with EXACT
+    INTEGER signal features (duration us, sum|x|, energy, peak,
+    zero-crossing count — no float anywhere).  The audio counterpart of
+    q_media_image_stats.  Rows-only; scalar parity pytest-enforced."""
+    from ..functions.media import media_audio_stats
+
+    docs = _read_table(sf_dir, "documents", ["doc_id"])
+    return media_audio_stats(docs)
+
+
 def q_media_frames(sf_dir: str):
     """Video frame-sampling chain (decode -> sample): one row per sampled
     frame (rows-only: payloads are deterministic stubs).  Raw frame bytes
@@ -3648,6 +3661,7 @@ def build_registry():
         "doc_pagerank": q_doc_pagerank,
         "doc_dedup_central": q_doc_dedup_central,
         "media_image_stats": q_media_image_stats,
+        "media_audio_stats": q_media_audio_stats,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

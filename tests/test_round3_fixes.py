@@ -713,3 +713,43 @@ class TestPpmCodec:
             thumb = np.ascontiguousarray(arr[::sy, ::sx])
             assert r["thumb_md5"] == hashlib.md5(
                 encode_ppm(thumb)).hexdigest()
+
+
+class TestWavCodec:
+    def test_roundtrip_and_chunk_walk(self):
+        import struct
+
+        from aushape_ray.functions.media import decode_wav, encode_wav
+
+        x = (np.sin(np.arange(777) / 5) * 12000).astype(np.int16)
+        y, rate = decode_wav(encode_wav(x, rate=8000))
+        assert rate == 8000 and (y == x).all()
+        # extra LIST chunk before data must be skipped (odd size padded)
+        raw = encode_wav(x)
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        patched = raw[:12] + extra + raw[12:]
+        y2, _ = decode_wav(patched)
+        assert (y2 == x).all()
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFFxxxxAIFF")
+
+    def test_media_audio_stats_matches_reference(self, ray_session):
+        from aushape_ray.functions.media import decode_wav, synthesize_wav
+        from aushape_ray.pipelines.queries import q_media_audio_stats
+
+        got = {r["media_id"]: r for r in
+               q_media_audio_stats("/root/testdata/sf0.001").take_all()}
+        ids = pa.table({"doc_id": pa.array(sorted(got), pa.int64())})
+        synth = synthesize_wav(ids)
+        assert len(got) == synth.num_rows > 0
+        for mid, p in zip(synth.column("media_id").to_pylist(),
+                          synth.column("payload").to_pylist()):
+            x, rate = decode_wav(p)
+            xi = x.astype(np.int64)
+            r = got[mid]
+            assert r["n_samples"] == len(x)
+            assert r["dur_us"] == len(x) * 1_000_000 // rate
+            assert r["sum_abs"] == int(np.abs(xi).sum())
+            assert r["energy"] == int((xi * xi).sum())
+            s = np.sign(xi[xi != 0])
+            assert r["zero_cross"] == int((s[1:] != s[:-1]).sum())
