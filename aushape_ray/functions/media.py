@@ -431,3 +431,127 @@ def media_audio_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                              batch_size=256)
     return media.map_batches(WavDecoder, batch_format="pyarrow",
                              batch_size=256, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# Real video codec, zero dependencies: YUV4MPEG2 (.y4m) with C420 chroma.
+# The third leg of the multimodal family: a genuine interchange format
+# (mplayer/ffmpeg both speak it) whose stream is an ASCII header plus
+# "FRAME\n" + raw YUV planes — numpy decodes it without a video library.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """uint8 (n, h, w) luma frames -> .y4m bytes (C420, flat chroma)."""
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise ValueError("encode_y4m wants uint8 (n, h, w)")
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    hdr = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps)
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    out = [hdr]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.tobytes())
+        out.append(chroma)  # U
+        out.append(chroma)  # V
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> "tuple[np.ndarray, int]":
+    """.y4m (C420) -> (uint8 (n, h, w) luma frames, fps).  Chroma planes
+    are skipped; FRAME parameter suffixes are tolerated."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    for tok in head[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fps = int(tok[1:].split(b":")[0])
+        elif tok.startswith(b"C") and tok not in (b"C420", b"C420jpeg",
+                                                  b"C420mpeg2"):
+            raise ValueError("only C420 supported")
+    if not w or not h:
+        raise ValueError("missing W/H")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    pos, frames = nl + 1, []
+    n = len(payload)
+    while pos < n:
+        fe = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad frame marker")
+        pos = fe + 1
+        frames.append(np.frombuffer(payload, np.uint8, count=ysz,
+                                    offset=pos).reshape(h, w))
+        pos += ysz + 2 * csz
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), \
+        fps or 25
+
+
+def synthesize_y4m(batch: pa.Table) -> pa.Table:
+    """documents rows -> REAL .y4m payloads: doc_id-seeded moving
+    gradient, 4-16 frames of 16x12 luma."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    out = []
+    for d in doc_ids:
+        nf = 4 + d % 13
+        y, x = np.mgrid[0:12, 0:16]
+        frames = np.stack([(x * 5 + y * 9 + d + 17 * t) % 256
+                           for t in range(nf)]).astype(np.uint8)
+        out.append(encode_y4m(frames))
+    return pa.table({
+        "media_id": pa.array(doc_ids, pa.int64()),
+        "kind": pa.array(["video"] * len(doc_ids), pa.string()),
+        "payload": pa.array(out, pa.binary()),
+        "n_bytes": pa.array([len(p) for p in out], pa.int64()),
+    })
+
+
+class Y4mFrameSampler:
+    """Actor-pool REAL video decode + frame sampling: one input row fans
+    out to <= max_frames rows at a fixed stride — FrameSampler's
+    row-expansion plumbing with genuine decoded frames.  Per-frame
+    outputs are exact integers: luma sum and the md5 of the frame bytes
+    (pins every sampled pixel without shipping rasters anywhere)."""
+
+    def __init__(self, stride: int = 3, max_frames: int = 4) -> None:
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o = {"media_id": [], "frame_idx": [], "n_frames": [],
+             "luma_sum": [], "frame_md5": []}
+        for mid, p in zip(ids, payloads):
+            frames, _ = decode_y4m(p)
+            picks = list(range(0, len(frames),
+                               self.stride))[: self.max_frames]
+            for fi in picks:
+                f = frames[fi]
+                o["media_id"].append(mid)
+                o["frame_idx"].append(fi)
+                o["n_frames"].append(len(frames))
+                o["luma_sum"].append(int(f.sum(dtype=np.int64)))
+                o["frame_md5"].append(
+                    hashlib.md5(f.tobytes()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(o["media_id"], pa.int64()),
+            "frame_idx": pa.array(o["frame_idx"], pa.int32()),
+            "n_frames": pa.array(o["n_frames"], pa.int32()),
+            "luma_sum": pa.array(o["luma_sum"], pa.int64()),
+            "frame_md5": pa.array(o["frame_md5"], pa.string()),
+        })
+
+
+def media_video_frames(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """documents -> real .y4m payloads -> real frame sampling."""
+    media = docs.map_batches(synthesize_y4m, batch_format="pyarrow",
+                             batch_size=128)
+    return media.map_batches(Y4mFrameSampler, batch_format="pyarrow",
+                             batch_size=64, concurrency=(1, 4))

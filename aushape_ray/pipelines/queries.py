@@ -2555,6 +2555,21 @@ def q_media_audio_stats(sf_dir: str):
     return media_audio_stats(docs)
 
 
+def q_media_video_frames(sf_dir: str):
+    """REAL video decode + frame sampling end-to-end, zero dependencies:
+    documents -> YUV4MPEG2 (.y4m, C420) payloads -> actor-pool decode
+    (ASCII header + FRAME-marker walk + frombuffer per plane) fanning
+    each video out to <= 4 sampled frames with exact integer luma sums
+    and per-frame md5 (functions/media.Y4mFrameSampler).  Completes the
+    multimodal triple: image (PPM) / audio (WAV) / video (Y4M) all REAL
+    zero-dependency codecs on the same actor-pool plumbing.  Rows-only;
+    scalar parity pytest-enforced."""
+    from ..functions.media import media_video_frames
+
+    docs = _read_table(sf_dir, "documents", ["doc_id"])
+    return media_video_frames(docs)
+
+
 def q_media_frames(sf_dir: str):
     """Video frame-sampling chain (decode -> sample): one row per sampled
     frame (rows-only: payloads are deterministic stubs).  Raw frame bytes
@@ -3662,6 +3677,7 @@ def build_registry():
         "doc_dedup_central": q_doc_dedup_central,
         "media_image_stats": q_media_image_stats,
         "media_audio_stats": q_media_audio_stats,
+        "media_video_frames": q_media_video_frames,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry

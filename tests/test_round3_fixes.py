@@ -753,3 +753,44 @@ class TestWavCodec:
             assert r["energy"] == int((xi * xi).sum())
             s = np.sign(xi[xi != 0])
             assert r["zero_cross"] == int((s[1:] != s[:-1]).sum())
+
+
+class TestY4mCodec:
+    def test_roundtrip_and_header(self):
+        from aushape_ray.functions.media import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(9)
+        f = rng.integers(0, 256, (5, 10, 14), dtype=np.uint8)
+        g, fps = decode_y4m(encode_y4m(f, fps=30))
+        assert fps == 30 and (g == f).all()
+        with pytest.raises(ValueError):
+            decode_y4m(b"AVI nope\n")
+        with pytest.raises(ValueError):
+            encode_y4m(f[:, :9, :])  # odd height
+
+    def test_media_video_frames_matches_reference(self, ray_session):
+        import hashlib
+
+        from aushape_ray.functions.media import decode_y4m, synthesize_y4m
+        from aushape_ray.pipelines.queries import q_media_video_frames
+
+        rows = q_media_video_frames("/root/testdata/sf0.001").take_all()
+        got = {(r["media_id"], r["frame_idx"]): r for r in rows}
+        ids = sorted({r["media_id"] for r in rows})
+        synth = synthesize_y4m(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        assert len(ids) > 0
+        n_expected = 0
+        for mid, p in zip(synth.column("media_id").to_pylist(),
+                          synth.column("payload").to_pylist()):
+            frames, _ = decode_y4m(p)
+            picks = list(range(0, len(frames), 3))[:4]
+            n_expected += len(picks)
+            for fi in picks:
+                r = got[(mid, fi)]
+                assert r["n_frames"] == len(frames)
+                assert r["luma_sum"] == int(
+                    frames[fi].sum(dtype=np.int64))
+                assert r["frame_md5"] == hashlib.md5(
+                    frames[fi].tobytes()).hexdigest()
+        assert len(rows) == n_expected
