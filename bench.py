@@ -74,6 +74,21 @@ def _scaling() -> None:
     lo8, hi32 = run(8), run(32)
     eff_4_16 = (lo4["value"] / hi16["value"]) / 4
     eff_8_32 = (lo8["value"] / hi32["value"]) / 4
+
+    # calibration-normalized efficiency: throughput divided by the
+    # run's OWN all-proc calibration rate cancels the host window (the
+    # co-tenant load swings up to ~3x between subprocess runs and
+    # poisons the raw ratio — measured: a mid-sweep window shift turned
+    # a quiet-window 0.994 into a raw 0.66 while the calib-normalized
+    # ratio stayed ~0.85).  turns-per-M-iter is the window-free
+    # per-work-unit throughput.
+    def norm(run_json):
+        c = run_json.get("host_calib") or {}
+        return run_json["turns_per_sec"] / max(c.get("loop_miters_all", 1),
+                                               1e-9)
+
+    eff_n_4_16 = norm(hi16) / norm(lo4)
+    eff_n_8_32 = norm(hi32) / norm(lo8)
     print(json.dumps({
         "sec_4": lo4["value"], "sec_16": hi16["value"],
         "sec_8": lo8["value"], "sec_32": hi32["value"],
@@ -83,6 +98,8 @@ def _scaling() -> None:
         "turns_per_sec_32": hi32["turns_per_sec"],
         "scaling_efficiency": round(eff_4_16, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "scaling_efficiency_calib_norm": round(eff_n_4_16, 3),
+        "scaling_efficiency_calib_norm_8_32": round(eff_n_8_32, 3),
         "host_calib": {"4": lo4.get("host_calib"),
                        "16": hi16.get("host_calib"),
                        "8": lo8.get("host_calib"),
