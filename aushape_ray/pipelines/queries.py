@@ -3024,6 +3024,120 @@ def q_doc_dedup_central(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_t_conv_gaps(sf_dir: str):
+    """Exact inter-turn latency quantiles over the transcript corpus
+    (operational health of the log stream): gap = ts[i+1] - ts[i]
+    within each conversation's ordered turn stream; output the exact
+    p50/p90/p99 gap values in microseconds plus the gap count.
+    Distributed shape: coarse conv-hash partition -> per-task
+    lexsort + shift-compare diff (vectorized, conv-boundary masked) ->
+    exact order-statistic selection by value-range partition with
+    count carries (the global_rank machinery, value-only).  SQL oracle:
+    lag window + row_number selection at rank ceil(q*n)."""
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        import zlib
+
+        conv = b.column("conv_id").to_pylist()
+        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
+                           dtype=np.int32, count=len(conv))
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def gaps_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        same = g["conv_id"].eq(g["conv_id"].shift())
+        consec = same & g["turn_idx"].eq(g["turn_idx"].shift() + 1)
+        gap = (g["ts_us"] - g["ts_us"].shift())[consec.to_numpy()]
+        return pd.DataFrame({"gap_us": gap.to_numpy(np.int64)})
+
+    gaps_in_part.__name__ = "gaps_in_part"
+    gaps = ds.map_batches(project, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        gaps_in_part, batch_format="pandas").map_batches(
+        lambda t: t.select(["gap_us"]),
+        batch_format="pyarrow").materialize()
+
+    n = gaps.count()
+    # one (label, rank) pair per quantile — coinciding ranks at tiny n
+    # must still emit one row per label (the SQL UNION ALL does)
+    targets = [(f"p{q}", max(1, (n * q + 99) // 100)) for q in (50, 90, 99)]
+
+    # exact order-statistic selection: value-range partition + count
+    # carries (prefix scan), select local index == target - carry - 1
+    lohi = gaps.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column("gap_us")).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t.column("gap_us")).as_py()], pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in lohi)
+    hi = max(r["hi"] for r in lohi)
+    span = max(hi - lo + 1, 1)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t.column("gap_us").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "rpart", pa.array((v - lo) * N_PARTS // span, pa.int64()))
+
+    parted = gaps.map_batches(add_part, batch_format="pyarrow").materialize()
+    counts = parted.map_batches(
+        lambda t: pa.table({
+            "rpart": pa.array(np.arange(N_PARTS), pa.int64()),
+            "c": pa.array(np.bincount(
+                t.column("rpart").to_numpy(zero_copy_only=False),
+                minlength=N_PARTS), pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    per = np.zeros(N_PARTS, np.int64)
+    for r in counts:
+        per[r["rpart"]] += r["c"]
+    carry = np.concatenate([[0], np.cumsum(per)[:-1]])
+
+    def select(g: pa.Table) -> pa.Table:
+        p = int(g.column("rpart")[0].as_py())
+        v = np.sort(g.column("gap_us").to_numpy(zero_copy_only=False))
+        out_q, out_v = [], []
+        for label, t in targets:
+            k = t - 1 - carry[p]
+            if 0 <= k < len(v):
+                out_q.append(label)
+                out_v.append(int(v[k]))
+        return pa.table({"q": pa.array(out_q, pa.string()),
+                         "gap_us": pa.array(out_v, pa.int64())})
+
+    select.__name__ = "gap_select"
+    sel = parted.groupby("rpart", num_partitions=N_PARTS).map_groups(
+        select, batch_format="pyarrow")
+    return sel.map_batches(
+        lambda t: t.append_column("n_gaps", pa.array([n] * t.num_rows,
+                                                     pa.int64())),
+        batch_format="pyarrow")
+
+
+def sql_t_conv_gaps(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)},
+g AS (
+  SELECT epoch_us(b.ts) - epoch_us(a.ts) AS gap
+  FROM turns a JOIN turns b
+    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1),
+r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS rn,
+             count(*) OVER () AS n FROM g)
+SELECT 'p50' AS q, gap::BIGINT AS gap_us, n::BIGINT AS n_gaps FROM r
+WHERE rn = greatest(1, (n * 50 + 99) // 100)
+UNION ALL
+SELECT 'p90', gap::BIGINT, n::BIGINT FROM r
+WHERE rn = greatest(1, (n * 90 + 99) // 100)
+UNION ALL
+SELECT 'p99', gap::BIGINT, n::BIGINT FROM r
+WHERE rn = greatest(1, (n * 99 + 99) // 100)"""
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3678,6 +3792,7 @@ def build_registry():
         "media_image_stats": q_media_image_stats,
         "media_audio_stats": q_media_audio_stats,
         "media_video_frames": q_media_video_frames,
+        "t_conv_gaps": q_t_conv_gaps,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3759,4 +3874,5 @@ def _build_oracle(t01):
         "doc_chunk_text": sql_doc_chunk_text(),
         "doc_len_outliers": sql_doc_len_outliers(),
         "doc_global_rank": sql_doc_global_rank(),
+        "t_conv_gaps": sql_t_conv_gaps(t01),
     }
