@@ -3138,6 +3138,70 @@ SELECT 'p99', gap::BIGINT, n::BIGINT FROM r
 WHERE rn = greatest(1, (n * 99 + 99) // 100)"""
 
 
+def q_t_role_runs(sf_dir: str):
+    """Gaps-and-islands over each conversation's ordered turn stream:
+    maximal consecutive same-role runs (burst detection — e.g. tool-call
+    storms).  Per conversation: longest run and run count.  Conv-hash
+    partition, per-task lexsort + boundary mask + reduceat run-length
+    encode; turn_idx is gapless per conversation so consecutive rows ARE
+    consecutive turns.  SQL oracle: the classic turn_idx - row_number()
+    islands trick."""
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        import zlib
+
+        conv = b.column("conv_id").to_pylist()
+        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
+                           dtype=np.int32, count=len(conv))
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": b.column("role"),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def runs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        new_run = np.concatenate([[True],
+                                  (conv[1:] != conv[:-1])
+                                  | (role[1:] != role[:-1])])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, len(conv)))
+        run_conv = conv[starts]
+        cb = np.flatnonzero(np.concatenate(
+            [[True], run_conv[1:] != run_conv[:-1]]))
+        out_conv = run_conv[cb]
+        max_run = np.maximum.reduceat(lens, cb)
+        n_runs = np.diff(np.append(cb, len(run_conv)))
+        return pd.DataFrame({"conv_id": out_conv,
+                             "max_run": max_run.astype(np.int64),
+                             "n_runs": n_runs.astype(np.int64)})
+
+    runs_in_part.__name__ = "runs_in_part"
+    return ds.map_batches(project, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        runs_in_part, batch_format="pandas")
+
+
+def sql_t_role_runs(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)},
+runs AS (
+  SELECT conv_id, role, count(*) AS run_len
+  FROM (SELECT conv_id, role, turn_idx,
+               turn_idx - row_number() OVER (
+                   PARTITION BY conv_id, role ORDER BY turn_idx) AS grp
+        FROM turns)
+  GROUP BY conv_id, role, grp)
+SELECT conv_id, max(run_len)::BIGINT AS max_run,
+       count(*)::BIGINT AS n_runs
+FROM runs GROUP BY conv_id"""
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3793,6 +3857,7 @@ def build_registry():
         "media_audio_stats": q_media_audio_stats,
         "media_video_frames": q_media_video_frames,
         "t_conv_gaps": q_t_conv_gaps,
+        "t_role_runs": q_t_role_runs,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3875,4 +3940,5 @@ def _build_oracle(t01):
         "doc_len_outliers": sql_doc_len_outliers(),
         "doc_global_rank": sql_doc_global_rank(),
         "t_conv_gaps": sql_t_conv_gaps(t01),
+        "t_role_runs": sql_t_role_runs(t01),
     }
