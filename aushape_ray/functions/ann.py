@@ -183,6 +183,111 @@ def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
         pair_block, batch_format="pandas")
 
 
+def knn_graph(ds: "ray.data.Dataset", k: int = 5,
+              n_blocks: int = 4) -> "ray.data.Dataset":
+    """EXACT k-nearest-neighbor graph (cosine), distributed — the
+    building block under SemDeDup exemplars, graph-based dedup and
+    curriculum mining.  Same block-pair (theta-join) exchange as
+    all_pairs_cosine: each node meets every other node in exactly one
+    block-pair task; that task emits the node's top-k candidates FROM
+    THAT PAIR ONLY (partial top-k, so the merge shuffle carries
+    O(n * k * n_blocks) 24-byte rows, never O(n^2) sims); a node-keyed
+    groupby merges partials into the exact global top-k.
+
+    Ties broken (sim DESC, neighbor_id ASC) — a total order, so output
+    is deterministic and matches the SQL row_number() oracle.  Returns
+    (node, rank, neighbor_id) with rank 1..k; sims never leave the
+    merge (float columns would be hash-unstable across engines).
+    """
+    B = n_blocks
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        block = (_mix_ids(ids) % np.uint64(B)).astype(np.int64)
+        reps = np.repeat(np.arange(n), B)
+        xs = np.tile(np.arange(B), n)
+        b = block[reps]
+        p = np.minimum(b, xs)
+        q = np.maximum(b, xs)
+        t = batch.take(pa.array(reps))
+        t = t.append_column("pk", pa.array(p * B + q, pa.int64()))
+        t = t.append_column("side",
+                            pa.array((b != p).astype(np.int8), pa.int8()))
+        return t
+
+    import pandas as pd
+
+    def _partial_topk(src_ids, sims, cand_ids):
+        """Per-source top-k rows from one sim matrix (rows=sources)."""
+        if sims.shape[1] == 0:
+            return (np.array([], np.int64), np.array([], np.float64),
+                    np.array([], np.int64))
+        kk = min(k, sims.shape[1])
+        if kk < sims.shape[1]:
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            idx = np.broadcast_to(np.arange(kk), (sims.shape[0], kk)).copy()
+        rows = np.repeat(src_ids, kk)
+        cols = idx.ravel()
+        return rows, np.take_along_axis(sims, idx, axis=1).ravel(), \
+            cand_ids[cols]
+
+    def pair_block(g: "pd.DataFrame") -> "pd.DataFrame":
+        pk = int(g["pk"].iloc[0])
+        diagonal = (pk // B) == (pk % B)
+        side = g["side"].to_numpy()
+        ids = g["vec_id"].to_numpy(np.int64)
+        empty = pd.DataFrame({"node": np.array([], np.int64),
+                              "sim": np.array([], np.float64),
+                              "neighbor_id": np.array([], np.int64)})
+        if diagonal:
+            mat = _normalize(np.stack(g["embedding"].to_numpy())
+                             .astype(np.float64))
+            sims = mat @ mat.T
+            np.fill_diagonal(sims, -np.inf)  # no self-neighbors
+            nodes, sv, nbrs = _partial_topk(ids, sims, ids)
+        else:
+            a = side == 0
+            if not a.any() or a.all():
+                return empty  # one side of the block pair is empty
+            mat = _normalize(np.stack(g["embedding"].to_numpy())
+                             .astype(np.float64))
+            sims = mat[a] @ mat[~a].T
+            n0, s0, c0 = _partial_topk(ids[a], sims, ids[~a])
+            n1, s1, c1 = _partial_topk(ids[~a], sims.T, ids[a])
+            nodes = np.concatenate([n0, n1])
+            sv = np.concatenate([s0, s1])
+            nbrs = np.concatenate([c0, c1])
+        return pd.DataFrame({"node": nodes, "sim": sv,
+                             "neighbor_id": nbrs})
+
+    pair_block.__name__ = "knn_pair_block"
+    cands = ds.map_batches(expand, batch_format="pyarrow").groupby(
+        "pk", num_partitions=B * (B + 1) // 2).map_groups(
+        pair_block, batch_format="pandas")
+
+    N_PARTS = 16
+
+    def merge_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["node", "sim", "neighbor_id"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        rank = g.groupby("node", sort=False).cumcount() + 1
+        out = g[rank <= k].copy()
+        out["rank"] = rank[rank <= k].to_numpy(np.int64)
+        return out[["node", "rank", "neighbor_id"]]
+
+    merge_topk.__name__ = "knn_merge_topk"
+    with_part = cands.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array((np.asarray(t.column("node"), np.int64)
+                              % N_PARTS), pa.int64())),
+        batch_format="pyarrow")
+    return with_part.groupby("part", num_partitions=N_PARTS).map_groups(
+        merge_topk, batch_format="pandas")
+
+
 def kmeans_fit(ds: "ray.data.Dataset", k: int = 8, iters: int = 10,
                tol: float = 1e-6):
     """Distributed Lloyd's k-means over an embedding column.

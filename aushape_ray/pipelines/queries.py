@@ -3202,6 +3202,192 @@ SELECT conv_id, max(run_len)::BIGINT AS max_run,
 FROM runs GROUP BY conv_id"""
 
 
+def q_t_templates(sf_dir: str):
+    """Log template mining (the Drain / Spell family reduced to its
+    deterministic core): every turn's text is collapsed to its
+    structural template — keep only key=value tokens, preserve the
+    literal `type=` discriminator, mask every other value to `<V>`,
+    drop free-text words — then count occurrences and distinct
+    conversations per template.  This is THE log-pipeline operator for
+    unknown-format streams: templates are the grammar the grok patterns
+    are later written against (reference: the field tables
+    lib/field.c:90-138 are exactly such a mined template vocabulary).
+
+    Fully vectorized: Arrow split_pattern -> flat token transform
+    (find_substring / starts_with / replace_substring_regex — RE2, the
+    same engine as the DuckDB oracle) -> ListArray rebuild + binary_join;
+    per-batch (template, conv) partials before the one template-hash
+    exchange, so shuffle volume is unique pairs, not turns."""
+    N_PARTS = 16
+    ds = read_transcripts(sf_dir)
+
+    def to_template(b: pa.Table) -> pa.Table:
+        import zlib
+
+        text = b.column("text").combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        off = toks.offsets.to_numpy().astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten()
+        has_eq = pc.not_equal(pc.find_substring(flat, "="), -1)
+        is_type = pc.starts_with(flat, "type=")
+        # (?s): token values never contain '\n' today, but the mask must
+        # not silently change meaning if one ever does
+        masked = pc.if_else(is_type, flat,
+                            pc.replace_substring_regex(flat, r"(?s)=.*",
+                                                       "=<V>"))
+        keep = has_eq.to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(keep)])
+        new_off = csum[off]
+        tlist = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), masked.filter(has_eq))
+        templ = pc.binary_join(tlist, " ")
+        # per-batch partial: unique (template, conv) with counts
+        pdf = pd.DataFrame({"template": templ.to_pandas(),
+                            "conv_id": b.column("conv_id").to_pandas()})
+        g = pdf.groupby(["template", "conv_id"], sort=False).size()
+        out = g.reset_index(name="cnt")
+        part = np.fromiter(
+            (zlib.crc32(t.encode()) % N_PARTS for t in out["template"]),
+            dtype=np.int64, count=len(out))
+        return pa.table({
+            "template": pa.array(out["template"], pa.string()),
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(np.int64), pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("template", sort=False).agg(
+            n_turns=("cnt", "sum"), n_convs=("conv_id", "nunique"))
+        a = a.reset_index()
+        a["n_turns"] = a["n_turns"].astype(np.int64)
+        a["n_convs"] = a["n_convs"].astype(np.int64)
+        return a
+
+    fold.__name__ = "template_fold"
+    return ds.map_batches(to_template, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        fold, batch_format="pandas")
+
+
+def sql_t_templates(path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id,
+         array_to_string(
+           list_transform(
+             list_filter(string_split(text, ' '), x -> contains(x, '=')),
+             x -> CASE WHEN starts_with(x, 'type=') THEN x
+                       ELSE x[1:strpos(x, '=')] || '<V>' END),
+           ' ') AS template
+  FROM read_parquet('{path}'))
+SELECT template, count(*)::BIGINT AS n_turns,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM t GROUP BY template"""
+
+
+def q_t_tool_latency(sf_dir: str):
+    """Per-tool response latency over the transcript stream: for every
+    tool-call turn, the gap to the NEXT turn in the same conversation
+    (the tool's answer); per tool — call count, answered count, total
+    and max gap (microseconds, exact int64).  Conv-hash partition +
+    per-task lexsort/shift diff (the t_conv_gaps kernel) emitting
+    six-row per-tool PARTIALS per partition, so the final exchange is
+    O(n_parts * n_tools) rows.  SQL oracle: lead() window."""
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        import zlib
+
+        conv = b.column("conv_id").to_pylist()
+        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
+                           dtype=np.int32, count=len(conv))
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "tool": b.column("tool"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def tool_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        nxt_same = g["conv_id"].shift(-1).eq(g["conv_id"])
+        gap = (g["ts_us"].shift(-1) - g["ts_us"]).where(nxt_same)
+        is_tool = g["tool"].ne("").to_numpy()
+        sub = pd.DataFrame({"tool": g["tool"][is_tool],
+                            "gap": gap[is_tool]})
+        a = sub.groupby("tool", sort=False).agg(
+            n_calls=("gap", "size"), n_answered=("gap", "count"),
+            sum_gap_us=("gap", lambda s: int(s.sum(skipna=True) or 0)),
+            max_gap_us=("gap", lambda s: int(s.max()) if s.notna().any()
+                        else -1))
+        return a.reset_index()
+
+    tool_partial.__name__ = "tool_partial"
+
+    def tool_final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("tool", sort=False).agg(
+            n_calls=("n_calls", "sum"), n_answered=("n_answered", "sum"),
+            sum_gap_us=("sum_gap_us", "sum"), max_gap_us=("max_gap_us", "max"))
+        a = a.reset_index()
+        for c in ("n_calls", "n_answered", "sum_gap_us", "max_gap_us"):
+            a[c] = a[c].astype(np.int64)
+        return a
+
+    tool_final.__name__ = "tool_final"
+    partials = ds.map_batches(project, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        tool_partial, batch_format="pandas")
+    return partials.groupby("tool", num_partitions=4).map_groups(
+        tool_final, batch_format="pandas")
+
+
+def sql_t_tool_latency(path: str) -> str:
+    return f"""
+WITH nxt AS (
+  SELECT tool,
+         epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM read_parquet('{path}'))
+SELECT tool, count(*)::BIGINT AS n_calls,
+       count(nts)::BIGINT AS n_answered,
+       coalesce(sum(nts - ts_us), 0)::BIGINT AS sum_gap_us,
+       max(nts - ts_us)::BIGINT AS max_gap_us
+FROM nxt WHERE tool <> '' GROUP BY tool"""
+
+
+def q_emb_knn_graph(sf_dir: str):
+    """Exact k-NN graph (k=5, cosine) over the embedding corpus — the
+    primitive under SemDeDup exemplar picking, graph dedup and
+    curriculum mining (functions/ann.knn_graph).  Block-pair exchange
+    with per-pair PARTIAL top-k (merge shuffle carries O(n*k*B) 24-byte
+    rows, never O(n^2) sims), node-keyed merge, ties broken
+    (sim DESC, neighbor_id ASC).  Output is integer-only (node, rank,
+    neighbor_id) so the hash compare never touches a float."""
+    from ..functions.ann import knn_graph
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph(ds, k=5, n_blocks=4)
+
+
+def sql_emb_knn_graph() -> str:
+    return """
+WITH s AS (
+  SELECT a.vec_id AS node, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id),
+r AS (SELECT node, nid,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY sim DESC, nid) AS rk
+      FROM s)
+SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 5"""
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -3858,6 +4044,9 @@ def build_registry():
         "media_video_frames": q_media_video_frames,
         "t_conv_gaps": q_t_conv_gaps,
         "t_role_runs": q_t_role_runs,
+        "t_templates": q_t_templates,
+        "t_tool_latency": q_t_tool_latency,
+        "emb_knn_graph": q_emb_knn_graph,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
@@ -3941,4 +4130,7 @@ def _build_oracle(t01):
         "doc_global_rank": sql_doc_global_rank(),
         "t_conv_gaps": sql_t_conv_gaps(t01),
         "t_role_runs": sql_t_role_runs(t01),
+        "t_templates": sql_t_templates(t01),
+        "t_tool_latency": sql_t_tool_latency(t01),
+        "emb_knn_graph": sql_emb_knn_graph(),
     }

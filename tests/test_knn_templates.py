@@ -1,0 +1,111 @@
+"""Parity tests for the round-3 additions: exact k-NN graph (brute-force
+rank parity across multiple blocks), log template mining and per-tool
+latency (scalar-reference parity over the sf0.001 fixture corpus)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aushape_ray.fixtures import ensure_transcripts
+
+
+def _read_fixture_df(sf_dir="/root/testdata/sf0.001"):
+    import glob
+
+    path = ensure_transcripts(sf_dir)
+    parts = [pq.read_table(f) for f in sorted(glob.glob(f"{path}/*.parquet"))]
+    return pa.concat_tables(parts).to_pandas()
+
+
+def test_knn_graph_matches_bruteforce_multiblock(ray_session):
+    """knn_graph == brute-force exact ranks, ties broken (sim DESC,
+    neighbor_id ASC), across block counts and a multi-block Dataset."""
+    import ray.data
+
+    from aushape_ray.functions.ann import knn_graph
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 137, 8, 5
+    vecs = rng.normal(size=(n, dim))
+    # inject exact duplicates so equal-sim ties exercise the tie-break
+    vecs[50] = vecs[10]
+    vecs[51] = vecs[10]
+    ids = np.arange(2000, 2000 + n, dtype=np.int64)
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    want = set()
+    for i in range(n):
+        order = np.lexsort((ids, -sims[i]))  # sim desc, id asc
+        for rank, j in enumerate(order[:k], start=1):
+            want.add((int(ids[i]), rank, int(ids[j])))
+
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64(), dim)),
+    })
+    for n_blocks in (2, 4):
+        ds = ray.data.from_arrow(t).repartition(6)
+        out = knn_graph(ds, k=k, n_blocks=n_blocks).take_all()
+        got = {(r["node"], r["rank"], r["neighbor_id"]) for r in out}
+        assert len(out) == n * k, n_blocks
+        assert got == want, n_blocks
+
+
+def _scalar_template(text: str) -> str:
+    out = []
+    for tok in text.split(" "):
+        if "=" not in tok:
+            continue
+        if tok.startswith("type="):
+            out.append(tok)
+        else:
+            out.append(tok[: tok.index("=") + 1] + "<V>")
+    return " ".join(out)
+
+
+def test_templates_scalar_parity(ray_session):
+    """q_t_templates over the fixture corpus == a per-row scalar Python
+    reference (token filter + mask + pair-distinct counting)."""
+    from aushape_ray.pipelines.queries import q_t_templates
+
+    df = _read_fixture_df()
+    df["template"] = [_scalar_template(t) for t in df["text"]]
+    want = (df.groupby("template")
+            .agg(n_turns=("template", "size"), n_convs=("conv_id", "nunique"))
+            .reset_index())
+
+    got = q_t_templates("/root/testdata/sf0.001").to_pandas()
+    got = got.sort_values("template", ignore_index=True)
+    want = want.sort_values("template", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["template", "n_turns", "n_convs"]].astype(
+            {"n_turns": np.int64, "n_convs": np.int64}),
+        want.astype({"n_turns": np.int64, "n_convs": np.int64}))
+    # the miner must actually compress: far fewer templates than turns
+    assert len(got) < len(df) / 20
+
+
+def test_tool_latency_scalar_parity(ray_session):
+    from aushape_ray.pipelines.queries import q_t_tool_latency
+
+    df = _read_fixture_df().sort_values(["conv_id", "turn_idx"],
+                                        ignore_index=True)
+    ts = df["ts"].astype("int64")
+    nxt_same = df["conv_id"].shift(-1).eq(df["conv_id"])
+    gap = (ts.shift(-1) - ts).where(nxt_same)
+    sub = pd.DataFrame({"tool": df["tool"], "gap": gap})[df["tool"].ne("")]
+    want = sub.groupby("tool").agg(
+        n_calls=("gap", "size"), n_answered=("gap", "count"),
+        sum_gap_us=("gap", lambda s: int(s.sum())),
+        max_gap_us=("gap", lambda s: int(s.max()))).reset_index()
+
+    got = q_t_tool_latency("/root/testdata/sf0.001").to_pandas()
+    got = got.sort_values("tool", ignore_index=True)
+    want = want.sort_values("tool", ignore_index=True)
+    cols = ["n_calls", "n_answered", "sum_gap_us", "max_gap_us"]
+    pd.testing.assert_frame_equal(got[["tool"] + cols].astype(
+        {c: np.int64 for c in cols}), want.astype({c: np.int64 for c in cols}))
