@@ -59,10 +59,14 @@ def _configure_shuffle(cfg: PipelineConfig) -> None:
 
 
 def read_transcripts(sf_dir: str,
-                     cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":
+                     cfg: PipelineConfig = PipelineConfig(),
+                     columns: "list[str] | None" = None) -> "ray.data.Dataset":
+    """Transcript read, column-pruned: pass `columns` when a query needs
+    only a projection — the text column dominates the table's bytes, so
+    analytics that never touch it should not pull it off storage."""
     path = ensure_transcripts(sf_dir)
     _configure_shuffle(cfg)
-    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    return ray.data.read_parquet(path, columns=columns or TRANSCRIPT_COLUMNS)
 
 
 def build_events(ds: "ray.data.Dataset",

@@ -138,7 +138,7 @@ def _rename_count(ds: "ray.data.Dataset", key: str, out: str) -> "ray.data.Datas
 def _token_interp_counts(sf_dir: str, token_key: str) -> "ray.data.Dataset":
     """Count enriched-token interpretations for one key: partial counts per
     batch, then a tiny groupby-sum (no row-level shuffle)."""
-    ds = read_transcripts(sf_dir).map_batches(
+    ds = read_transcripts(sf_dir, columns=["text", "role", "tool"]).map_batches(
         parse_batch, batch_format="pyarrow", zero_copy_batch=True,
     ).map_batches(enrich_batch_full, batch_format="pyarrow")
 
@@ -195,6 +195,21 @@ def _cents(col) -> "pa.Array":
     return pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64())
 
 
+def _str_part(col, n_parts: int) -> np.ndarray:
+    """Vectorized partition id for a string column: 64-bit FNV-1a over
+    the raw utf-8 bytes (zero-copy flat view, the shared fnv_segments
+    kernel) mod n_parts.  Replaces the per-row zlib.crc32 Python loop
+    on every conv-hash partition site — the hash only routes rows to
+    partitions, so the change is invisible in any query output."""
+    from ..functions.dedup import flat_utf8, fnv_segments
+
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col, pa.string())
+    data, off, _n = flat_utf8(col)
+    h = fnv_segments(data, off[:-1], np.diff(off))
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
 # --------------------------------------------------------------------------
 # transcript pipeline queries
 # --------------------------------------------------------------------------
@@ -244,7 +259,7 @@ FROM turns GROUP BY conv_id HAVING bool_or(kind <> 'EOE')"""
 
 
 def q_t_turn_kind_counts(sf_dir: str):
-    ds = read_transcripts(sf_dir).map_batches(
+    ds = read_transcripts(sf_dir, columns=["text"]).map_batches(
         parse_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -436,15 +451,11 @@ def q_t_kind_bigrams(sf_dir: str):
     gapless per conversation, so a shift-compare finds exactly the
     consecutive pairs); global groupby sums the partials."""
     N_PARTS = 32
-    ds = read_transcripts(sf_dir).map_batches(
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]).map_batches(
         parse_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     def project(b: pa.Table) -> pa.Table:
-        import zlib
-
-        conv = b.column("conv_id").to_pylist()
-        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
-                           dtype=np.int32, count=len(conv))
+        part = _str_part(b.column("conv_id"), N_PARTS)
         return pa.table({
             "conv_id": b.column("conv_id"),
             "turn_idx": b.column("turn_idx").cast(pa.int64()),
@@ -452,7 +463,15 @@ def q_t_kind_bigrams(sf_dir: str):
             "part": pa.array(part, pa.int32()),
         })
 
-    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+    def _typed(out: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "from_kind": pa.array(out["from_kind"], pa.string()),
+            "to_kind": pa.array(out["to_kind"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         same = g["conv_id"].eq(g["conv_id"].shift())
         consec = same & g["turn_idx"].eq(g["turn_idx"].shift() + 1)
@@ -460,19 +479,23 @@ def q_t_kind_bigrams(sf_dir: str):
                            "to_kind": g["kind"]})[consec.to_numpy()]
         out = df.groupby(["from_kind", "to_kind"], as_index=False).size()
         out.columns = ["from_kind", "to_kind", "n"]
-        return out
+        return _typed(out)
+
+    def bigram_sum(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        out = g.groupby(["from_kind", "to_kind"], as_index=False)["n"].sum()
+        return _typed(out)
 
     bigrams.__name__ = "bigrams_partition"
-    parts = ds.map_batches(project, batch_format="pyarrow").groupby(
-        "part", num_partitions=N_PARTS).map_groups(
-        bigrams, batch_format="pandas")
-    out = parts.groupby(["from_kind", "to_kind"]).aggregate(
-        Sum("n", alias_name="n"))
-    return out.map_batches(
-        lambda t: pa.table({"from_kind": t.column("from_kind"),
-                            "to_kind": t.column("to_kind"),
-                            "n": t.column("n").cast(pa.int64())}),
-        batch_format="pyarrow")
+    # both exchanges on bucket_exchange: bounded buckets of tiny partials
+    # (the Dataset sort exchange was all fixed cost here — 11.6s -> 1.7s
+    # at sf0.1/32cpu, BASELINE.md round-3f)
+    from ..functions.joins import bucket_exchange
+
+    parts = bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, bigrams, bucket_col="part")
+    return bucket_exchange(parts, 1, bigram_sum)
 
 
 def sql_t_kind_bigrams(path: str) -> str:
@@ -489,7 +512,7 @@ def q_t_field_histogram(sf_dir: str):
     (dynamic-schema observability; also a corpus-wide parser parity
     check against the SQL tokenizer).  Per-batch Counter over the
     flattened tok_keys lists; only (key, n) partials shuffle."""
-    ds = read_transcripts(sf_dir).map_batches(
+    ds = read_transcripts(sf_dir, columns=["text"]).map_batches(
         parse_batch, batch_format="pyarrow", zero_copy_batch=True)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -3035,14 +3058,10 @@ def q_t_conv_gaps(sf_dir: str):
     count carries (the global_rank machinery, value-only).  SQL oracle:
     lag window + row_number selection at rank ceil(q*n)."""
     N_PARTS = 32
-    ds = read_transcripts(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
 
     def project(b: pa.Table) -> pa.Table:
-        import zlib
-
-        conv = b.column("conv_id").to_pylist()
-        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
-                           dtype=np.int32, count=len(conv))
+        part = _str_part(b.column("conv_id"), N_PARTS)
         return pa.table({
             "conv_id": b.column("conv_id"),
             "turn_idx": b.column("turn_idx").cast(pa.int64()),
@@ -3050,19 +3069,21 @@ def q_t_conv_gaps(sf_dir: str):
             "part": pa.array(part, pa.int32()),
         })
 
-    def gaps_in_part(g: pd.DataFrame) -> pd.DataFrame:
+    def gaps_in_part(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         same = g["conv_id"].eq(g["conv_id"].shift())
         consec = same & g["turn_idx"].eq(g["turn_idx"].shift() + 1)
         gap = (g["ts_us"] - g["ts_us"].shift())[consec.to_numpy()]
-        return pd.DataFrame({"gap_us": gap.to_numpy(np.int64)})
+        return pa.table({"gap_us": pa.array(gap.to_numpy(np.int64),
+                                            pa.int64())})
 
     gaps_in_part.__name__ = "gaps_in_part"
-    gaps = ds.map_batches(project, batch_format="pyarrow").groupby(
-        "part", num_partitions=N_PARTS).map_groups(
-        gaps_in_part, batch_format="pandas").map_batches(
-        lambda t: t.select(["gap_us"]),
-        batch_format="pyarrow").materialize()
+    from ..functions.joins import bucket_exchange
+
+    gaps = bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, gaps_in_part, bucket_col="part").materialize()
 
     n = gaps.count()
     # one (label, rank) pair per quantile — coinciding ranks at tiny n
@@ -3099,20 +3120,20 @@ def q_t_conv_gaps(sf_dir: str):
     carry = np.concatenate([[0], np.cumsum(per)[:-1]])
 
     def select(g: pa.Table) -> pa.Table:
-        p = int(g.column("rpart")[0].as_py())
-        v = np.sort(g.column("gap_us").to_numpy(zero_copy_only=False))
         out_q, out_v = [], []
-        for label, t in targets:
-            k = t - 1 - carry[p]
-            if 0 <= k < len(v):
-                out_q.append(label)
-                out_v.append(int(v[k]))
+        if g.num_rows:
+            p = int(g.column("rpart")[0].as_py())
+            v = np.sort(g.column("gap_us").to_numpy(zero_copy_only=False))
+            for label, t in targets:
+                k = t - 1 - carry[p]
+                if 0 <= k < len(v):
+                    out_q.append(label)
+                    out_v.append(int(v[k]))
         return pa.table({"q": pa.array(out_q, pa.string()),
                          "gap_us": pa.array(out_v, pa.int64())})
 
     select.__name__ = "gap_select"
-    sel = parted.groupby("rpart", num_partitions=N_PARTS).map_groups(
-        select, batch_format="pyarrow")
+    sel = bucket_exchange(parted, N_PARTS, select, bucket_col="rpart")
     return sel.map_batches(
         lambda t: t.append_column("n_gaps", pa.array([n] * t.num_rows,
                                                      pa.int64())),
@@ -3147,14 +3168,10 @@ def q_t_role_runs(sf_dir: str):
     consecutive turns.  SQL oracle: the classic turn_idx - row_number()
     islands trick."""
     N_PARTS = 32
-    ds = read_transcripts(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
 
     def project(b: pa.Table) -> pa.Table:
-        import zlib
-
-        conv = b.column("conv_id").to_pylist()
-        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
-                           dtype=np.int32, count=len(conv))
+        part = _str_part(b.column("conv_id"), N_PARTS)
         return pa.table({
             "conv_id": b.column("conv_id"),
             "turn_idx": b.column("turn_idx").cast(pa.int64()),
@@ -3162,10 +3179,15 @@ def q_t_role_runs(sf_dir: str):
             "part": pa.array(part, pa.int32()),
         })
 
-    def runs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+    def runs_in_part(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         conv = g["conv_id"].to_numpy()
         role = g["role"].to_numpy()
+        if len(conv) == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "max_run": pa.array([], pa.int64()),
+                             "n_runs": pa.array([], pa.int64())})
         new_run = np.concatenate([[True],
                                   (conv[1:] != conv[:-1])
                                   | (role[1:] != role[:-1])])
@@ -3177,14 +3199,16 @@ def q_t_role_runs(sf_dir: str):
         out_conv = run_conv[cb]
         max_run = np.maximum.reduceat(lens, cb)
         n_runs = np.diff(np.append(cb, len(run_conv)))
-        return pd.DataFrame({"conv_id": out_conv,
-                             "max_run": max_run.astype(np.int64),
-                             "n_runs": n_runs.astype(np.int64)})
+        return pa.table({"conv_id": pa.array(out_conv, pa.string()),
+                         "max_run": pa.array(max_run.astype(np.int64)),
+                         "n_runs": pa.array(n_runs.astype(np.int64))})
 
     runs_in_part.__name__ = "runs_in_part"
-    return ds.map_batches(project, batch_format="pyarrow").groupby(
-        "part", num_partitions=N_PARTS).map_groups(
-        runs_in_part, batch_format="pandas")
+    from ..functions.joins import bucket_exchange
+
+    return bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, runs_in_part, bucket_col="part")
 
 
 def sql_t_role_runs(path: str) -> str:
@@ -3219,7 +3243,7 @@ def q_t_templates(sf_dir: str):
     per-batch (template, conv) partials before the one template-hash
     exchange, so shuffle volume is unique pairs, not turns."""
     N_PARTS = 16
-    ds = read_transcripts(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "text"])
 
     def to_template(b: pa.Table) -> pa.Table:
         import zlib
@@ -3242,33 +3266,44 @@ def q_t_templates(sf_dir: str):
         tlist = pa.ListArray.from_arrays(
             pa.array(new_off, pa.int32()), masked.filter(has_eq))
         templ = pc.binary_join(tlist, " ")
-        # per-batch partial: unique (template, conv) with counts
-        pdf = pd.DataFrame({"template": templ.to_pandas(),
-                            "conv_id": b.column("conv_id").to_pandas()})
-        g = pdf.groupby(["template", "conv_id"], sort=False).size()
-        out = g.reset_index(name="cnt")
-        part = np.fromiter(
-            (zlib.crc32(t.encode()) % N_PARTS for t in out["template"]),
-            dtype=np.int64, count=len(out))
+        # per-batch partial: unique (template, conv) with counts —
+        # dictionary codes + one np.unique over a packed int64, never a
+        # string groupby
+        tcode = pc.dictionary_encode(templ)
+        ccode = pc.dictionary_encode(b.column("conv_id").combine_chunks())
+        n_conv = len(ccode.dictionary)
+        combo = (tcode.indices.to_numpy().astype(np.int64) * n_conv
+                 + ccode.indices.to_numpy().astype(np.int64))
+        uniq, counts = np.unique(combo, return_counts=True)
+        tarr = tcode.dictionary.take(pa.array(uniq // n_conv, pa.int64()))
         return pa.table({
-            "template": pa.array(out["template"], pa.string()),
-            "conv_id": pa.array(out["conv_id"], pa.string()),
-            "cnt": pa.array(out["cnt"].to_numpy(np.int64), pa.int64()),
-            "part": pa.array(part, pa.int64()),
+            "template": tarr,
+            "conv_id": ccode.dictionary.take(
+                pa.array(uniq % n_conv, pa.int64())),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            "part": pa.array(_str_part(tarr, N_PARTS), pa.int64()),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         a = g.groupby("template", sort=False).agg(
             n_turns=("cnt", "sum"), n_convs=("conv_id", "nunique"))
         a = a.reset_index()
-        a["n_turns"] = a["n_turns"].astype(np.int64)
-        a["n_convs"] = a["n_convs"].astype(np.int64)
-        return a
+        return pa.table({
+            "template": pa.array(a["template"], pa.string()),
+            "n_turns": pa.array(a["n_turns"].to_numpy(np.int64), pa.int64()),
+            "n_convs": pa.array(a["n_convs"].to_numpy(np.int64), pa.int64()),
+        })
 
     fold.__name__ = "template_fold"
-    return ds.map_batches(to_template, batch_format="pyarrow").groupby(
-        "part", num_partitions=N_PARTS).map_groups(
-        fold, batch_format="pandas")
+    # bucket_exchange, not groupby().map_groups: the bucket count is
+    # bounded (16) and partials are tiny, so the sort exchange would be
+    # all fixed cost (measured 7.2s -> see BASELINE.md round-3f)
+    from ..functions.joins import bucket_exchange
+
+    return bucket_exchange(
+        ds.map_batches(to_template, batch_format="pyarrow"),
+        N_PARTS, fold, bucket_col="part")
 
 
 def sql_t_templates(path: str) -> str:
@@ -3296,14 +3331,10 @@ def q_t_tool_latency(sf_dir: str):
     six-row per-tool PARTIALS per partition, so the final exchange is
     O(n_parts * n_tools) rows.  SQL oracle: lead() window."""
     N_PARTS = 32
-    ds = read_transcripts(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "tool", "ts"])
 
     def project(b: pa.Table) -> pa.Table:
-        import zlib
-
-        conv = b.column("conv_id").to_pylist()
-        part = np.fromiter((zlib.crc32(c.encode()) % N_PARTS for c in conv),
-                           dtype=np.int32, count=len(conv))
+        part = _str_part(b.column("conv_id"), N_PARTS)
         return pa.table({
             "conv_id": b.column("conv_id"),
             "turn_idx": b.column("turn_idx").cast(pa.int64()),
@@ -3312,7 +3343,20 @@ def q_t_tool_latency(sf_dir: str):
             "part": pa.array(part, pa.int32()),
         })
 
-    def tool_partial(g: pd.DataFrame) -> pd.DataFrame:
+    def _typed(a: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "tool": pa.array(a["tool"], pa.string()),
+            "n_calls": pa.array(a["n_calls"].to_numpy(np.int64), pa.int64()),
+            "n_answered": pa.array(a["n_answered"].to_numpy(np.int64),
+                                   pa.int64()),
+            "sum_gap_us": pa.array(a["sum_gap_us"].to_numpy(np.int64),
+                                   pa.int64()),
+            "max_gap_us": pa.array(a["max_gap_us"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    def tool_partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
         nxt_same = g["conv_id"].shift(-1).eq(g["conv_id"])
         gap = (g["ts_us"].shift(-1) - g["ts_us"]).where(nxt_same)
@@ -3324,25 +3368,28 @@ def q_t_tool_latency(sf_dir: str):
             sum_gap_us=("gap", lambda s: int(s.sum(skipna=True) or 0)),
             max_gap_us=("gap", lambda s: int(s.max()) if s.notna().any()
                         else -1))
-        return a.reset_index()
+        return _typed(a.reset_index())
 
     tool_partial.__name__ = "tool_partial"
 
-    def tool_final(g: pd.DataFrame) -> pd.DataFrame:
+    def tool_final(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         a = g.groupby("tool", sort=False).agg(
             n_calls=("n_calls", "sum"), n_answered=("n_answered", "sum"),
             sum_gap_us=("sum_gap_us", "sum"), max_gap_us=("max_gap_us", "max"))
-        a = a.reset_index()
-        for c in ("n_calls", "n_answered", "sum_gap_us", "max_gap_us"):
-            a[c] = a[c].astype(np.int64)
-        return a
+        return _typed(a.reset_index())
 
     tool_final.__name__ = "tool_final"
-    partials = ds.map_batches(project, batch_format="pyarrow").groupby(
-        "part", num_partitions=N_PARTS).map_groups(
-        tool_partial, batch_format="pandas")
-    return partials.groupby("tool", num_partitions=4).map_groups(
-        tool_final, batch_format="pandas")
+    # both exchanges on bucket_exchange: 32 bounded buckets of tiny
+    # partials, then one degenerate reduce over ~n_parts*n_tools rows —
+    # the Dataset sort exchange's fixed cost dominated here (9.6s -> see
+    # BASELINE.md round-3f)
+    from ..functions.joins import bucket_exchange
+
+    partials = bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, tool_partial, bucket_col="part")
+    return bucket_exchange(partials, 1, tool_final)
 
 
 def sql_t_tool_latency(path: str) -> str:

@@ -198,7 +198,8 @@ def main() -> None:
     for name in ("q1_pricing", "events_tumbling", "doc_dedup_exact",
                  "ann_topk", "doc_token_stats", "doc_fingerprint",
                  "doc_simhash", "emb_sim_pairs", "events_range_join",
-                 "doc_span_dedup", "doc_chunk_text", "doc_global_rank"):
+                 "doc_span_dedup", "doc_chunk_text", "doc_global_rank",
+                 "t_templates", "emb_knn_graph"):
         fn = getattr(Q, f"q_{name}")
         t0 = time.time()
         res = fn(sf_dir)
