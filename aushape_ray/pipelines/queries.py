@@ -3435,6 +3435,36 @@ r AS (SELECT node, nid,
 SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 5"""
 
 
+def q_doc_prepare_shards(sf_dir: str):
+    """End-to-end training-shard preparation (pipelines/training.py):
+    BPE tokenize -> deterministic shuffle-shard -> next-fit pack ->
+    per-shard parquet with per-shard manifests and PER-SHARD resume
+    (the "skip finished partitions" posture, complementing
+    curate_corpus's stage-level resume).  Returns the per-shard summary
+    plus the conservation flag (packed token total == tokenize total).
+    Rows-only: iterative BPE + filesystem effects aren't SQL;
+    conservation and resume are pytest-enforced (test_training_shards)."""
+    import os
+    import shutil
+
+    from .training import prepare_shards
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/aushape_prepare_shards_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    res = prepare_shards(sf_dir, out, n_shards=8, capacity=256)
+    rows = pd.DataFrame(res["shards"])
+    rows["conserved"] = bool(res["conserved"])
+    return pa.table({
+        "shard": pa.array(rows["shard"].to_numpy(np.int64), pa.int64()),
+        "n_docs": pa.array(rows["n_docs"].to_numpy(np.int64), pa.int64()),
+        "n_tokens": pa.array(rows["n_tokens"].to_numpy(np.int64),
+                             pa.int64()),
+        "n_packs": pa.array(rows["n_packs"].to_numpy(np.int64), pa.int64()),
+        "conserved": pa.array(rows["conserved"], pa.bool_()),
+    })
+
+
 def q_doc_quality_model(sf_dir: str):
     """Model-based quality filtering (the fastText/CCNet bootstrap):
     heuristic-labeled logistic regression trained by distributed
@@ -4094,6 +4124,7 @@ def build_registry():
         "t_templates": q_t_templates,
         "t_tool_latency": q_t_tool_latency,
         "emb_knn_graph": q_emb_knn_graph,
+        "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
