@@ -3435,6 +3435,75 @@ r AS (SELECT node, nid,
 SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 5"""
 
 
+def q_emb_knn_classify(sf_dir: str):
+    """k-NN majority-vote classification over the embedding corpus
+    (label column = ground truth): each vector's 5 nearest neighbors
+    (functions/ann.knn_graph, exact) vote; majority wins, ties broken
+    by smallest label.  Composition shape: knn_graph edge list ->
+    partitioned hash join fetches neighbor labels (never a broadcast of
+    the label table — at corpus scale it is as big as the corpus) ->
+    node-bucket exchange tallies votes vectorized.  Output
+    (node, pred_label) is integer-only."""
+    from ..functions.ann import knn_graph
+    from ..functions.joins import bucket_exchange, hash_join
+
+    N_PARTS = 16
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges = knn_graph(ds, k=5, n_blocks=4).map_batches(
+        lambda t: t.select(["node", "neighbor_id"]), batch_format="pyarrow")
+    labels = _read_table(sf_dir, "embeddings", ["vec_id", "label"])
+    lab = hash_join(edges, labels, "neighbor_id", "vec_id")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array(node % N_PARTS, pa.int64()))
+
+    def vote(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        if not len(g):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int64())})
+        c = (g.groupby(["node", "label"], sort=False).size()
+             .reset_index(name="c"))
+        c = c.sort_values(["node", "c", "label"],
+                          ascending=[True, False, True], ignore_index=True)
+        first = c.groupby("node", sort=False).head(1)
+        return pa.table({
+            "node": pa.array(first["node"].to_numpy(np.int64), pa.int64()),
+            "pred_label": pa.array(first["label"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    vote.__name__ = "knn_vote"
+    return bucket_exchange(
+        lab.map_batches(add_part, batch_format="pyarrow"),
+        N_PARTS, vote, bucket_col="part")
+
+
+def sql_emb_knn_classify() -> str:
+    return """
+WITH s AS (
+  SELECT a.vec_id AS node, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id),
+r AS (SELECT node, nid,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY sim DESC, nid) AS rk
+      FROM s),
+lab AS (
+  SELECT r.node, e.label
+  FROM r JOIN embeddings e ON e.vec_id = r.nid
+  WHERE r.rk <= 5),
+cnt AS (SELECT node, label, count(*) AS c FROM lab GROUP BY node, label),
+best AS (SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rk
+         FROM cnt)
+SELECT node, label::BIGINT AS pred_label FROM best WHERE rk = 1"""
+
+
 def q_doc_prepare_shards(sf_dir: str):
     """End-to-end training-shard preparation (pipelines/training.py):
     BPE tokenize -> deterministic shuffle-shard -> next-fit pack ->
@@ -4124,6 +4193,7 @@ def build_registry():
         "t_templates": q_t_templates,
         "t_tool_latency": q_t_tool_latency,
         "emb_knn_graph": q_emb_knn_graph,
+        "emb_knn_classify": q_emb_knn_classify,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4211,4 +4281,5 @@ def _build_oracle(t01):
         "t_templates": sql_t_templates(t01),
         "t_tool_latency": sql_t_tool_latency(t01),
         "emb_knn_graph": sql_emb_knn_graph(),
+        "emb_knn_classify": sql_emb_knn_classify(),
     }

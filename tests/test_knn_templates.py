@@ -109,3 +109,28 @@ def test_tool_latency_scalar_parity(ray_session):
     cols = ["n_calls", "n_answered", "sum_gap_us", "max_gap_us"]
     pd.testing.assert_frame_equal(got[["tool"] + cols].astype(
         {c: np.int64 for c in cols}), want.astype({c: np.int64 for c in cols}))
+
+
+def test_knn_classify_recovers_clusters(ray_session, tmp_path):
+    """On a corpus of tight clusters, 5-NN majority vote must recover
+    every vector's own cluster label (all neighbors share the cluster)."""
+    import pyarrow.parquet as pq_
+
+    from aushape_ray.pipelines.queries import q_emb_knn_classify
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 10
+    which = np.repeat(np.arange(4), 30)
+    vecs = centers[which] + rng.normal(scale=0.01, size=(120, 8))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(which.astype(np.int32), pa.int32()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq_.write_table(t, sf / "embeddings.parquet")
+    got = q_emb_knn_classify(str(sf)).to_pandas().sort_values(
+        "node", ignore_index=True)
+    assert len(got) == 120
+    assert (got["pred_label"].to_numpy() == which).all()
