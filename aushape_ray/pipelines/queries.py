@@ -3435,6 +3435,83 @@ r AS (SELECT node, nid,
 SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 5"""
 
 
+SESSION_GAP_US = 1_500_000  # ~p90 of the corpus's inter-turn gaps
+
+
+def q_t_sessionize(sf_dir: str):
+    """Transcript-native sessionization: within each conversation's
+    ordered turn stream a new session starts when the inactivity gap
+    exceeds SESSION_GAP_US (agent 'episodes' inside long-running
+    conversations).  Per conversation: session count and the longest
+    session's turn count.  Conv-hash bucket exchange, then one
+    vectorized pass: boundary mask -> session starts -> reduceat
+    island lengths.  SQL oracle: lag-gap flag + windowed running sum
+    (the classic sessionize idiom)."""
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+
+    def project(b: pa.Table) -> pa.Table:
+        part = _str_part(b.column("conv_id"), N_PARTS)
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def sessions_in_part(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        if len(conv) == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "max_session_turns": pa.array([], pa.int64())})
+        new_conv = np.concatenate([[True], conv[1:] != conv[:-1]])
+        gap = np.concatenate([[0], ts[1:] - ts[:-1]])
+        new_sess = new_conv | (gap > SESSION_GAP_US)
+        starts = np.flatnonzero(new_sess)
+        lens = np.diff(np.append(starts, len(conv)))
+        sess_conv = conv[starts]
+        cb = np.flatnonzero(np.concatenate(
+            [[True], sess_conv[1:] != sess_conv[:-1]]))
+        return pa.table({
+            "conv_id": pa.array(sess_conv[cb], pa.string()),
+            "n_sessions": pa.array(
+                np.diff(np.append(cb, len(sess_conv))).astype(np.int64)),
+            "max_session_turns": pa.array(
+                np.maximum.reduceat(lens, cb).astype(np.int64)),
+        })
+
+    sessions_in_part.__name__ = "sessions_in_part"
+    from ..functions.joins import bucket_exchange
+
+    return bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, sessions_in_part, bucket_col="part")
+
+
+def sql_t_sessionize(path: str) -> str:
+    return f"""
+WITH f AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                  > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM read_parquet('{path}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+s AS (SELECT conv_id,
+             sum(new_sess) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS sess
+      FROM f),
+g AS (SELECT conv_id, sess, count(*) AS n FROM s GROUP BY conv_id, sess)
+SELECT conv_id, count(*)::BIGINT AS n_sessions,
+       max(n)::BIGINT AS max_session_turns
+FROM g GROUP BY conv_id"""
+
+
 def q_emb_knn_classify(sf_dir: str):
     """k-NN majority-vote classification over the embedding corpus
     (label column = ground truth): each vector's 5 nearest neighbors
@@ -4194,6 +4271,7 @@ def build_registry():
         "t_tool_latency": q_t_tool_latency,
         "emb_knn_graph": q_emb_knn_graph,
         "emb_knn_classify": q_emb_knn_classify,
+        "t_sessionize": q_t_sessionize,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4282,4 +4360,5 @@ def _build_oracle(t01):
         "t_tool_latency": sql_t_tool_latency(t01),
         "emb_knn_graph": sql_emb_knn_graph(),
         "emb_knn_classify": sql_emb_knn_classify(),
+        "t_sessionize": sql_t_sessionize(t01),
     }
