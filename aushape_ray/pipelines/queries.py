@@ -3246,26 +3246,7 @@ def q_t_templates(sf_dir: str):
     ds = read_transcripts(sf_dir, columns=["conv_id", "text"])
 
     def to_template(b: pa.Table) -> pa.Table:
-        import zlib
-
-        text = b.column("text").combine_chunks()
-        toks = pc.split_pattern(text, " ")
-        off = toks.offsets.to_numpy().astype(np.int64)
-        off = off - off[0]
-        flat = toks.flatten()
-        has_eq = pc.not_equal(pc.find_substring(flat, "="), -1)
-        is_type = pc.starts_with(flat, "type=")
-        # (?s): token values never contain '\n' today, but the mask must
-        # not silently change meaning if one ever does
-        masked = pc.if_else(is_type, flat,
-                            pc.replace_substring_regex(flat, r"(?s)=.*",
-                                                       "=<V>"))
-        keep = has_eq.to_numpy(zero_copy_only=False)
-        csum = np.concatenate([[0], np.cumsum(keep)])
-        new_off = csum[off]
-        tlist = pa.ListArray.from_arrays(
-            pa.array(new_off, pa.int32()), masked.filter(has_eq))
-        templ = pc.binary_join(tlist, " ")
+        templ = _template_column(b.column("text"))
         # per-batch partial: unique (template, conv) with counts —
         # dictionary codes + one np.unique over a packed int64, never a
         # string groupby
@@ -3433,6 +3414,113 @@ r AS (SELECT node, nid,
                                 ORDER BY sim DESC, nid) AS rk
       FROM s)
 SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 5"""
+
+
+def _template_column(text_col) -> "pa.Array":
+    """Structural template of each text (the Drain-family mask): keep
+    only key=value tokens, preserve the literal `type=` discriminator,
+    mask every other value to `<V>`.  Fully Arrow-vectorized: split ->
+    flat RE2 mask -> ListArray rebuild + binary_join.  Shared by
+    t_templates (mining) and t_template_drift (novelty)."""
+    text = text_col.combine_chunks() if isinstance(
+        text_col, pa.ChunkedArray) else text_col
+    toks = pc.split_pattern(text, " ")
+    off = toks.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    flat = toks.flatten()
+    has_eq = pc.not_equal(pc.find_substring(flat, "="), -1)
+    is_type = pc.starts_with(flat, "type=")
+    # (?s): token values never contain '\n' today, but the mask must
+    # not silently change meaning if one ever does
+    masked = pc.if_else(is_type, flat,
+                        pc.replace_substring_regex(flat, r"(?s)=.*",
+                                                   "=<V>"))
+    keep = has_eq.to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(keep)])
+    new_off = csum[off]
+    tlist = pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32()), masked.filter(has_eq))
+    return pc.binary_join(tlist, " ")
+
+
+def q_t_template_drift(sf_dir: str):
+    """Template novelty / drift detection: per mined template, how many
+    occurrences fall in the early vs late half of the corpus's time
+    range (a template with n_early=0 is NEW — schema drift, a deploy, an
+    attack; one with skewed halves is shifting).  Two passes: a 1-row
+    per-batch min/max partial fixes the global midpoint (driver holds two
+    ints), then per-batch dictionary-coded half-counts and one
+    template-hash bucket exchange.  Integer midpoint arithmetic matches
+    the SQL `//` exactly."""
+    N_PARTS = 16
+    ds = read_transcripts(sf_dir, columns=["ts", "text"])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        v = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(v.min())], pa.int64()),
+                         "hi": pa.array([int(v.max())], pa.int64())})
+
+    bb = ds.map_batches(bounds, batch_format="pyarrow").take_all()
+    mid = (min(r["lo"] for r in bb) + max(r["hi"] for r in bb)) // 2
+
+    def partial(b: pa.Table, mid=mid) -> pa.Table:
+        templ = _template_column(b.column("text"))
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = ts > mid
+        tcode = pc.dictionary_encode(templ)
+        idx = tcode.indices.to_numpy().astype(np.int64)
+        nt = len(tcode.dictionary)
+        return pa.table({
+            "template": tcode.dictionary,
+            "n_early": pa.array(np.bincount(idx[~late], minlength=nt)
+                                .astype(np.int64), pa.int64()),
+            "n_late": pa.array(np.bincount(idx[late], minlength=nt)
+                               .astype(np.int64), pa.int64()),
+            "part": pa.array(_str_part(tcode.dictionary, N_PARTS),
+                             pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g.groupby("template", sort=False).agg(
+            n_early=("n_early", "sum"), n_late=("n_late", "sum"))
+        a = a.reset_index()
+        return pa.table({
+            "template": pa.array(a["template"], pa.string()),
+            "n_early": pa.array(a["n_early"].to_numpy(np.int64), pa.int64()),
+            "n_late": pa.array(a["n_late"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fold.__name__ = "drift_fold"
+    from ..functions.joins import bucket_exchange
+
+    return bucket_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                           N_PARTS, fold, bucket_col="part")
+
+
+def sql_t_template_drift(path: str) -> str:
+    return f"""
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+  FROM read_parquet('{path}')),
+t AS (
+  SELECT epoch_us(ts) AS ts_us,
+         array_to_string(
+           list_transform(
+             list_filter(string_split(text, ' '), x -> contains(x, '=')),
+             x -> CASE WHEN starts_with(x, 'type=') THEN x
+                       ELSE x[1:strpos(x, '=')] || '<V>' END),
+           ' ') AS template
+  FROM read_parquet('{path}'))
+SELECT template,
+       sum(CASE WHEN ts_us <= (SELECT mid FROM b)
+                THEN 1 ELSE 0 END)::BIGINT AS n_early,
+       sum(CASE WHEN ts_us > (SELECT mid FROM b)
+                THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM t GROUP BY template"""
 
 
 SESSION_GAP_US = 1_500_000  # ~p90 of the corpus's inter-turn gaps
@@ -4272,6 +4360,7 @@ def build_registry():
         "emb_knn_graph": q_emb_knn_graph,
         "emb_knn_classify": q_emb_knn_classify,
         "t_sessionize": q_t_sessionize,
+        "t_template_drift": q_t_template_drift,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4361,4 +4450,5 @@ def _build_oracle(t01):
         "emb_knn_graph": sql_emb_knn_graph(),
         "emb_knn_classify": sql_emb_knn_classify(),
         "t_sessionize": sql_t_sessionize(t01),
+        "t_template_drift": sql_t_template_drift(t01),
     }
