@@ -218,20 +218,36 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
 
     import pandas as pd
 
-    def _partial_topk(src_ids, sims, cand_ids):
-        """Per-source top-k rows from one sim matrix (rows=sources)."""
-        if sims.shape[1] == 0:
+    CHUNK = 512  # rows per fused matmul+select slice
+
+    def _block_topk(src_ids, src_mat, cand_ids, cand_mat, diagonal):
+        """Per-source top-k among the candidate side, row-chunked: the
+        sim matrix never materializes beyond CHUNK x m (numpy's
+        argpartition over one huge 2-D array is also ~15x slower than
+        the same work in cache-sized slices — measured 8.8s vs 0.54s at
+        6250^2).  On the diagonal the self column is -inf'd and kk
+        capped at m-1 so a self edge can never be emitted, even when the
+        block has <= k members."""
+        m = len(cand_ids)
+        kk = min(k, m - 1 if diagonal else m)
+        if kk <= 0:
             return (np.array([], np.int64), np.array([], np.float64),
                     np.array([], np.int64))
-        kk = min(k, sims.shape[1])
-        if kk < sims.shape[1]:
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        else:
-            idx = np.broadcast_to(np.arange(kk), (sims.shape[0], kk)).copy()
-        rows = np.repeat(src_ids, kk)
-        cols = idx.ravel()
-        return rows, np.take_along_axis(sims, idx, axis=1).ravel(), \
-            cand_ids[cols]
+        nodes_l, sims_l, nbrs_l = [], [], []
+        for i0 in range(0, len(src_ids), CHUNK):
+            sm = src_mat[i0:i0 + CHUNK] @ cand_mat.T
+            c = sm.shape[0]
+            if diagonal:
+                sm[np.arange(c), i0 + np.arange(c)] = -np.inf
+            if kk < m:
+                idx = np.argpartition(sm, m - kk, axis=1)[:, m - kk:]
+            else:
+                idx = np.broadcast_to(np.arange(m), (c, m)).copy()
+            nodes_l.append(np.repeat(src_ids[i0:i0 + c], idx.shape[1]))
+            sims_l.append(np.take_along_axis(sm, idx, axis=1).ravel())
+            nbrs_l.append(cand_ids[idx.ravel()])
+        return (np.concatenate(nodes_l), np.concatenate(sims_l),
+                np.concatenate(nbrs_l))
 
     def pair_block(g: "pd.DataFrame") -> "pd.DataFrame":
         pk = int(g["pk"].iloc[0])
@@ -244,18 +260,15 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
         if diagonal:
             mat = _normalize(np.stack(g["embedding"].to_numpy())
                              .astype(np.float64))
-            sims = mat @ mat.T
-            np.fill_diagonal(sims, -np.inf)  # no self-neighbors
-            nodes, sv, nbrs = _partial_topk(ids, sims, ids)
+            nodes, sv, nbrs = _block_topk(ids, mat, ids, mat, True)
         else:
             a = side == 0
             if not a.any() or a.all():
                 return empty  # one side of the block pair is empty
             mat = _normalize(np.stack(g["embedding"].to_numpy())
                              .astype(np.float64))
-            sims = mat[a] @ mat[~a].T
-            n0, s0, c0 = _partial_topk(ids[a], sims, ids[~a])
-            n1, s1, c1 = _partial_topk(ids[~a], sims.T, ids[a])
+            n0, s0, c0 = _block_topk(ids[a], mat[a], ids[~a], mat[~a], False)
+            n1, s1, c1 = _block_topk(ids[~a], mat[~a], ids[a], mat[a], False)
             nodes = np.concatenate([n0, n1])
             sv = np.concatenate([s0, s1])
             nbrs = np.concatenate([c0, c1])
