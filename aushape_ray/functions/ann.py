@@ -156,22 +156,35 @@ def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
         ids = g["vec_id"].to_numpy(np.int64)
         empty = pd.DataFrame({"vec_a": np.array([], np.int64),
                               "vec_b": np.array([], np.int64)})
+        # row-chunked: the sim matrix never materializes beyond
+        # CHUNK x m per task (the full-matrix form was 312MB/task at
+        # 6250-row blocks; same rationale as knn_graph's kernel)
+        CHUNK = 512
+        va_l, vb_l = [], []
         if diagonal:
             mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-            sims = mat @ mat.T
-            r, c = np.nonzero(sims >= threshold)
-            keep = ids[r] < ids[c]  # upper triangle once, no self-pairs
-            va, vb = ids[r][keep], ids[c][keep]
+            for i0 in range(0, len(ids), CHUNK):
+                sm = mat[i0:i0 + CHUNK] @ mat.T
+                r, c = np.nonzero(sm >= threshold)
+                ra = ids[i0 + r]
+                cb = ids[c]
+                keep = ra < cb  # upper triangle once, no self-pairs
+                va_l.append(ra[keep])
+                vb_l.append(cb[keep])
         else:
             a = side == 0
             if not a.any() or a.all():
                 return empty  # one side of the block pair is empty
             mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
             ia, ib = ids[a], ids[~a]
-            sims = mat[a] @ mat[~a].T
-            r, c = np.nonzero(sims >= threshold)
-            va = np.minimum(ia[r], ib[c])
-            vb = np.maximum(ia[r], ib[c])
+            ma, mb = mat[a], mat[~a]
+            for i0 in range(0, len(ia), CHUNK):
+                sm = ma[i0:i0 + CHUNK] @ mb.T
+                r, c = np.nonzero(sm >= threshold)
+                va_l.append(np.minimum(ia[i0 + r], ib[c]))
+                vb_l.append(np.maximum(ia[i0 + r], ib[c]))
+        va = np.concatenate(va_l) if va_l else np.array([], np.int64)
+        vb = np.concatenate(vb_l) if vb_l else np.array([], np.int64)
         return pd.DataFrame({"vec_a": va.astype(np.int64),
                              "vec_b": vb.astype(np.int64)})
 
