@@ -44,7 +44,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="split conversations longer than this over "
                          "multiple partitions (salted-key skew handling)")
     ap.add_argument("--shuffle", choices=["sort", "hash"], default="sort")
-    ap.add_argument("--input-format", choices=["parquet", "rawlog", "jsonl"],
+    ap.add_argument("--input-format",
+                    choices=["parquet", "rawlog", "jsonl", "csv"],
                     default="parquet",
                     help="rawlog: raw auditd text lines (node=/type= "
                     "msg=audit(ts:serial) framing), one task per file; "
@@ -143,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
 
             _configure_shuffle(cfg)
             events = build_events(read_transcripts_jsonl(args.input_dir), cfg)
+        elif args.input_format == "csv":
+            from .pipelines.events_pipeline import _configure_shuffle
+            from .sources.csvsrc import read_transcripts_csv
+
+            _configure_shuffle(cfg)
+            events = build_events(read_transcripts_csv(args.input_dir), cfg)
         elif args.input_format == "rawlog":
             import glob as _glob
             import os as _os

@@ -313,3 +313,29 @@ def test_rawlog_gzip_matches_plain(ray_session, tmp_path):
         key=lambda r: (r["conv_id"], r["turn_idx"], r["text"])))
     assert plain.equals(mixed)
     assert plain.num_rows > 0
+
+
+def test_csv_source_matches_parquet_pipeline(ray_session, tmp_path):
+    """CSV transcripts (round-tripped through the inverse writer, split
+    across two files) through build_events == the parquet pipeline's
+    routed counts — including embedded-newline/quote/unicode texts."""
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.fixtures import transcripts_path
+    from aushape_ray.oracle import assemble_events, sink_counts as osc
+    from aushape_ray.pipelines.events_pipeline import (build_events,
+                                                       sink_counts)
+    from aushape_ray.sources.csvsrc import (read_transcripts_csv,
+                                            write_transcripts_csv)
+
+    src = pq.read_table(transcripts_path("/root/testdata/sf0.001"))
+    d = tmp_path / "csv"
+    d.mkdir()
+    half = src.num_rows // 2
+    write_transcripts_csv(src.slice(0, half), str(d / "part-0.csv"))
+    write_transcripts_csv(src.slice(half), str(d / "part-1.csv"))
+
+    cfg = PipelineConfig(num_parts=8)
+    events = build_events(read_transcripts_csv(str(d)), cfg)
+    got = {r["sink"]: r["count()"] for r in sink_counts(events).take_all()}
+    want = osc(assemble_events(src))
+    assert got == want
