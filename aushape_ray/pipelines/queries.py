@@ -3600,6 +3600,67 @@ SELECT conv_id, count(*)::BIGINT AS n_sessions,
 FROM g GROUP BY conv_id"""
 
 
+GROK_SYSCALL = (r"type=SYSCALL .* syscall=%{INT:syscall} uid=%{INT:uid} "
+                r"gid=%{INT:gid} exit=%{INT:exit}")
+GROK_SYSCALL_SQL = (r"type=SYSCALL .* syscall=([+-]?[0-9]+) "
+                    r"uid=([+-]?[0-9]+) gid=([+-]?[0-9]+) "
+                    r"exit=([+-]?[0-9]+)")
+
+
+def q_t_grok_extract(sf_dir: str):
+    """Generic grok surface (functions/grok.py): a USER pattern —
+    Logstash-style %{INT:field} refs — applied as one RE2
+    extract_regex pass per batch, matched groups becoming typed
+    columns; here the SYSCALL pattern, aggregated to exit-code counts
+    per syscall.  The fixed-grammar parser (stages/parse.py) is the
+    fast path for the known format; this is the write-a-pattern path
+    for unknown ones.  Same RE2 engine as the DuckDB oracle."""
+    from ..functions.grok import grok_extract
+    from ..functions.joins import bucket_exchange
+
+    ds = read_transcripts(sf_dir, columns=["text"])
+    hits = grok_extract(ds, GROK_SYSCALL,
+                        types={"syscall": pa.int64(), "exit": pa.int64()})
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "syscall": b.column("syscall").to_numpy(zero_copy_only=False),
+            "exit": b.column("exit").to_numpy(zero_copy_only=False)})
+        a = g.groupby(["syscall", "exit"], sort=False).size()
+        a = a.reset_index(name="n")
+        return pa.table({
+            "syscall": pa.array(a["syscall"].to_numpy(np.int64), pa.int64()),
+            "exit": pa.array(a["exit"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(a["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g.groupby(["syscall", "exit"], sort=False)["n"].sum()
+        a = a.reset_index()
+        return pa.table({
+            "syscall": pa.array(a["syscall"].to_numpy(np.int64), pa.int64()),
+            "exit": pa.array(a["exit"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(a["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fold.__name__ = "grok_fold"
+    return bucket_exchange(
+        hits.map_batches(partial, batch_format="pyarrow"), 1, fold)
+
+
+def sql_t_grok_extract(path: str) -> str:
+    return f"""
+SELECT CAST(regexp_extract(text, '{GROK_SYSCALL_SQL}', 1) AS BIGINT)
+         AS syscall,
+       CAST(regexp_extract(text, '{GROK_SYSCALL_SQL}', 4) AS BIGINT)
+         AS exit,
+       count(*)::BIGINT AS n
+FROM read_parquet('{path}')
+WHERE regexp_matches(text, '{GROK_SYSCALL_SQL}')
+GROUP BY 1, 2"""
+
+
 def q_emb_knn_classify(sf_dir: str):
     """k-NN majority-vote classification over the embedding corpus
     (label column = ground truth): each vector's 5 nearest neighbors
@@ -4361,6 +4422,7 @@ def build_registry():
         "emb_knn_classify": q_emb_knn_classify,
         "t_sessionize": q_t_sessionize,
         "t_template_drift": q_t_template_drift,
+        "t_grok_extract": q_t_grok_extract,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4451,4 +4513,5 @@ def _build_oracle(t01):
         "emb_knn_classify": sql_emb_knn_classify(),
         "t_sessionize": sql_t_sessionize(t01),
         "t_template_drift": sql_t_template_drift(t01),
+        "t_grok_extract": sql_t_grok_extract(t01),
     }
