@@ -1761,6 +1761,111 @@ SELECT qs.q::DOUBLE AS q, s.value::DOUBLE AS value
 FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
 
 
+def q_events_quantiles_by_type(sf_dir: str):
+    """EXACT grouped quantiles (p50/p90/p99 of value PER event_type) —
+    the honest scale path for grouped order statistics: a composite
+    (type, value-range) partition with per-partition count carries, so
+    no single task ever needs a whole type's values (a per-type
+    sort-in-one-task shortcut dies when one type dominates 100 TB).
+    Passes: per-type min/max partials (n_types rows/batch) -> range
+    bounds broadcast -> per-bucket counts (n_types*R ints to the
+    driver) -> carry prefix sums -> one bucket exchange selects local
+    rank = target - carry.  Rank convention matches the global query:
+    zero-based floor(q*(n-1)), IEEE double on both engines."""
+    R = 8  # value ranges per type
+    QS = (0.5, 0.9, 0.99)
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "et": t.column("event_type").to_pandas(),
+            "v": t.column("value").to_numpy(zero_copy_only=False)})
+        a = g.groupby("et", sort=False)["v"].agg(["min", "max", "size"])
+        a = a.reset_index()
+        return pa.table({
+            "et": pa.array(a["et"], pa.string()),
+            "lo": pa.array(a["min"].to_numpy(np.float64), pa.float64()),
+            "hi": pa.array(a["max"].to_numpy(np.float64), pa.float64()),
+            "n": pa.array(a["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    agg = mm.groupby("et").agg(lo=("lo", "min"), hi=("hi", "max"),
+                               n=("n", "sum"))
+    types = sorted(agg.index)
+    t_idx = {et: i for i, et in enumerate(types)}
+    lo = agg["lo"].reindex(types).to_numpy()
+    hi = agg["hi"].reindex(types).to_numpy()
+    n_per = agg["n"].reindex(types).to_numpy(np.int64)
+    span = np.maximum(hi - lo, 1e-300)
+
+    # zero-based target rank per (type, q) — same convention as the
+    # global exact-quantile query
+    targets = {i: [min(int(n_per[i]) - 1, int(np.floor(q * (n_per[i] - 1))))
+                   for q in QS] for i in range(len(types))}
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas().map(t_idx).to_numpy(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        r = np.minimum(((v - lo[et]) / span[et] * R).astype(np.int64), R - 1)
+        return pa.table({
+            "et_idx": pa.array(et, pa.int64()),
+            "value": pa.array(v, pa.float64()),
+            "__bucket": pa.array(et * R + r, pa.int64()),
+        })
+
+    parted = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    cnt = parted.map_batches(
+        lambda t: pa.table({
+            "b": pa.array(np.arange(len(types) * R), pa.int64()),
+            "c": pa.array(np.bincount(
+                t.column("__bucket").to_numpy(zero_copy_only=False),
+                minlength=len(types) * R), pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    per = np.zeros(len(types) * R, np.int64)
+    for r_ in cnt:
+        per[r_["b"]] += r_["c"]
+    mat = per.reshape(len(types), R)
+    carry = np.concatenate([np.concatenate(
+        [[0], np.cumsum(mat[i])[:-1]]) for i in range(len(types))])
+
+    q_labels = [f"p{int(q * 100)}" for q in QS]
+
+    def select(g: pa.Table) -> pa.Table:
+        out_t, out_q, out_v = [], [], []
+        if g.num_rows:
+            b = int(g.column("__bucket")[0].as_py())
+            i = b // R
+            v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+            for lbl, tgt in zip(q_labels, targets[i]):
+                k = tgt - carry[b]
+                if 0 <= k < len(v):
+                    out_t.append(types[i])
+                    out_q.append(lbl)
+                    out_v.append(float(v[k]))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "q": pa.array(out_q, pa.string()),
+                         "value": pa.array(out_v, pa.float64())})
+
+    select.__name__ = "grouped_quantile_select"
+    from ..functions.joins import bucket_exchange
+
+    return bucket_exchange(parted, len(types) * R, select)
+
+
+def sql_events_quantiles_by_type() -> str:
+    return """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), qs(q, lbl) AS (VALUES (0.5, 'p50'), (0.9, 'p90'), (0.99, 'p99'))
+SELECT s.event_type, qs.lbl AS q, s.value::DOUBLE AS value
+FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
+
+
 def q_doc_idf(sf_dir: str):
     """Document frequency per token (the IDF numerator a filtering /
     weighting pipeline needs): per-batch per-doc DISTINCT tokens ->
@@ -4423,6 +4528,7 @@ def build_registry():
         "t_sessionize": q_t_sessionize,
         "t_template_drift": q_t_template_drift,
         "t_grok_extract": q_t_grok_extract,
+        "events_quantiles_by_type": q_events_quantiles_by_type,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4514,4 +4620,5 @@ def _build_oracle(t01):
         "t_sessionize": sql_t_sessionize(t01),
         "t_template_drift": sql_t_template_drift(t01),
         "t_grok_extract": sql_t_grok_extract(t01),
+        "events_quantiles_by_type": sql_events_quantiles_by_type(),
     }
