@@ -1866,6 +1866,111 @@ SELECT s.event_type, qs.lbl AS q, s.value::DOUBLE AS value
 FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
 
 
+def q_doc_dataset_card(sf_dir: str):
+    """Dataset card / datasheet: per (source, predicted language) —
+    doc count, char and token totals, quality-score sum and
+    low-quality count, all in ONE corpus pass composing the audited
+    kernels (quality_score, LangId, \\S+ token count).  The standing
+    summary a corpus release ships with; partials per batch, one tiny
+    fold — shuffle volume is O(sources x languages)."""
+    from ..functions.joins import bucket_exchange
+    from ..functions.textops import LangId, quality_score
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    lang = LangId()
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_score(b)
+        lg = lang(b)
+        text = b.column("text").combine_chunks()
+        text = pc.fill_null(text, "")
+        g = pd.DataFrame({
+            "source": b.column("source").to_pandas(),
+            "lang": lg.column("lang_pred").to_pandas(),
+            "quality": q.column("quality").to_numpy(zero_copy_only=False),
+            "n_chars": pc.utf8_length(text).to_numpy(zero_copy_only=False),
+            "n_tokens": pc.count_substring_regex(text, r"\S+")
+            .to_numpy(zero_copy_only=False),
+        })
+        g["low"] = (g["quality"] < 70).astype(np.int64)
+        a = g.groupby(["source", "lang"], sort=False).agg(
+            n_docs=("quality", "size"), n_chars=("n_chars", "sum"),
+            n_tokens=("n_tokens", "sum"), sum_quality=("quality", "sum"),
+            n_low_quality=("low", "sum"))
+        return _card_typed(a.reset_index())
+
+    def _card_typed(a: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "source": pa.array(a["source"], pa.string()),
+            "lang": pa.array(a["lang"], pa.string()),
+            "n_docs": pa.array(a["n_docs"].to_numpy(np.int64), pa.int64()),
+            "n_chars": pa.array(a["n_chars"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(a["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "sum_quality": pa.array(a["sum_quality"].to_numpy(np.int64),
+                                    pa.int64()),
+            "n_low_quality": pa.array(a["n_low_quality"].to_numpy(np.int64),
+                                      pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g.groupby(["source", "lang"], sort=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"),
+            n_tokens=("n_tokens", "sum"), sum_quality=("sum_quality", "sum"),
+            n_low_quality=("n_low_quality", "sum"))
+        return _card_typed(a.reset_index())
+
+    fold.__name__ = "card_fold"
+    return bucket_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                           1, fold)
+
+
+def sql_doc_dataset_card() -> str:
+    def flt(lang, words):
+        lst = ",".join(f"'{w}'" for w in sorted(words))
+        return (f"len(list_filter(lw, x -> x IN ({lst}))) AS n_{lang}")
+    from ..functions.textops import _LANG_MARKERS
+
+    cols = ",\n       ".join(flt(k, v)
+                             for k, v in sorted(_LANG_MARKERS.items()))
+    return rf"""
+WITH w AS (
+  SELECT source, text,
+         regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS lw,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents),
+c AS (
+  SELECT source, text,
+         {cols},
+         len(words)::BIGINT AS n_words,
+         len(list_filter(words, x -> x IN
+             ('the','and','of','to','a','in','is','it')))::BIGINT
+           AS n_stopwords
+  FROM w),
+d AS (
+  SELECT source,
+         CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'unknown'
+              WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+              WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+              WHEN n_es >= n_fr THEN 'es'
+              ELSE 'fr' END AS lang,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+         (CASE WHEN n_words >= 5 THEN 40 ELSE 0 END
+          + CASE WHEN n_words > 0 AND 50 * n_stopwords > n_words
+                 THEN 30 ELSE 0 END
+          + CASE WHEN text <> '' AND length(text) < 10000
+                 THEN 30 ELSE 0 END)::BIGINT AS quality
+  FROM c)
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars, sum(n_tokens)::BIGINT AS n_tokens,
+       sum(quality)::BIGINT AS sum_quality,
+       sum(CASE WHEN quality < 70 THEN 1 ELSE 0 END)::BIGINT
+         AS n_low_quality
+FROM d GROUP BY source, lang"""
+
+
 def q_doc_idf(sf_dir: str):
     """Document frequency per token (the IDF numerator a filtering /
     weighting pipeline needs): per-batch per-doc DISTINCT tokens ->
@@ -4529,6 +4634,7 @@ def build_registry():
         "t_template_drift": q_t_template_drift,
         "t_grok_extract": q_t_grok_extract,
         "events_quantiles_by_type": q_events_quantiles_by_type,
+        "doc_dataset_card": q_doc_dataset_card,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4621,4 +4727,5 @@ def _build_oracle(t01):
         "t_template_drift": sql_t_template_drift(t01),
         "t_grok_extract": sql_t_grok_extract(t01),
         "events_quantiles_by_type": sql_events_quantiles_by_type(),
+        "doc_dataset_card": sql_doc_dataset_card(),
     }
