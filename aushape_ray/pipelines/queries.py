@@ -1866,6 +1866,91 @@ SELECT s.event_type, qs.lbl AS q, s.value::DOUBLE AS value
 FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention (the classic product-analytics matrix): cohort =
+    each user's first active day; for day offsets 0..6, how many of the
+    cohort's users were active again on cohort_day + offset.  ONE
+    user-hash exchange: per-batch distinct (user, day) partials
+    (shuffle volume = active user-days, not events), per-bucket
+    first-day + offset expansion — a user's whole history is co-located
+    so no second pass or self-join is needed.  SQL oracle: min() window
+    + distinct count."""
+    from ..functions.joins import bucket_exchange
+
+    N_PARTS = 16
+    DAY_US = 86_400_000_000
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = (b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY_US)
+        combo = uid * np.int64(1 << 20) + day  # day < 2^20
+        uq = np.unique(combo)
+        u = uq // (1 << 20)
+        d = uq % (1 << 20)
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "day": pa.array(d, pa.int64()),
+            "part": pa.array(u % N_PARTS, pa.int64()),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        if not len(g):
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        # dedup (user, day) across batches, then first day per user
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        off = g["day"] - first
+        sub = pd.DataFrame({"cohort_day": first, "offset": off})
+        sub = sub[sub["offset"] <= 6]
+        a = (sub.groupby(["cohort_day", "offset"], sort=False).size()
+             .reset_index(name="n_users"))
+        return pa.table({
+            "cohort_day": pa.array(a["cohort_day"].to_numpy(np.int64),
+                                   pa.int64()),
+            "offset": pa.array(a["offset"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(a["n_users"].to_numpy(np.int64), pa.int64()),
+        })
+
+    per_bucket.__name__ = "retention_bucket"
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = (g.groupby(["cohort_day", "offset"], sort=False)["n_users"]
+             .sum().reset_index())
+        return pa.table({
+            "cohort_day": pa.array(a["cohort_day"].to_numpy(np.int64),
+                                   pa.int64()),
+            "offset": pa.array(a["offset"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(a["n_users"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fold.__name__ = "retention_fold"
+    buckets = bucket_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        N_PARTS, per_bucket, bucket_col="part")
+    return bucket_exchange(buckets, 1, fold)
+
+
+def sql_events_retention() -> str:
+    return """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+f AS (SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ud)
+SELECT cohort_day::BIGINT AS cohort_day,
+       (day - cohort_day)::BIGINT AS offset,
+       count(*)::BIGINT AS n_users
+FROM f WHERE day - cohort_day <= 6
+GROUP BY 1, 2"""
+
+
 def q_doc_dataset_card(sf_dir: str):
     """Dataset card / datasheet: per (source, predicted language) —
     doc count, char and token totals, quality-score sum and
@@ -4635,6 +4720,7 @@ def build_registry():
         "t_grok_extract": q_t_grok_extract,
         "events_quantiles_by_type": q_events_quantiles_by_type,
         "doc_dataset_card": q_doc_dataset_card,
+        "events_retention": q_events_retention,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4728,4 +4814,5 @@ def _build_oracle(t01):
         "t_grok_extract": sql_t_grok_extract(t01),
         "events_quantiles_by_type": sql_events_quantiles_by_type(),
         "doc_dataset_card": sql_doc_dataset_card(),
+        "events_retention": sql_events_retention(),
     }
