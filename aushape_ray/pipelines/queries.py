@@ -3956,6 +3956,97 @@ WHERE regexp_matches(text, '{GROK_SYSCALL_SQL}')
 GROUP BY 1, 2"""
 
 
+def q_t_conv_dups(sf_dir: str):
+    """Conversation-level behavioral dedup: conversations whose ENTIRE
+    ordered record-kind sequence is identical (repeated automation
+    runs / replayed sessions) — the transcript-granular analogue of
+    doc_dedup_exact.  Conv-hash bucket exchange co-locates each
+    conversation; per bucket the kind chain is assembled vectorized
+    (lexsort + segment binary_join) and grouped.  Output: sequences
+    seen by >1 conversation, their count, and the first conv_id.
+    Oracle: string_agg(... ORDER BY turn_idx) groupby."""
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]
+                          ).map_batches(parse_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        part = _str_part(b.column("conv_id"), N_PARTS)
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "kind": b.column("kind"),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    from ..functions.joins import bucket_exchange
+
+    # per-bucket counts are PARTIAL: identical sequences from different
+    # conversations land in different buckets (the bucket key is the
+    # conv hash), so the >1 filter can only be applied after the global
+    # fold sums per-sequence counts across buckets
+    parts = bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, _conv_seq_partial(), bucket_col="part")
+    return bucket_exchange(parts, 1, _conv_dup_fold)
+
+
+def _conv_seq_partial():
+    """Per-bucket sequence assembly WITHOUT the >1 filter (the global
+    fold applies it after cross-bucket sums)."""
+
+    def inner(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        if not len(g):
+            return pa.table({"seq": pa.array([], pa.string()),
+                             "n_convs": pa.array([], pa.int64()),
+                             "first_conv": pa.array([], pa.string())})
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            [[True], conv[1:] != conv[:-1]]))
+        off = np.append(starts, len(conv)).astype(np.int32)
+        klist = pa.ListArray.from_arrays(
+            pa.array(off), pa.array(g["kind"].to_numpy(), pa.string()))
+        seq = pc.binary_join(klist, ",")
+        per_conv = pd.DataFrame({"seq": seq.to_pandas(),
+                                 "conv_id": conv[starts]})
+        a = per_conv.groupby("seq", sort=False).agg(
+            n_convs=("conv_id", "size"), first_conv=("conv_id", "min"))
+        a = a.reset_index()
+        return pa.table({
+            "seq": pa.array(a["seq"], pa.string()),
+            "n_convs": pa.array(a["n_convs"].to_numpy(np.int64), pa.int64()),
+            "first_conv": pa.array(a["first_conv"], pa.string()),
+        })
+
+    inner.__name__ = "conv_seq_partial"
+    return inner
+
+
+def _conv_dup_fold(t: pa.Table) -> pa.Table:
+    g = t.to_pandas()
+    a = g.groupby("seq", sort=False).agg(
+        n_convs=("n_convs", "sum"), first_conv=("first_conv", "min"))
+    a = a.reset_index()
+    a = a[a["n_convs"] > 1]
+    return pa.table({
+        "seq": pa.array(a["seq"], pa.string()),
+        "n_convs": pa.array(a["n_convs"].to_numpy(np.int64), pa.int64()),
+        "first_conv": pa.array(a["first_conv"], pa.string()),
+    })
+
+
+def sql_t_conv_dups(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)},
+s AS (
+  SELECT conv_id, string_agg(kind, ',' ORDER BY turn_idx) AS seq
+  FROM turns GROUP BY conv_id)
+SELECT seq, count(*)::BIGINT AS n_convs, min(conv_id) AS first_conv
+FROM s GROUP BY seq HAVING count(*) > 1"""
+
+
 def q_emb_knn_classify(sf_dir: str):
     """k-NN majority-vote classification over the embedding corpus
     (label column = ground truth): each vector's 5 nearest neighbors
@@ -4721,6 +4812,7 @@ def build_registry():
         "events_quantiles_by_type": q_events_quantiles_by_type,
         "doc_dataset_card": q_doc_dataset_card,
         "events_retention": q_events_retention,
+        "t_conv_dups": q_t_conv_dups,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)
@@ -4815,4 +4907,5 @@ def _build_oracle(t01):
         "events_quantiles_by_type": sql_events_quantiles_by_type(),
         "doc_dataset_card": sql_doc_dataset_card(),
         "events_retention": sql_events_retention(),
+        "t_conv_dups": sql_t_conv_dups(t01),
     }
