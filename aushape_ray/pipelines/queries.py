@@ -4037,6 +4037,83 @@ def _conv_dup_fold(t: pa.Table) -> pa.Table:
     })
 
 
+def q_t_similar_convs(sf_dir: str):
+    """NEAR-duplicate conversations: byte-5-gram Jaccard >= 0.8 between
+    ordered kind chains (sessions that repeat a workflow with small
+    deviations — the fuzzy complement of t_conv_dups' exact match).
+    Pure composition of audited parts: conv-hash buckets assemble each
+    chain (t_conv_dups' kernel), chains become (doc_id, text) rows via
+    FNV ids, functions/dedup.jaccard_pairs_prefix finds all qualifying
+    pairs EXACTLY (AllPairs/PPJoin prefix bound, no df cap), and two
+    partitioned hash joins map ids back to conv_id strings.  Rows-only:
+    brute-force parity is pytest-enforced (test_knn_templates)."""
+    from ..functions.dedup import jaccard_pairs_prefix
+    from ..functions.joins import bucket_exchange, hash_join
+
+    N_PARTS = 32
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"]
+                          ).map_batches(parse_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        part = _str_part(b.column("conv_id"), N_PARTS)
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "kind": b.column("kind"),
+            "part": pa.array(part, pa.int32()),
+        })
+
+    def chains(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "conv_id": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        conv = g["conv_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            [[True], conv[1:] != conv[:-1]]))
+        off = np.append(starts, len(conv)).astype(np.int32)
+        klist = pa.ListArray.from_arrays(
+            pa.array(off), pa.array(g["kind"].to_numpy(), pa.string()))
+        seq = pc.binary_join(klist, ",")
+        convs = pa.array(conv[starts], pa.string())
+        from ..functions.dedup import flat_utf8, fnv_segments
+
+        data, doff, _ = flat_utf8(convs)
+        ids = fnv_segments(data, doff[:-1], np.diff(doff))
+        # int64-safe positive ids (collision odds ~n^2 / 2^63)
+        ids = (ids >> np.uint64(1)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "conv_id": convs, "text": seq})
+
+    chains.__name__ = "conv_chains"
+    docs = bucket_exchange(
+        ds.map_batches(project, batch_format="pyarrow"),
+        N_PARTS, chains, bucket_col="part").materialize()
+    pairs = jaccard_pairs_prefix(
+        docs.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"), threshold=0.8)
+    names = docs.map_batches(lambda t: t.select(["doc_id", "conv_id"]),
+                             batch_format="pyarrow")
+    j1 = hash_join(pairs, names.map_batches(
+        lambda t: pa.table({"ka": t.column("doc_id"),
+                            "conv_a": t.column("conv_id")}),
+        batch_format="pyarrow"), "doc_a", "ka", n_buckets=8)
+    j2 = hash_join(j1, names.map_batches(
+        lambda t: pa.table({"kb": t.column("doc_id"),
+                            "conv_b": t.column("conv_id")}),
+        batch_format="pyarrow"), "doc_b", "kb", n_buckets=8)
+    return j2.map_batches(
+        lambda t: pa.table({
+            "conv_a": pc.min_element_wise(t.column("conv_a"),
+                                          t.column("conv_b")),
+            "conv_b": pc.max_element_wise(t.column("conv_a"),
+                                          t.column("conv_b")),
+        }), batch_format="pyarrow")
+
+
 def sql_t_conv_dups(path: str) -> str:
     return f"""
 WITH {_sql_turns(path)},
@@ -4813,6 +4890,7 @@ def build_registry():
         "doc_dataset_card": q_doc_dataset_card,
         "events_retention": q_events_retention,
         "t_conv_dups": q_t_conv_dups,
+        "t_similar_convs": q_t_similar_convs,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
     oracle = _build_oracle(t01)

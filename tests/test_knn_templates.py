@@ -134,3 +134,36 @@ def test_knn_classify_recovers_clusters(ray_session, tmp_path):
         "node", ignore_index=True)
     assert len(got) == 120
     assert (got["pred_label"].to_numpy() == which).all()
+
+
+def test_similar_convs_matches_bruteforce(ray_session):
+    """t_similar_convs == brute-force byte-5-gram Jaccard over the
+    assembled kind chains of the fixture corpus."""
+    import re
+
+    from aushape_ray.functions.dedup import _shingles
+    from aushape_ray.pipelines.queries import q_t_similar_convs
+
+    df = _read_fixture_df().sort_values(["conv_id", "turn_idx"],
+                                        ignore_index=True)
+    kind_rx = re.compile(r"type=([A-Za-z_]+)")
+
+    def kind(t):
+        m = kind_rx.search(t)
+        return m.group(1) if m else "UNKNOWN"
+
+    chains = (df.assign(kind=[kind(t) for t in df["text"]])
+              .groupby("conv_id")["kind"].agg(",".join))
+    sh = {c: set(_shingles(s).tolist()) for c, s in chains.items()}
+    convs = sorted(sh)
+    want = set()
+    for i, a in enumerate(convs):
+        for b in convs[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.8:
+                want.add((a, b))
+
+    got_df = q_t_similar_convs("/root/testdata/sf0.001").to_pandas()
+    got = {(r.conv_a, r.conv_b) for r in got_df.itertuples()}
+    assert got == want
+    assert len(want) > 0  # the fixture must exercise real near-dups
