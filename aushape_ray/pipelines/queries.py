@@ -1866,6 +1866,51 @@ SELECT s.event_type, qs.lbl AS q, s.value::DOUBLE AS value
 FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
 
 
+def q_doc_cross_dedup(sf_dir: str):
+    """Cross-corpus exact dedup (don't-train-on-the-reference at doc
+    granularity, the hash-level complement of n-gram decontamination):
+    drop every document whose exact text already exists in a REFERENCE
+    corpus (here the sf0.001 slice stands in for 'the eval set').
+    Digest-only exchange: both sides ship (hash(text), doc_id) 16-byte
+    rows into a partitioned hash anti-join — text never moves.  Output:
+    surviving doc_ids.  Oracle: NOT IN over md5(text)."""
+    from ..functions.dedup import flat_utf8, fnv_segments
+    from ..functions.joins import hash_join
+
+    REF_SF = "/root/testdata/sf0.001"
+
+    def digest(b: pa.Table, keep_id: bool) -> pa.Table:
+        data, off, _ = flat_utf8(b.column("text"))
+        h = fnv_segments(data, off[:-1], np.diff(off))
+        cols = {"h": pa.array((h >> np.uint64(1)).astype(np.int64),
+                              pa.int64())}
+        if keep_id:
+            cols["doc_id"] = b.column("doc_id").cast(pa.int64())
+        return pa.table(cols)
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: digest(b, True), batch_format="pyarrow")
+    ref = _read_table(REF_SF, "documents", ["text"]).map_batches(
+        lambda b: digest(b, False), batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"rh": t.column("h"),
+                            "hit": pa.array(np.ones(t.num_rows, np.int8),
+                                            pa.int8())}),
+        batch_format="pyarrow")
+    j = hash_join(docs, ref, "h", "rh", how="left", n_buckets=8)
+    return j.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(
+            pc.is_null(t.column("hit"))).column("doc_id")}),
+        batch_format="pyarrow")
+
+
+def sql_doc_cross_dedup() -> str:
+    return """
+SELECT doc_id FROM documents
+WHERE md5(text) NOT IN (
+  SELECT md5(text)
+  FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"""
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention (the classic product-analytics matrix): cohort =
     each user's first active day; for day offsets 0..6, how many of the
@@ -4889,6 +4934,7 @@ def build_registry():
         "events_quantiles_by_type": q_events_quantiles_by_type,
         "doc_dataset_card": q_doc_dataset_card,
         "events_retention": q_events_retention,
+        "doc_cross_dedup": q_doc_cross_dedup,
         "t_conv_dups": q_t_conv_dups,
         "t_similar_convs": q_t_similar_convs,
         "doc_prepare_shards": q_doc_prepare_shards,
@@ -4985,5 +5031,6 @@ def _build_oracle(t01):
         "events_quantiles_by_type": sql_events_quantiles_by_type(),
         "doc_dataset_card": sql_doc_dataset_card(),
         "events_retention": sql_events_retention(),
+        "doc_cross_dedup": sql_doc_cross_dedup(),
         "t_conv_dups": sql_t_conv_dups(t01),
     }

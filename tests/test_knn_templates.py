@@ -167,3 +167,26 @@ def test_similar_convs_matches_bruteforce(ray_session):
     got = {(r.conv_a, r.conv_b) for r in got_df.itertuples()}
     assert got == want
     assert len(want) > 0  # the fixture must exercise real near-dups
+
+
+def test_cross_dedup_drops_planted_overlap(ray_session, tmp_path):
+    """doc_cross_dedup must drop exactly the docs whose text exists in
+    the reference corpus (the sf0.01 corpus has zero natural overlap,
+    so plant some)."""
+    import pyarrow.parquet as pq_
+
+    from aushape_ray.pipelines.queries import q_doc_cross_dedup
+
+    ref = pq_.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    planted = ref.slice(0, 7).column("text").to_pylist()
+    fresh = [f"unique text {i} zz" for i in range(13)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(20), pa.int64()),
+        "text": pa.array(planted + fresh, pa.string()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq_.write_table(t, sf / "documents.parquet")
+    got = q_doc_cross_dedup(str(sf)).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(7, 20))
