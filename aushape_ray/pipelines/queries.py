@@ -1930,7 +1930,9 @@ def q_events_retention(sf_dir: str):
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
         day = (b.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False) // DAY_US)
-        combo = uid * np.int64(1 << 20) + day  # day < 2^20
+        # day < 2^20 (epoch-days for centuries); packing assumes
+        # 0 <= uid < 2^43 — hash ids down first on corpora that exceed it
+        combo = uid * np.int64(1 << 20) + day
         uq = np.unique(combo)
         u = uq // (1 << 20)
         d = uq % (1 << 20)
