@@ -4084,6 +4084,99 @@ def _conv_dup_fold(t: pa.Table) -> pa.Table:
     })
 
 
+def q_t_tool_error_rate(sf_dir: str):
+    """Per-tool error attribution: of the conversations that used each
+    tool, how many latched a collector error (the events pipeline's
+    error routing — uniq repeat / path / execve conditions).  ONE
+    conv-hash exchange: distinct (conv, tool) partials union error-conv
+    marker rows, each conversation's usage and error flag co-located in
+    its bucket, per-tool partials fold globally.  Oracle: the _sql_err
+    CTE chain + DISTINCT pair join."""
+    from ..functions.joins import bucket_exchange
+
+    N_PARTS = 16
+    ev = events_for(sf_dir, _cfg(sf_dir))
+
+    def err_project(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("sink"), "error_events"))
+        conv = t.column("conv_id")
+        n = t.num_rows
+        return pa.table({
+            "conv_id": conv,
+            "tool": pa.array([""] * n, pa.string()),
+            "is_err": pa.array(np.ones(n, np.int8), pa.int8()),
+            "part": pa.array(_str_part(conv, N_PARTS) if n
+                             else np.array([], np.int64), pa.int64()),
+        })
+
+    def pair_project(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"conv_id": b.column("conv_id").to_pandas(),
+                          "tool": b.column("tool").to_pandas()})
+        g = g[g["tool"].ne("")].drop_duplicates()
+        conv = pa.array(g["conv_id"], pa.string())
+        return pa.table({
+            "conv_id": conv,
+            "tool": pa.array(g["tool"], pa.string()),
+            "is_err": pa.array(np.zeros(len(g), np.int8), pa.int8()),
+            "part": pa.array(_str_part(conv, N_PARTS) if len(g)
+                             else np.array([], np.int64), pa.int64()),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        errset = set(g.loc[g["is_err"] == 1, "conv_id"])
+        p = g[g["is_err"] == 0].drop_duplicates(["conv_id", "tool"])
+        if not len(p):
+            return pa.table({"tool": pa.array([], pa.string()),
+                             "n_convs": pa.array([], pa.int64()),
+                             "n_err_convs": pa.array([], pa.int64())})
+        p = p.assign(err=p["conv_id"].isin(errset).astype(np.int64))
+        a = p.groupby("tool", sort=False).agg(
+            n_convs=("conv_id", "size"), n_err_convs=("err", "sum"))
+        a = a.reset_index()
+        return pa.table({
+            "tool": pa.array(a["tool"], pa.string()),
+            "n_convs": pa.array(a["n_convs"].to_numpy(np.int64), pa.int64()),
+            "n_err_convs": pa.array(a["n_err_convs"].to_numpy(np.int64),
+                                    pa.int64()),
+        })
+
+    per_bucket.__name__ = "tool_err_bucket"
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g.groupby("tool", sort=False).agg(
+            n_convs=("n_convs", "sum"), n_err_convs=("n_err_convs", "sum"))
+        a = a.reset_index()
+        return pa.table({
+            "tool": pa.array(a["tool"], pa.string()),
+            "n_convs": pa.array(a["n_convs"].to_numpy(np.int64), pa.int64()),
+            "n_err_convs": pa.array(a["n_err_convs"].to_numpy(np.int64),
+                                    pa.int64()),
+        })
+
+    fold.__name__ = "tool_err_fold"
+    errs = ev.map_batches(err_project, batch_format="pyarrow")
+    pairs = read_transcripts(sf_dir, columns=["conv_id", "tool"]
+                             ).map_batches(pair_project,
+                                           batch_format="pyarrow")
+    both = pairs.union(errs)
+    buckets = bucket_exchange(both, N_PARTS, per_bucket, bucket_col="part")
+    return bucket_exchange(buckets, 1, fold)
+
+
+def sql_t_tool_error_rate(path: str) -> str:
+    return f"""
+WITH {_sql_turns(path)}, {_sql_err(path)},
+pairs AS (
+  SELECT DISTINCT conv_id, tool FROM read_parquet('{path}')
+  WHERE tool <> '')
+SELECT tool, count(*)::BIGINT AS n_convs,
+       sum(CASE WHEN conv_id IN (SELECT conv_id FROM err_convs)
+                THEN 1 ELSE 0 END)::BIGINT AS n_err_convs
+FROM pairs GROUP BY tool"""
+
+
 def q_t_similar_convs(sf_dir: str):
     """NEAR-duplicate conversations: byte-5-gram Jaccard >= 0.8 between
     ordered kind chains (sessions that repeat a workflow with small
@@ -4938,6 +5031,7 @@ def build_registry():
         "events_retention": q_events_retention,
         "doc_cross_dedup": q_doc_cross_dedup,
         "t_conv_dups": q_t_conv_dups,
+        "t_tool_error_rate": q_t_tool_error_rate,
         "t_similar_convs": q_t_similar_convs,
         "doc_prepare_shards": q_doc_prepare_shards,
     }
@@ -5035,4 +5129,5 @@ def _build_oracle(t01):
         "events_retention": sql_events_retention(),
         "doc_cross_dedup": sql_doc_cross_dedup(),
         "t_conv_dups": sql_t_conv_dups(t01),
+        "t_tool_error_rate": sql_t_tool_error_rate(t01),
     }
