@@ -2876,6 +2876,80 @@ def q_emb_kmeans(sf_dir: str):
     })
 
 
+def q_emb_outliers(sf_dir: str):
+    """Embedding-space outlier detection (the data-cleaning gate that
+    drops mislabeled / corrupted vectors before training): fit k-means
+    (distributed Lloyd's), then flag vectors whose distance to their
+    NEAREST centroid exceeds mean + 2*sigma of that cluster's own
+    distance distribution.  Two broadcast passes after the fit: one
+    accumulates per-cluster (n, sum d, sum d^2) partials (k rows per
+    batch), one applies the per-cluster thresholds.  Output: per
+    cluster, member count and outlier count — distributed aggregates
+    only, the driver holds 2k floats.  Rows-only (float iterative fit);
+    invariants pytest-enforced (planted far-outlier is flagged)."""
+    from ..functions.ann import kmeans_fit
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids, _sizes, _inertia, _rounds = kmeans_fit(ds, k=8, iters=12)
+    import ray as _ray
+
+    cref = _ray.put(centroids)
+
+    def dists(b: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+        c = _bcast(cref)
+        m = np.stack(b.column("embedding").to_pandas().to_numpy())
+        m = m.astype(np.float64)
+        d2 = (np.square(m).sum(1, keepdims=True)
+              - 2.0 * (m @ c.T) + np.square(c).sum(1))
+        a = d2.argmin(1)
+        return a, np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        a, d = dists(b)
+        k = len(centroids)
+        return pa.table({
+            "cluster": pa.array(np.arange(k), pa.int64()),
+            "n": pa.array(np.bincount(a, minlength=k), pa.int64()),
+            "s": pa.array(np.bincount(a, weights=d, minlength=k),
+                          pa.float64()),
+            "s2": pa.array(np.bincount(a, weights=d * d, minlength=k),
+                           pa.float64()),
+        })
+
+    mom = ds.map_batches(moment_partial, batch_format="pyarrow").to_pandas()
+    agg = mom.groupby("cluster").agg(n=("n", "sum"), s=("s", "sum"),
+                                     s2=("s2", "sum"))
+    n = agg["n"].to_numpy(np.float64)
+    mean = np.divide(agg["s"].to_numpy(), np.maximum(n, 1))
+    var = np.maximum(
+        np.divide(agg["s2"].to_numpy(), np.maximum(n, 1)) - mean * mean, 0)
+    thresh = mean + 2.0 * np.sqrt(var)
+    tref = _ray.put(thresh)
+
+    def flag_partial(b: pa.Table) -> pa.Table:
+        t = _bcast(tref)
+        a, d = dists(b)
+        k = len(centroids)
+        out = d > t[a]
+        return pa.table({
+            "cluster": pa.array(np.arange(k), pa.int64()),
+            "n_members": pa.array(np.bincount(a, minlength=k), pa.int64()),
+            "n_outliers": pa.array(
+                np.bincount(a[out], minlength=k), pa.int64()),
+        })
+
+    flags = ds.map_batches(flag_partial, batch_format="pyarrow").to_pandas()
+    a = flags.groupby("cluster").agg(n_members=("n_members", "sum"),
+                                     n_outliers=("n_outliers", "sum"))
+    a = a.reset_index()
+    return pa.table({
+        "cluster": pa.array(a["cluster"].to_numpy(np.int64), pa.int64()),
+        "n_members": pa.array(a["n_members"].to_numpy(np.int64), pa.int64()),
+        "n_outliers": pa.array(a["n_outliers"].to_numpy(np.int64),
+                               pa.int64()),
+    })
+
+
 def q_lsh_buckets(sf_dir: str):
     from ..functions.ann import lsh_bucket_stats
 
@@ -5032,6 +5106,7 @@ def build_registry():
         "doc_cross_dedup": q_doc_cross_dedup,
         "t_conv_dups": q_t_conv_dups,
         "t_tool_error_rate": q_t_tool_error_rate,
+        "emb_outliers": q_emb_outliers,
         "t_similar_convs": q_t_similar_convs,
         "doc_prepare_shards": q_doc_prepare_shards,
     }

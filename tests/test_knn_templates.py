@@ -190,3 +190,27 @@ def test_cross_dedup_drops_planted_overlap(ray_session, tmp_path):
     pq_.write_table(t, sf / "documents.parquet")
     got = q_doc_cross_dedup(str(sf)).to_pandas()
     assert sorted(got["doc_id"]) == list(range(7, 20))
+
+
+def test_emb_outliers_flags_planted(ray_session, tmp_path):
+    """A vector far from every cluster must be flagged; tight cluster
+    members must not be."""
+    import pyarrow.parquet as pq_
+
+    from aushape_ray.pipelines.queries import q_emb_outliers
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(8, 8)) * 5
+    which = np.tile(np.arange(8), 20)
+    vecs = centers[which] + rng.normal(scale=0.02, size=(160, 8))
+    vecs[159] = centers[which[159]] + 40.0  # planted far outlier
+    t = pa.table({
+        "vec_id": pa.array(np.arange(160), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq_.write_table(t, sf / "embeddings.parquet")
+    got = q_emb_outliers(str(sf)).to_pandas()
+    assert got["n_members"].sum() == 160
+    assert 1 <= got["n_outliers"].sum() <= 16  # planted flagged, not mass
