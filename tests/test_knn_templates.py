@@ -154,19 +154,43 @@ def test_similar_convs_matches_bruteforce(ray_session):
 
     chains = (df.assign(kind=[kind(t) for t in df["text"]])
               .groupby("conv_id")["kind"].agg(",".join))
-    sh = {c: set(_shingles(s).tolist()) for c, s in chains.items()}
+    # identical chains collapse to one representative (min conv_id);
+    # qualifying pairs between DISTINCT chains union-find into clusters
+    rep, members = {}, {}
+    for conv, seq in chains.items():
+        members[seq] = members.get(seq, 0) + 1
+        if seq not in rep or conv < rep[seq]:
+            rep[seq] = conv
+    sh = {c: set(_shingles(s).tolist()) for s, c in rep.items()}
+    n_mem = {rep[s]: n for s, n in members.items()}
     convs = sorted(sh)
-    want = set()
+    parent = {c: c for c in convs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
     for i, a in enumerate(convs):
         for b in convs[i + 1:]:
             inter = len(sh[a] & sh[b])
             if inter and inter / len(sh[a] | sh[b]) >= 0.8:
-                want.add((a, b))
+                n_pairs += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for c in convs:
+        comps.setdefault(find(c), []).append(c)
+    want = {(min(v), len(v), sum(n_mem[c] for c in v))
+            for v in comps.values() if len(v) > 1}
 
     got_df = q_t_similar_convs("/root/testdata/sf0.001").to_pandas()
-    got = {(r.conv_a, r.conv_b) for r in got_df.itertuples()}
+    got = {(r.rep_conv, r.n_chains, r.n_convs) for r in got_df.itertuples()}
     assert got == want
-    assert len(want) > 0  # the fixture must exercise real near-dups
+    assert n_pairs > 0  # the fixture must exercise real near-dups
 
 
 def test_cross_dedup_drops_planted_overlap(ray_session, tmp_path):
