@@ -56,6 +56,37 @@ def compile_grok(pattern: str) -> str:
     return out
 
 
+def grok_route(ds: "ray.data.Dataset", patterns: "dict[str, str]",
+               column: str = "text",
+               out_col: str = "grok_route") -> "ray.data.Dataset":
+    """First-match pattern dispatch (the Logstash pipeline shape: try
+    each pattern in order, route the line by which matched).  Adds
+    `out_col` = the first matching pattern's NAME, "" when none match.
+    One vectorized RE2 match pass per pattern (match_substring_regex),
+    first-match resolved with a single np.select — no per-row work.
+    Patterns may use %{NAME:field} refs; captures are ignored here
+    (use grok_extract on a routed subset to materialize fields)."""
+    compiled = [(name, _REF.sub(
+        lambda m: PATTERNS[m.group(1)], p)) for name, p in patterns.items()]
+
+    def apply(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        import numpy as np
+
+        masks = [pc.match_substring_regex(col, rx)
+                 .to_numpy(zero_copy_only=False)
+                 for _name, rx in compiled]
+        names = [name for name, _rx in compiled]
+        route = np.select(masks, names, default="")
+        return b.append_column(out_col, pa.array(route, pa.string()))
+
+    apply.__name__ = f"grok_route[{len(compiled)}]"
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def grok_extract(ds: "ray.data.Dataset", pattern: str,
                  column: str = "text", how: str = "drop",
                  types: "dict[str, pa.DataType] | None" = None

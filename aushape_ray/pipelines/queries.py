@@ -4409,6 +4409,59 @@ SELECT seq, count(*)::BIGINT AS n_convs, min(conv_id) AS first_conv
 FROM s GROUP BY seq HAVING count(*) > 1"""
 
 
+GROK_ROUTES = (
+    ("syscall", r"type=SYSCALL "),
+    ("execve", r"type=EXECVE "),
+    ("path", r"type=PATH "),
+    ("msg", r"type=MSG "),
+    ("repeated", r"type=(AVC|OBJ_PID|NETFILTER_CFG) "),
+)
+
+
+def q_t_grok_route(sf_dir: str):
+    """Multi-pattern grok dispatch (functions/grok.grok_route — the
+    Logstash pipeline shape): each turn routed by the FIRST matching
+    pattern in a user-supplied ordered list, '' when none match;
+    output route counts.  One vectorized RE2 match pass per pattern +
+    a single np.select; per-batch count partials, one tiny fold."""
+    from ..functions.grok import grok_route
+    from ..functions.joins import bucket_exchange
+
+    ds = read_transcripts(sf_dir, columns=["text"])
+    routed = grok_route(ds, dict(GROK_ROUTES))
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column("grok_route").combine_chunks().value_counts()
+        return pa.table({
+            "route": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g.groupby("route", sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "route": pa.array(a["route"], pa.string()),
+            "n": pa.array(a["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fold.__name__ = "route_fold"
+    return bucket_exchange(
+        routed.map_batches(partial, batch_format="pyarrow"), 1, fold)
+
+
+def sql_t_grok_route(path: str) -> str:
+    cases = "\n            ".join(
+        f"WHEN regexp_matches(text, '{rx}') THEN '{name}'"
+        for name, rx in GROK_ROUTES)
+    return f"""
+SELECT CASE {cases}
+            ELSE '' END AS route,
+       count(*)::BIGINT AS n
+FROM read_parquet('{path}')
+GROUP BY 1"""
+
+
 def q_emb_knn_classify(sf_dir: str):
     """k-NN majority-vote classification over the embedding corpus
     (label column = ground truth): each vector's 5 nearest neighbors
@@ -5171,6 +5224,7 @@ def build_registry():
         "t_sessionize": q_t_sessionize,
         "t_template_drift": q_t_template_drift,
         "t_grok_extract": q_t_grok_extract,
+        "t_grok_route": q_t_grok_route,
         "events_quantiles_by_type": q_events_quantiles_by_type,
         "doc_dataset_card": q_doc_dataset_card,
         "events_retention": q_events_retention,
@@ -5270,6 +5324,7 @@ def _build_oracle(t01):
         "t_sessionize": sql_t_sessionize(t01),
         "t_template_drift": sql_t_template_drift(t01),
         "t_grok_extract": sql_t_grok_extract(t01),
+        "t_grok_route": sql_t_grok_route(t01),
         "events_quantiles_by_type": sql_events_quantiles_by_type(),
         "doc_dataset_card": sql_doc_dataset_card(),
         "events_retention": sql_events_retention(),

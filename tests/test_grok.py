@@ -62,3 +62,30 @@ def test_primitives_cover_quoted_and_ip(ray_session):
     assert out["src"][0] == "10.0.0.1"
     assert out["msg"][0] == '"hello world"'
     assert set(PATTERNS) >= {"INT", "WORD", "DATA", "GREEDYDATA", "HEX"}
+
+
+def test_grok_route_first_match_order(ray_session):
+    import ray.data
+
+    from aushape_ray.functions.grok import grok_route
+
+    t = pa.table({"text": pa.array([
+        "type=SYSCALL type=MSG x",  # matches both -> first pattern wins
+        "type=MSG hello",
+        "nothing here",
+        None,
+    ])})
+    out = grok_route(ray.data.from_arrow(t), {
+        "syscall": "type=SYSCALL ", "msg": "type=MSG "}).to_pandas()
+    assert out["grok_route"].tolist() == ["syscall", "msg", "", ""]
+
+
+def test_grok_route_expands_refs(ray_session):
+    import ray.data
+
+    from aushape_ray.functions.grok import grok_route
+
+    t = pa.table({"text": pa.array(["uid=42 ok", "uid=bad"])})
+    out = grok_route(ray.data.from_arrow(t),
+                     {"num": "uid=%{INT:uid} "}).to_pandas()
+    assert out["grok_route"].tolist() == ["num", ""]

@@ -97,3 +97,31 @@ def test_parse_is_total_and_consistent(text):
     for k, r, i in fields:
         assert i == interpret_field(k, r)
     json.dumps({"fields": [list(f) for f in fields]}, ensure_ascii=False)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(
+    alphabet="ab=<> é\n\"", min_size=0, max_size=24), max_size=12))
+def test_template_column_matches_scalar(texts):
+    """The Arrow-vectorized template mask == the per-row scalar form for
+    arbitrary token soup (equals signs, unicode, newlines, quotes)."""
+    import pyarrow as pa
+
+    from aushape_ray.pipelines.queries import _template_column
+
+    def scalar(text):
+        out = []
+        for tok in text.split(" "):
+            if "=" not in tok:
+                continue
+            if tok.startswith("type="):
+                out.append(tok)
+            else:
+                out.append(tok[: tok.index("=") + 1] + "<V>")
+        return " ".join(out)
+
+    got = _template_column(pa.array(texts, pa.string())).to_pylist()
+    assert got == [scalar(t) for t in texts]
