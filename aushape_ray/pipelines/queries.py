@@ -2393,6 +2393,87 @@ WHERE d.doc_id NOT IN (
   WHERE c.doc_id <> c.cluster_id)"""
 
 
+def q_doc_emb_consistency(sf_dir: str):
+    """Cross-modal consistency diagnostic: of the TEXT near-duplicate
+    pairs (MinHash candidates, exact Jaccard >= 0.5 verify), how many
+    are ALSO embedding-similar (cosine >= SIM_THRESHOLD on the aligned
+    vec_id)?  The standing health check for an embedding space that is
+    supposed to respect textual identity — low agreement flags a bad
+    encoder or an id misalignment before SemDeDup-style pipelines
+    inherit it.  Composition: audited pair chain -> two partitioned
+    hash joins fetch both embeddings -> per-batch vectorized cosine ->
+    three-int fold.  Exact-integer agreement in basis points."""
+    from ..functions.dedup import minhash_candidates, verify_pairs_jaccard
+    from ..functions.joins import bucket_exchange, hash_join
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_candidates(docs)
+    verified = verify_pairs_jaccard(cands, docs)
+    pairs = verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
+        .select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    emb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ea = emb.map_batches(
+        lambda t: pa.table({"va": t.column("vec_id"),
+                            "emb_a": t.column("embedding")}),
+        batch_format="pyarrow")
+    eb = emb.map_batches(
+        lambda t: pa.table({"vb": t.column("vec_id"),
+                            "emb_b": t.column("embedding")}),
+        batch_format="pyarrow")
+    j = hash_join(hash_join(pairs, ea, "doc_a", "va", n_buckets=8),
+                  eb, "doc_b", "vb", n_buckets=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_pairs": pa.array([0], pa.int64()),
+                             "n_agree": pa.array([0], pa.int64())})
+        a = np.stack(t.column("emb_a").to_pandas().to_numpy()).astype(
+            np.float64)
+        b = np.stack(t.column("emb_b").to_pandas().to_numpy()).astype(
+            np.float64)
+        num = (a * b).sum(1)
+        den = np.sqrt((a * a).sum(1)) * np.sqrt((b * b).sum(1))
+        cos = np.divide(num, np.maximum(den, 1e-300))
+        return pa.table({
+            "n_pairs": pa.array([t.num_rows], pa.int64()),
+            "n_agree": pa.array([int((cos >= SIM_THRESHOLD).sum())],
+                                pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        n = int(g["n_pairs"].sum())
+        a = int(g["n_agree"].sum())
+        return pa.table({
+            "n_text_pairs": pa.array([n], pa.int64()),
+            "n_emb_agree": pa.array([a], pa.int64()),
+            "agree_bps": pa.array([a * 10000 // n if n else 0], pa.int64()),
+        })
+
+    fold.__name__ = "consistency_fold"
+    return bucket_exchange(j.map_batches(partial, batch_format="pyarrow"),
+                           1, fold)
+
+
+def sql_doc_emb_consistency() -> str:
+    return f"""
+WITH pr AS ({sql_doc_minhash_pairs()}),
+ag AS (
+  SELECT count(*)::BIGINT AS n_text_pairs,
+         coalesce(sum(CASE WHEN list_cosine_similarity(a.embedding,
+                                                       b.embedding)
+                                >= {SIM_THRESHOLD} THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_emb_agree
+  FROM pr JOIN embeddings a ON a.vec_id = pr.doc_a
+          JOIN embeddings b ON b.vec_id = pr.doc_b)
+SELECT n_text_pairs, n_emb_agree,
+       (CASE WHEN n_text_pairs > 0
+             THEN n_emb_agree * 10000 // n_text_pairs
+             ELSE 0 END)::BIGINT AS agree_bps
+FROM ag"""
+
+
 def q_ann_topk(sf_dir: str):
     from ..functions.ann import brute_force_topk
 
@@ -5229,6 +5310,7 @@ def build_registry():
         "doc_dataset_card": q_doc_dataset_card,
         "events_retention": q_events_retention,
         "doc_cross_dedup": q_doc_cross_dedup,
+        "doc_emb_consistency": q_doc_emb_consistency,
         "t_conv_dups": q_t_conv_dups,
         "t_tool_error_rate": q_t_tool_error_rate,
         "emb_outliers": q_emb_outliers,
@@ -5329,6 +5411,7 @@ def _build_oracle(t01):
         "doc_dataset_card": sql_doc_dataset_card(),
         "events_retention": sql_events_retention(),
         "doc_cross_dedup": sql_doc_cross_dedup(),
+        "doc_emb_consistency": sql_doc_emb_consistency(),
         "t_conv_dups": sql_t_conv_dups(t01),
         "t_tool_error_rate": sql_t_tool_error_rate(t01),
     }
