@@ -29,6 +29,31 @@ import re
 TOKEN_RE = re.compile(r'(?<!\S)([A-Za-z_][A-Za-z0-9_\[\]]{0,63})=("[^"\n]*"|\S+)')
 TOKEN_REGEX_SQL = r'([A-Za-z_][A-Za-z0-9_\[\]]{0,63})=("[^"\n]*"|\S+)'
 
+# The exact character set Python's re module matches for `\s` on str
+# (str.isspace), spelled out so the lookbehind-free RE2/Rust-regex port of
+# TOKEN_RE below is character-for-character equivalent (RE2-family `\s` is
+# ASCII-only and its unicode White_Space class would still miss
+# \x1c-\x1f/\x85).  tests/test_parse.py asserts this literal equals a full
+# scan of `re.match(r"\s", chr(c))`.
+PY_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009"
+    "\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
+# TOKEN_RE for backtracking-free engines (polars/Rust regex, RE2): the
+# zero-width (?<!\S) lookbehind becomes a consumed one-char separator
+# alternative.  Equivalent scan-by-scan because no token value or key can
+# contain (or end adjacent to) a whitespace character, so the consumed
+# separator can never belong to another match; group 0 therefore carries at
+# most one leading whitespace char, which stages/parse.py strips.  Verified
+# exhaustively against TOKEN_RE by the hypothesis/adversarial parity test.
+TOKEN_RE2 = (
+    "(?:^|[" + PY_WHITESPACE + "])"
+    r"([A-Za-z_][A-Za-z0-9_\[\]]{0,63})="
+    '("[^"\n]*"|[^' + PY_WHITESPACE + "]+)"
+)
+
 # Pseudo-fields extracted into the envelope, never into the record body
 # (reference skip-list: lib/record.c:45-46).
 PSEUDO_FIELDS = ("node", "type")

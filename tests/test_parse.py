@@ -1,9 +1,14 @@
 """Parse stage (vectorized) vs oracle per-turn parse — field equality."""
 
-import pyarrow as pa
+import re
 
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aushape_ray.grammar import PY_WHITESPACE
 from aushape_ray.oracle import parse_text
-from aushape_ray.stages.parse import parse_batch
+from aushape_ray.stages.parse import parse_batch, parse_batch_reference
 
 
 def test_parse_batch_matches_oracle(tiny_transcripts):
@@ -54,3 +59,51 @@ def test_parse_edge_tokens():
         node, kind, fields = parse_text(t)
         assert out.column("kind").to_pylist()[i] == kind
         assert out.column("tok_keys").to_pylist()[i] == [f[0] for f in fields]
+
+
+def test_py_whitespace_literal_is_exactly_re_s():
+    """PY_WHITESPACE (grammar.py) must equal the full set of str chars
+    Python's re \\s matches — the TOKEN_RE2 port is only exact under this."""
+    want = {ch for ch in map(chr, range(0x11000)) if re.match(r"\s", ch)}
+    assert set(PY_WHITESPACE) == want
+    assert len(PY_WHITESPACE) == len(want)  # no duplicates
+
+
+def _assert_parse_equal(texts):
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    a, b = parse_batch(batch), parse_batch_reference(batch)
+    for col in ("node", "kind", "tok_keys", "tok_vals"):
+        assert a.column(col).to_pylist() == b.column(col).to_pylist(), col
+
+
+def test_vectorized_parse_adversarial_parity():
+    """Hand-picked lookbehind/quote/whitespace edge cases: the Rust-regex
+    TOKEN_RE2 scan must match the Python TOKEN_RE finditer walk."""
+    _assert_parse_equal([
+        'node=h1 type=SYSCALL uid=0 exe="/usr/bin/bash" key=(null)',
+        '1abc=d foo http://k=v',          # lookbehind: no match mid-word
+        'a="unterminated b=c',            # bare fallback when quote unclosed
+        'a="" b="q" c="x"y" d==e',        # empty/adjacent/degenerate quotes
+        'k=v"inner w=z" t=u',             # tokens not re-found inside values
+        'a=b\xa0c=d e=f\x1fg=h',          # unicode NBSP + \x1f separators
+        'a=b  \t c=d\ne=f',               # multi-ws + newline inside a row
+        'node=n1 node=n2 type=A type=B',  # first-node / last-type rules
+        '', ' ', '=', 'trailing=', 'x' * 100 + '=v tail=1',
+        'key_' + 'a' * 64 + '=v over64',  # key-length cap
+    ])
+
+
+# tokens + junk, joined by whitespace of every Python \s flavor
+_tok = st.one_of(
+    st.sampled_from(['uid=0', 'exe="/bin/sh"', 'x="a b"', '"q"=z', 'k==v',
+                     'a="', 'w="x', 'plain', '=v', 'a1[3]=ff', 'node=zz',
+                     'type=QQ', 'a0=4142']),
+    st.text(alphabet='abZ_19[]=". \x1f\n\xa0', min_size=1, max_size=12),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.lists(_tok, max_size=8).map(' '.join), max_size=6),
+       st.sampled_from(list(PY_WHITESPACE)))
+def test_vectorized_parse_hypothesis_parity(rows, sep):
+    _assert_parse_equal([sep.join(r.split(' ')) for r in rows] + rows)
