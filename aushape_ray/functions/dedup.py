@@ -657,6 +657,12 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_iters: int = 64,
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+# second digest family for double-hash equality checks: golden-ratio basis,
+# a different odd multiplier — the (xor, *odd) state walk starting from a
+# different point with a different step makes a simultaneous collision of
+# both digests ~2^-126-grade for non-adversarial data
+_FNV2_OFFSET = np.uint64(0x9E3779B97F4A7C15)
+_FNV2_PRIME = np.uint64(0x00000100000001B5)
 # ASCII whitespace lookup table for the byte-level tokenizer
 _WS_TABLE = np.zeros(256, dtype=bool)
 _WS_TABLE[[9, 10, 11, 12, 13, 32]] = True
@@ -699,13 +705,20 @@ def word_hashes_flat(data: np.ndarray,
 
 
 def fnv_segments(data: np.ndarray, starts: np.ndarray,
-                 lens: np.ndarray) -> np.ndarray:
+                 lens: np.ndarray,
+                 basis: np.uint64 = _FNV_OFFSET,
+                 prime: np.uint64 = _FNV_PRIME) -> np.ndarray:
     """64-bit FNV-1a of arbitrary byte segments of a flat uint8 array —
     the column-wise kernel shared by word_hashes_flat (whitespace words)
     and span_dedup (fixed-word-count spans).  Computed column-wise over a
     length-descending segment ordering so pass i touches only segments
     longer than i bytes: total work O(sum of segment lengths).
-    Zero-length segments hash to the FNV offset basis."""
+    Zero-length segments hash to the offset basis.
+
+    basis/prime parametrize a SECOND digest family (pass _FNV2_OFFSET /
+    _FNV2_PRIME) for callers that confirm equality on two hashes instead
+    of one — e.g. cross-corpus dedup, where a single 63-bit collision
+    would falsely delete a unique document."""
     n_seg = len(starts)
     if n_seg == 0:
         return np.array([], np.uint64)
@@ -713,7 +726,7 @@ def fnv_segments(data: np.ndarray, starts: np.ndarray,
     s_sorted = starts[order]
     l_sorted = lens[order]
     data64 = data.astype(np.uint64)
-    h_sorted = np.full(n_seg, _FNV_OFFSET, dtype=np.uint64)
+    h_sorted = np.full(n_seg, basis, dtype=np.uint64)
     max_len = int(l_sorted[0])
     # segments with length > i form a prefix; its size via bincount cumsum
     longer = n_seg - np.cumsum(
@@ -723,7 +736,7 @@ def fnv_segments(data: np.ndarray, starts: np.ndarray,
         if k == 0:
             break
         b = data64[s_sorted[:k] + i]
-        h_sorted[:k] = (h_sorted[:k] ^ b) * _FNV_PRIME
+        h_sorted[:k] = (h_sorted[:k] ^ b) * prime
     out = np.empty_like(h_sorted)
     out[order] = h_sorted
     return out

@@ -66,6 +66,12 @@ def grok_route(ds: "ray.data.Dataset", patterns: "dict[str, str]",
     first-match resolved with a single np.select — no per-row work.
     Patterns may use %{NAME:field} refs; captures are ignored here
     (use grok_extract on a routed subset to materialize fields)."""
+    if not patterns:
+        raise ValueError("grok_route: patterns dict is empty — "
+                         "nothing to dispatch on")
+    if "" in patterns:
+        raise ValueError("grok_route: '' is not a valid route name "
+                         "(it is the no-match sentinel)")
     compiled = [(name, _REF.sub(
         lambda m: PATTERNS[m.group(1)], p)) for name, p in patterns.items()]
 

@@ -1871,36 +1871,61 @@ def q_doc_cross_dedup(sf_dir: str):
     granularity, the hash-level complement of n-gram decontamination):
     drop every document whose exact text already exists in a REFERENCE
     corpus (here the sf0.001 slice stands in for 'the eval set').
-    Digest-only exchange: both sides ship (hash(text), doc_id) 16-byte
-    rows into a partitioned hash anti-join — text never moves.  Output:
-    surviving doc_ids.  Oracle: NOT IN over md5(text)."""
-    from ..functions.dedup import flat_utf8, fnv_segments
-    from ..functions.joins import hash_join
+    Digest-only exchange: both sides ship (h1, h2, doc_id) 24-byte rows
+    into a bucketed two-key anti-join — text never moves.  Equality is
+    confirmed on TWO independent 64-bit digests (FNV-1a with two
+    basis/prime families), so a single-hash collision cannot falsely
+    delete a unique document — simultaneous-collision odds are
+    ~2^-126-grade, immaterial even at multi-billion-doc scale (the
+    single 63-bit digest had birthday risk there).  Output: surviving
+    doc_ids.  Oracle: NOT IN over md5(text)."""
+    from ..functions.dedup import (_FNV2_OFFSET, _FNV2_PRIME, flat_utf8,
+                                   fnv_segments)
+    from ..functions.joins import bucket_exchange
 
     REF_SF = "/root/testdata/sf0.001"
+    N_BUCKETS = 8
 
-    def digest(b: pa.Table, keep_id: bool) -> pa.Table:
+    def digest(b: pa.Table, side: int) -> pa.Table:
         data, off, _ = flat_utf8(b.column("text"))
-        h = fnv_segments(data, off[:-1], np.diff(off))
-        cols = {"h": pa.array((h >> np.uint64(1)).astype(np.int64),
-                              pa.int64())}
-        if keep_id:
-            cols["doc_id"] = b.column("doc_id").cast(pa.int64())
-        return pa.table(cols)
+        h1 = fnv_segments(data, off[:-1], np.diff(off))
+        h2 = fnv_segments(data, off[:-1], np.diff(off),
+                          basis=_FNV2_OFFSET, prime=_FNV2_PRIME)
+        n = b.num_rows
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "doc_id": (b.column("doc_id").cast(pa.int64()) if side == 0
+                       else pa.array(np.zeros(n, np.int64), pa.int64())),
+            "side": pa.array(np.full(n, side, np.int8), pa.int8()),
+            "part": pa.array((h1 % np.uint64(N_BUCKETS)).astype(np.int32),
+                             pa.int32()),
+        })
 
     docs = _read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        lambda b: digest(b, True), batch_format="pyarrow")
+        lambda b: digest(b, 0), batch_format="pyarrow")
     ref = _read_table(REF_SF, "documents", ["text"]).map_batches(
-        lambda b: digest(b, False), batch_format="pyarrow").map_batches(
-        lambda t: pa.table({"rh": t.column("h"),
-                            "hit": pa.array(np.ones(t.num_rows, np.int8),
-                                            pa.int8())}),
-        batch_format="pyarrow")
-    j = hash_join(docs, ref, "h", "rh", how="left", n_buckets=8)
-    return j.map_batches(
-        lambda t: pa.table({"doc_id": t.filter(
-            pc.is_null(t.column("hit"))).column("doc_id")}),
-        batch_format="pyarrow")
+        lambda b: digest(b, 1), batch_format="pyarrow")
+
+    def anti(t: pa.Table) -> pa.Table:
+        # both digests of a doc land in the same bucket (bucket = f(h1)),
+        # so the anti-join is bucket-local: pandas two-key merge, keep
+        # left-only rows.  Ref pairs are dedup'd first so multiplicity
+        # can never duplicate a surviving doc_id.
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        h1 = t.column("h1").to_numpy(zero_copy_only=False)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        l = side == 0
+        left = pd.DataFrame({"h1": h1[l], "h2": h2[l], "doc_id": ids[l]})
+        refp = pd.DataFrame({"h1": h1[~l], "h2": h2[~l]}).drop_duplicates()
+        m = left.merge(refp, on=["h1", "h2"], how="left", indicator=True)
+        keep = m.loc[m["_merge"] == "left_only", "doc_id"]
+        return pa.table({"doc_id": pa.array(keep.to_numpy(np.int64),
+                                            pa.int64())})
+
+    return bucket_exchange(docs.union(ref), N_BUCKETS, anti,
+                           bucket_col="part")
 
 
 def sql_doc_cross_dedup() -> str:
@@ -2516,45 +2541,43 @@ WHERE a.vec_id < b.vec_id
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
-    """Standalone EXACT n-gram Jaccard near-dup discovery (no LSH, no
-    candidate step): functions/dedup.jaccard_pairs_exact — postings
-    shuffle once by gram hash; intersection mass and set sizes fall out
-    of the same exchange; two 16-byte-row hash joins attach sizes.
-    Completes the dedup family (exact hash / MinHash-LSH / SimHash /
-    n-gram Jaccard / embedding cosine) with the exact reference the LSH
-    path approximates.  Rows-only for the driver (oracle window full);
-    DuckDB exploded set-similarity parity is pytest-enforced (uncapped,
-    at oracle scale).
-
-    max_df=64 here is MANDATORY above toy scale: a df-D gram emits
-    C(D,2) pair rows, so one stopword-grade gram at df~n_docs is a
-    quadratic blowup (measured: uncapped sf0.1 = 5k docs did not finish
-    in 10 minutes; capped runs in seconds).  True near-dups share
-    mostly cluster-local (low-df) grams, so the cap drops generic-
-    English intersections while keeping dup signal — same lever as
-    cap=MAX_BUCKET_PAIRS_N on the LSH path."""
-    from ..functions.dedup import jaccard_pairs_exact
-
-    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
-    return jaccard_pairs_exact(docs, threshold=0.5, max_df=64).map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
-
-
-def q_doc_jaccard_prefix(sf_dir: str):
-    """EXACT n-gram Jaccard near-dup pairs WITHOUT any df cap: prefix
+    """EXACT n-gram Jaccard near-dup pairs, lossless and uncapped: prefix
     filtering (functions/dedup.jaccard_pairs_prefix, the AllPairs/PPJoin
-    bound).  Unlike q_doc_jaccard_pairs' max_df=64 heuristic this is
-    lossless — candidates come only from each doc's rarest
+    bound).  Candidates come only from each doc's rarest
     |A|-ceil(t|A|)+1 grams in a global (df, gram) order, a
     guaranteed-superset bound, so the pair set equals the uncapped
-    brute-force result while stopword-grade grams never emit pairs.
-    Rows-only for the driver (oracle window full); exact parity vs
+    brute-force result while stopword-grade grams never emit pairs
+    (sf0.1: recovers all 256 true pairs in ~14s where brute force DNF).
+    This is the default "jaccard pairs" a user should reach for; the
+    df-capped heuristic survives as q_doc_jaccard_pairs_capped with its
+    recall caveat.  Rows-only for the driver; exact parity vs
     jaccard_pairs_exact is pytest-enforced
     (tests/test_round3_fixes.py::test_jaccard_pairs_prefix_matches_exact)."""
     from ..functions.dedup import jaccard_pairs_prefix
 
     docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return jaccard_pairs_prefix(docs, threshold=0.5).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+
+def q_doc_jaccard_pairs_capped(sf_dir: str):
+    """df-CAPPED n-gram Jaccard discovery (functions/dedup.
+    jaccard_pairs_exact with max_df=64) — postings shuffle once by gram
+    hash; intersection mass and set sizes fall out of the same exchange.
+
+    RECALL WARNING: the cap is a heuristic that assumes near-dups share
+    low-df grams.  On corpora whose dup clusters share only high-df
+    grams it is RECALL-BLIND — measured on this repo's sf0.1 corpus it
+    finds 0 of the 256 true pairs (every cluster-shared gram has
+    df > 64).  Use q_doc_jaccard_pairs (prefix-filter, lossless, still
+    stopword-safe) unless you specifically want the df-capped cost
+    model.  Kept because the cap IS the right lever when grams are
+    adversarially heavy and the prefix bound's global (df, gram) order
+    is unavailable.  Rows-only; subset-of-exact is pytest-enforced."""
+    from ..functions.dedup import jaccard_pairs_exact
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(docs, threshold=0.5, max_df=64).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
 
@@ -3323,7 +3346,7 @@ def q_doc_tfidf_pairs(sf_dir: str):
     partials as tagged rows; a pair/doc-keyed sum plus two partitioned
     hash joins finish the cosine test (squared form — no sqrt in either
     engine).  The df <= 64 cap bounds per-term fan-out to C(64,2) pairs
-    (same lever as doc_jaccard_pairs); the oracle applies the identical
+    (same lever as doc_jaccard_pairs_capped); the oracle applies the identical
     cap, so parity is exact by construction.  Completes the similarity
     family: n-gram Jaccard (set), MinHash/SimHash (sketch), embedding
     cosine (dense), TF-IDF cosine (weighted sparse)."""
@@ -3402,13 +3425,20 @@ def q_doc_len_outliers(sf_dir: str):
     def flag(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        s = _ray.get(nref)
+        # three per-source int64 Series built ONCE per worker process
+        # (_bcast memo); per-row resolution is a cython reindex hash
+        # probe, not a Python lambda per row
+        n_s, sm_s, th_s = _bcast(nref, lambda d: (
+            pd.Series({k: v[0] for k, v in d.items()}, dtype=np.int64),
+            pd.Series({k: v[1] for k, v in d.items()}, dtype=np.int64),
+            pd.Series({k: v[2] for k, v in d.items()}, dtype=np.int64),
+        ))
         src = t.column("source").to_pandas()
         x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.int64)
-        n_arr = src.map(lambda k: s[k][0]).to_numpy(np.int64)
-        sm_arr = src.map(lambda k: s[k][1]).to_numpy(np.int64)
-        th_arr = src.map(lambda k: s[k][2]).to_numpy(np.int64)
+        n_arr = n_s.reindex(src).to_numpy(np.int64)
+        sm_arr = sm_s.reindex(src).to_numpy(np.int64)
+        th_arr = th_s.reindex(src).to_numpy(np.int64)
         out = np.abs(n_arr * x - sm_arr) > th_arr
         g = pd.DataFrame({"source": src,
                           "o": out.astype(np.int64), "c": 1}) \
@@ -3822,6 +3852,10 @@ def q_t_tool_latency(sf_dir: str):
         })
 
     def _typed(a: pd.DataFrame) -> pa.Table:
+        # max_gap_us is NULLABLE: a tool whose every call is
+        # conversation-final has no answer gap — emit null exactly like the
+        # oracle's max() over no rows (was a -1 sentinel, wrong under the
+        # oracle compare and ambiguous if gaps can be negative)
         return pa.table({
             "tool": pa.array(a["tool"], pa.string()),
             "n_calls": pa.array(a["n_calls"].to_numpy(np.int64), pa.int64()),
@@ -3829,8 +3863,9 @@ def q_t_tool_latency(sf_dir: str):
                                    pa.int64()),
             "sum_gap_us": pa.array(a["sum_gap_us"].to_numpy(np.int64),
                                    pa.int64()),
-            "max_gap_us": pa.array(a["max_gap_us"].to_numpy(np.int64),
-                                   pa.int64()),
+            "max_gap_us": pa.array(
+                [None if pd.isna(x) else int(x) for x in a["max_gap_us"]],
+                pa.int64()),
         })
 
     def tool_partial(t: pa.Table) -> pa.Table:
@@ -3841,11 +3876,27 @@ def q_t_tool_latency(sf_dir: str):
         is_tool = g["tool"].ne("").to_numpy()
         sub = pd.DataFrame({"tool": g["tool"][is_tool],
                             "gap": gap[is_tool]})
-        a = sub.groupby("tool", sort=False).agg(
-            n_calls=("gap", "size"), n_answered=("gap", "count"),
-            sum_gap_us=("gap", lambda s: int(s.sum(skipna=True) or 0)),
-            max_gap_us=("gap", lambda s: int(s.max()) if s.notna().any()
-                        else -1))
+        n_calls = sub.groupby("tool", sort=False).size()
+        # exact arithmetic: each gap is one float64-held int < 2^53 (a
+        # single inter-turn delta), cast per element THEN summed in int64 —
+        # the running total never passes through float, so corpus-scale
+        # sums cannot lose low bits
+        ans = sub.dropna(subset=["gap"])
+        gi = ans["gap"].to_numpy(np.int64)
+        agg = pd.DataFrame({"tool": ans["tool"].to_numpy(), "gap_i": gi}) \
+            .groupby("tool", sort=False)["gap_i"] \
+            .agg(n_answered="count", sum_gap_us="sum", max_gap_us="max")
+        idx = n_calls.index
+        # Series.update keeps the int64 dtype — the sum never passes float
+        sum_g = pd.Series(0, index=idx, dtype=np.int64)
+        sum_g.update(agg["sum_gap_us"])
+        a = pd.DataFrame({
+            "n_calls": n_calls,
+            "n_answered": agg["n_answered"].reindex(idx).fillna(0),
+            "sum_gap_us": sum_g,
+            "max_gap_us": agg["max_gap_us"].reindex(idx),  # NaN -> null
+        })
+        a.index.name = "tool"
         return _typed(a.reset_index())
 
     tool_partial.__name__ = "tool_partial"
@@ -4346,10 +4397,13 @@ def q_t_similar_convs(sf_dir: str):
          components), so the OUTPUT is one row per similarity cluster —
          representative conv, distinct-chain count, total conversation
          count — never the quadratic pair list.
-    Chain assembly reuses t_conv_dups' kernel; discovery is
-    functions/dedup.jaccard_pairs_prefix (exact AllPairs/PPJoin bound).
+    Chain assembly reuses t_conv_dups' kernel; discovery is capped
+    MinHash-LSH (functions/dedup.minhash_candidates, cap=64) with exact
+    Jaccard verification — precision 100%, recall LSH-bound, so clusters
+    can SPLIT where no band collides (sf0.1: 959 clusters vs the exact
+    chain's 694; see the inline note below for why the exact AllPairs
+    prefix join is the wrong tool on dense chain families).
     Rows-only: brute-force cluster parity is pytest-enforced."""
-    from ..functions.dedup import jaccard_pairs_prefix
     from ..functions.joins import bucket_exchange, hash_join
 
     N_PARTS = 32
@@ -5257,7 +5311,7 @@ def build_registry():
         "emb_sim_pairs": q_emb_sim_pairs,
         "emb_dedup_near": q_emb_dedup_near,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
-        "doc_jaccard_prefix": q_doc_jaccard_prefix,
+        "doc_jaccard_pairs_capped": q_doc_jaccard_pairs_capped,
         "doc_repetition": q_doc_repetition,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_redact_pii": q_doc_redact_pii,
@@ -5319,14 +5373,50 @@ def build_registry():
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
-    # entries.  Order oracle-backed queries first (every one of them must
-    # land inside the checked window), rows-only queries after — so adding
-    # a new SQL-backed query can never silently push an existing one out
-    # of driver coverage.
-    ordered = {k: queries[k] for k in queries if k in oracle}
+    # entries.  Order oracle-backed queries first (rows-only after), and
+    # ROTATE the window across rounds so every oracle-backed query earns a
+    # driver-green row: the 9 §2-critical t_* queries stay pinned; the
+    # rest of the window is filled from _WINDOW_ROTATION (round 4 = the 31
+    # oracle-backed queries that sat past position 50 in rounds 1-3 and
+    # were only locally gated, then a fill from the previously-covered
+    # set).  The FULL registry is still gated every round by
+    # scripts/check_queries.py --json CHECKLOCAL_r{N}.json (committed).
+    oracle_backed = [k for k in queries if k in oracle]
+    pri = {k: i for i, k in enumerate(_WINDOW_ROTATION)}
+    oracle_backed.sort(key=lambda k: pri.get(k, len(pri)))
+    ordered = {k: queries[k] for k in oracle_backed}
     ordered.update({k: queries[k] for k in queries if k not in oracle})
     assert list(ordered)[: len(oracle)] == [k for k in ordered if k in oracle]
     return ordered, oracle
+
+
+# Driver-window rotation order (see build note above).  Positions 0-8:
+# pinned §2-critical; 9-39: the 31 previously-unwitnessed oracle-backed
+# queries; 40-49: first fill block of the previously-covered set.  NEXT
+# ROUND: move the remaining previously-covered queries (everything not
+# listed here) into positions 9+ so r04 ∪ r05 covers all 81.
+_WINDOW_ROTATION = [
+    # pinned
+    "t_sink_counts", "t_event_envelope", "t_turn_kind_counts",
+    "t_uid_interp", "t_syscall_interp", "t_proctitle_decode",
+    "t_path_names", "t_node_counts", "t_execve_argv",
+    # round-4 focus: the 31 tail queries without a driver row in r01-r03
+    "events_heavy_hitters", "doc_decontaminate_bloom", "events_late_data",
+    "doc_dedup_online", "doc_mixture_sample", "doc_shuffle_shard",
+    "doc_pack", "doc_bpe_pairs", "doc_span_dedup", "doc_tfidf_pairs",
+    "doc_chunk_plan", "doc_chunk_text", "doc_len_outliers",
+    "doc_global_rank", "t_conv_gaps", "t_role_runs", "t_templates",
+    "t_tool_latency", "emb_knn_graph", "emb_knn_classify", "t_sessionize",
+    "t_template_drift", "t_grok_extract", "t_grok_route",
+    "events_quantiles_by_type", "doc_dataset_card", "events_retention",
+    "doc_cross_dedup", "doc_emb_consistency", "t_conv_dups",
+    "t_tool_error_rate",
+    # fill block (rotates out next round)
+    "q1_pricing", "orders_priority_revenue", "events_daily_top_users",
+    "mktsegment_orders", "doc_dedup_exact", "doc_dedup_near",
+    "doc_minhash_pairs", "doc_dup_clusters", "doc_contamination",
+    "emb_sim_pairs",
+]
 
 
 def _build_oracle(t01):

@@ -2,7 +2,11 @@
 
 Runs every __ray_entry__.queries() entry at sf0.01 alongside its DuckDB
 oracle_sql() and compares row count, column names, and order-insensitive
-values.  Usage: python scripts/check_queries.py [name ...]
+values.  Usage: python scripts/check_queries.py [--json OUT.json] [name ...]
+
+--json writes a per-query machine-readable artifact (the committed
+CHECKLOCAL_r{N}.json files): {name: {status, rows, secs, detail?}} — the
+full-registry complement of the driver's 50-entry CORRECTNESS window.
 """
 
 from __future__ import annotations
@@ -56,32 +60,55 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF_DIR}/{t}.parquet')")
 
-    names = sys.argv[1:] or sorted(qs)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    names = argv or sorted(qs)
+    results: "dict[str, dict]" = {}
+
+    def record(name, status, rows, secs, detail=None):
+        results[name] = {"status": status, "rows": rows,
+                         "secs": round(secs, 2)}
+        if detail:
+            results[name]["detail"] = detail[:300]
+
     n_fail = 0
     for name in names:
         t0 = time.time()
         try:
             got = canon(to_pandas(qs[name](SF_DIR)))
         except Exception as e:
-            print(f"FAIL {name}: ray query raised {type(e).__name__}: {str(e)[:200]}")
+            msg = f"ray query raised {type(e).__name__}: {str(e)[:200]}"
+            print(f"FAIL {name}: {msg}")
+            record(name, "FAIL", None, time.time() - t0, msg)
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok   {name}: {len(got)} rows ({dt:.1f}s) [rows-only, no oracle]")
+            record(name, "rows-only", len(got), dt)
             continue
         try:
             exp = canon(con.sql(sqls[name]).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {str(e)[:200]}")
+            msg = f"oracle SQL raised {type(e).__name__}: {str(e)[:200]}"
+            print(f"FAIL {name}: {msg}")
+            record(name, "FAIL", len(got), dt, msg)
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns ray={list(got.columns)} sql={list(exp.columns)}")
+            msg = f"columns ray={list(got.columns)} sql={list(exp.columns)}"
+            print(f"FAIL {name}: {msg}")
+            record(name, "FAIL", len(got), dt, msg)
             n_fail += 1
             continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows ray={len(got)} sql={len(exp)}")
+            msg = f"rows ray={len(got)} sql={len(exp)}"
+            print(f"FAIL {name}: {msg}")
+            record(name, "FAIL", len(got), dt, msg)
             n_fail += 1
             continue
         if not got.equals(exp):
@@ -91,10 +118,30 @@ def main() -> int:
             for c in bad_cols[:2]:
                 i = diff[c].idxmax()
                 print(f"   e.g. row {i} col {c}: ray={got[c][i]!r} sql={exp[c][i]!r}")
+            record(name, "FAIL", len(got), dt,
+                   f"value mismatch in {bad_cols}")
             n_fail += 1
             continue
         print(f"PASS {name}: {len(got)} rows ({dt:.1f}s)")
+        record(name, "PASS", len(got), dt)
     ray.shutdown()
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_total": len(names),
+            "n_pass": sum(1 for r in results.values()
+                          if r["status"] == "PASS"),
+            "n_rows_only": sum(1 for r in results.values()
+                               if r["status"] == "rows-only"),
+            "n_fail": n_fail,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}: {summary['n_pass']} PASS / "
+              f"{summary['n_rows_only']} rows-only / {n_fail} FAIL")
     return n_fail
 
 

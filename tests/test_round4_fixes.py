@@ -1,0 +1,122 @@
+"""Round-4 review fixes: tool-latency NULL semantics, grok_route input
+validation, double-digest cross dedup, jaccard registry default."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _plant_transcripts(tag: str, table: pa.Table) -> str:
+    """Pre-populate the fixture cache for a synthetic sf_dir tag so
+    transcript queries run over custom rows (ensure_transcripts returns
+    an existing cache dir untouched)."""
+    import os
+
+    from aushape_ray.fixtures import transcripts_path
+
+    sf_dir = f"/tmp/{tag}"
+    path = transcripts_path(sf_dir)
+    if not os.path.isdir(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+        os.replace(tmp, path)
+    return sf_dir
+
+
+def test_tool_latency_unanswered_only_tool_is_null(ray_session):
+    """A tool whose every call is conversation-final must report
+    max_gap_us NULL (the oracle's max() over zero rows), not a -1
+    sentinel; sums must stay exact int64."""
+    rows = []
+    # convs where tool "lone" only ever appears as the last turn
+    for c in range(4):
+        rows.append((f"c{c}", 0, "user", "t=1", "", 1_000_000 * c))
+        rows.append((f"c{c}", 1, "tool", "t=2", "lone", 1_000_000 * c + 7))
+    # a normal tool with answered calls (gap 5us then 11us)
+    rows.append(("d0", 0, "tool", "t=3", "shell", 100))
+    rows.append(("d0", 1, "user", "t=4", "", 105))
+    rows.append(("d1", 0, "tool", "t=5", "shell", 200))
+    rows.append(("d1", 1, "user", "t=6", "", 211))
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([r[4] for r in rows], pa.string()),
+        "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+    })
+    sf_dir = _plant_transcripts("r4latency", tbl)
+
+    from aushape_ray.pipelines.queries import q_t_tool_latency
+
+    out = q_t_tool_latency(sf_dir).to_pandas().set_index("tool")
+    assert out.loc["lone", "n_calls"] == 4
+    assert out.loc["lone", "n_answered"] == 0
+    assert out.loc["lone", "sum_gap_us"] == 0
+    assert out.loc["lone"].isna()["max_gap_us"]
+    assert out.loc["shell", "n_answered"] == 2
+    assert out.loc["shell", "sum_gap_us"] == 16
+    assert out.loc["shell", "max_gap_us"] == 11
+
+    # and the DuckDB oracle agrees on the same parquet
+    import duckdb
+
+    from aushape_ray.fixtures import transcripts_glob
+    from aushape_ray.pipelines.queries import sql_t_tool_latency
+
+    exp = duckdb.sql(sql_t_tool_latency(transcripts_glob(sf_dir))).df() \
+        .set_index("tool").sort_index()
+    got = out.sort_index()
+    assert got["n_calls"].tolist() == exp["n_calls"].tolist()
+    assert got["sum_gap_us"].tolist() == exp["sum_gap_us"].tolist()
+    assert got["max_gap_us"].isna().tolist() == exp["max_gap_us"].isna().tolist()
+
+
+def test_grok_route_rejects_bad_patterns(ray_session):
+    import ray.data
+
+    from aushape_ray.functions.grok import grok_route
+
+    ds = ray.data.from_items([{"text": "x=1"}])
+    with pytest.raises(ValueError, match="empty"):
+        grok_route(ds, {})
+    with pytest.raises(ValueError, match="sentinel"):
+        grok_route(ds, {"": "x=%{INT:v}"})
+
+
+def test_fnv_second_family_is_distinct():
+    """The two digest families must disagree (different basis AND
+    different step) so double-hash equality is a real second check."""
+    from aushape_ray.functions.dedup import (_FNV2_OFFSET, _FNV2_PRIME,
+                                             flat_utf8, fnv_segments)
+
+    col = pa.array(["alpha", "beta", "", "alpha beta gamma"], pa.string())
+    data, off, _ = flat_utf8(col)
+    h1 = fnv_segments(data, off[:-1], np.diff(off))
+    h2 = fnv_segments(data, off[:-1], np.diff(off),
+                      basis=_FNV2_OFFSET, prime=_FNV2_PRIME)
+    assert not np.any(h1 == h2)
+    # determinism
+    h1b = fnv_segments(data, off[:-1], np.diff(off))
+    assert np.array_equal(h1, h1b)
+
+
+def test_jaccard_default_is_exact(ray_session):
+    """Registry contract: 'doc_jaccard_pairs' resolves to the lossless
+    prefix-filter discovery, and the capped variant is subset-of-exact."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert "doc_jaccard_pairs" in qs and "doc_jaccard_pairs_capped" in qs
+    sf = "/root/testdata/sf0.001"
+    def pairs(df):
+        if not len(df):
+            return set()
+        return set(zip(df["doc_a"], df["doc_b"]))
+
+    e = pairs(qs["doc_jaccard_pairs"](sf).to_pandas())
+    c = pairs(qs["doc_jaccard_pairs_capped"](sf).to_pandas())
+    assert c <= e
