@@ -78,7 +78,11 @@ def _tokenize_stage(src: str, out_dir: str, fp: dict, resume: bool,
     tok_dir = os.path.join(out_dir, "_tokens")
     man_path = os.path.join(out_dir, "_manifests", "tokens.json")
     man = _manifest(man_path)
-    if resume and man and man.get("input") == fp:
+    # resume validity = same input AND same tokenizer config: a changed
+    # num_merges changes every token count, so reusing the checkpoint
+    # would be silently wrong
+    if (resume and man and man.get("input") == fp
+            and man.get("num_merges") == num_merges):
         return tok_dir, True
     t0 = time.time()
     docs = ray.data.read_parquet(src, columns=["doc_id", "text"],
@@ -105,7 +109,8 @@ def _shard_manifest_path(out_dir: str, shard: int) -> str:
 
 
 def _materialize_shard(table: pa.Table, out_dir: str, fp: dict,
-                       capacity: int) -> dict:
+                       capacity: int, n_shards: int,
+                       num_merges: int) -> dict:
     """One shard's reduce task: order by shuffle rank, next-fit pack,
     write the pack index atomically, record the per-shard manifest.
     Runs remotely inside the bucket exchange; the returned summary row
@@ -134,15 +139,20 @@ def _materialize_shard(table: pa.Table, out_dir: str, fp: dict,
     os.replace(tmp, sdir)
     summary = {"shard": shard, "n_docs": int(len(ids)),
                "n_tokens": int(toks.sum()), "n_packs": int(n_packs)}
+    # n_shards is part of shard identity (it changes every shard's doc
+    # membership) and num_merges is part of the counts' identity — a
+    # manifest from a run with different values must never mark this
+    # shard done
     _write_json(_shard_manifest_path(out_dir, shard),
                 {"stage": "shard", "input": fp, "capacity": capacity,
+                 "n_shards": n_shards, "num_merges": num_merges,
                  **summary})
     return summary
 
 
 def prepare_shards(sf_dir: str, out_dir: str, resume: bool = False,
                    n_shards: int = 8, capacity: int = 256,
-                   num_merges: int = 16) -> dict:
+                   num_merges: int = 16, strict: bool = True) -> dict:
     """Run (or resume) document corpus -> packed training shards.
 
     Returns {"shards": [per-shard summaries], "total_tokens": n,
@@ -167,6 +177,8 @@ def prepare_shards(sf_dir: str, out_dir: str, resume: bool = False,
             man = _manifest(_shard_manifest_path(out_dir, s))
             if (man and man.get("input") == fp
                     and man.get("capacity") == capacity
+                    and man.get("n_shards") == n_shards
+                    and man.get("num_merges") == num_merges
                     and os.path.isdir(os.path.join(out_dir, "shards",
                                                    f"shard={s}"))):
                 done[s] = {k: man[k] for k in
@@ -215,7 +227,8 @@ def prepare_shards(sf_dir: str, out_dir: str, resume: bool = False,
                                  "n_docs": pa.array([], pa.int64()),
                                  "n_tokens": pa.array([], pa.int64()),
                                  "n_packs": pa.array([], pa.int64())})
-            s = _materialize_shard(t.combine_chunks(), out_dir, fp, capacity)
+            s = _materialize_shard(t.combine_chunks(), out_dir, fp,
+                                   capacity, n_shards, num_merges)
             return pa.table({k: pa.array([v], pa.int64())
                              for k, v in s.items()})
 
@@ -232,6 +245,14 @@ def prepare_shards(sf_dir: str, out_dir: str, resume: bool = False,
         "stage": "final", "input": fp, "n_shards": n_shards,
         "capacity": capacity, "total_tokens": total_tokens,
         "packed_tokens": packed_total, "conserved": conserved})
+    if strict and not conserved:
+        # a broken conservation invariant means docs were lost or
+        # duplicated by the exchange/packer — corrupt training data; the
+        # final manifest above records the evidence, then we refuse
+        raise RuntimeError(
+            f"prepare_shards: token conservation violated "
+            f"(tokenized {total_tokens}, packed {packed_total}); "
+            f"out_dir={out_dir} — rerun without resume to rebuild")
     return {"shards": summaries, "total_tokens": total_tokens,
             "resumed_tokens": resumed_tokens,
             "resumed_shards": sorted(done), "conserved": conserved}

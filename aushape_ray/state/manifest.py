@@ -104,9 +104,12 @@ class _ResumableShardWriter:
 
     def _read(self, path: str) -> pa.Table:
         if self.input_format == "rawlog":
-            from ..sources.rawlog import parse_audit_lines
+            # _open_log, not open(): rotated auditd logs are commonly
+            # gzipped (audit.log.1.gz matches the *.log* shard glob) and a
+            # plain text read of one would silently yield 0 events
+            from ..sources.rawlog import _open_log, parse_audit_lines
 
-            with open(path, "r", encoding="utf-8", errors="replace") as f:
+            with _open_log(path) as f:
                 return parse_audit_lines(f.readlines())
         import pyarrow.parquet as pq
 
@@ -181,8 +184,10 @@ def _check_rawlog_contiguity(files: "list[str]") -> None:
     stamp = _re.compile(r"msg=audit\(\d+\.\d{1,3}:(\S+?)\):")
 
     def edge_serials(path):
+        from ..sources.rawlog import _open_log
+
         first = last = None
-        with open(path, "r", encoding="utf-8", errors="replace") as f:
+        with _open_log(path) as f:  # gz-aware: rotations may be gzipped
             for line in f:
                 m = stamp.search(line)
                 if m:

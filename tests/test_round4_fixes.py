@@ -120,3 +120,32 @@ def test_jaccard_default_is_exact(ray_session):
     e = pairs(qs["doc_jaccard_pairs"](sf).to_pandas())
     c = pairs(qs["doc_jaccard_pairs_capped"](sf).to_pandas())
     assert c <= e
+
+
+def test_prepare_shards_resume_invalidation(ray_session, tmp_path):
+    """Resume must invalidate on tokenizer/shard-count config changes, not
+    just on input changes: a resumed run with a different num_merges must
+    rebuild token counts, and a different n_shards must rebuild every
+    shard (doc membership changed)."""
+    from aushape_ray.pipelines.training import prepare_shards
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    prepare_shards(SF, out, n_shards=4, capacity=64, num_merges=8)
+
+    r2 = prepare_shards(SF, out, resume=True, n_shards=4, capacity=64,
+                        num_merges=8)
+    assert r2["resumed_tokens"] and r2["resumed_shards"] == [0, 1, 2, 3]
+
+    r3 = prepare_shards(SF, out, resume=True, n_shards=4, capacity=64,
+                        num_merges=12)
+    assert not r3["resumed_tokens"]
+    assert r3["resumed_shards"] == []  # counts changed -> shards stale
+    assert r3["conserved"]
+
+    r4 = prepare_shards(SF, out, resume=True, n_shards=5, capacity=64,
+                        num_merges=12)
+    assert r4["resumed_tokens"]       # tokenizer config unchanged
+    assert r4["resumed_shards"] == []  # membership changed
+    assert r4["conserved"]
+    assert len(r4["shards"]) == 5
