@@ -451,7 +451,8 @@ def _lloyd_numpy(x: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
 
 
 def pq_fit(ds: "ray.data.Dataset", m_sub: int = 8, k: int = 16,
-           sample_cap: int = 4096, iters: int = 12) -> np.ndarray:
+           sample_cap: int = 4096, iters: int = 12,
+           centroids: "np.ndarray | None" = None) -> np.ndarray:
     """Train product-quantization codebooks (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011) on a
     deterministic hash-sample of the corpus.
@@ -476,6 +477,13 @@ def pq_fit(ds: "ray.data.Dataset", m_sub: int = 8, k: int = 16,
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
     mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
     mat = _normalize(mat)
+    if centroids is not None:
+        # RESIDUAL PQ (IVF-PQ, Jegou et al. 2011 §III): codebooks are
+        # trained on r = v - c(v) for the nearest coarse centroid c(v).
+        # Residuals have far less variance than raw vectors, so the same
+        # code budget quantizes much finer (measured: recall@10 56% flat
+        # -> 90%+ with coarse k=16 + rerank at sf0.01, BASELINE.md)
+        mat = mat - centroids[_nearest_cell(mat, centroids)]
     dim = mat.shape[1]
     assert dim % m_sub == 0, "dim must divide into m_sub sub-spaces"
     d_sub = dim // m_sub
@@ -485,16 +493,32 @@ def pq_fit(ds: "ray.data.Dataset", m_sub: int = 8, k: int = 16,
         for j in range(m_sub)])
 
 
-def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Dataset":
-    """Distributed PQ encoding: (vec_id, codes uint8[m_sub]) — dim*8
-    bytes per vector shrink to m_sub bytes.  Codebooks broadcast once."""
+def _nearest_cell(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    d2 = ((mat * mat).sum(1)[:, None] - 2 * mat @ centroids.T
+          + (centroids * centroids).sum(1)[None, :])
+    return d2.argmin(axis=1)
+
+
+def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray,
+              centroids: "np.ndarray | None" = None) -> "ray.data.Dataset":
+    """Distributed PQ encoding: (vec_id, codes uint8[m_sub][, cell]) —
+    dim*8 bytes per vector shrink to m_sub bytes (+2 for the coarse cell
+    id in residual mode).  Codebooks (and centroids) broadcast once.
+    With `centroids`, codes quantize the RESIDUAL to the nearest coarse
+    centroid and the chosen cell is emitted alongside (IVF-PQ layout)."""
     m_sub, k, d_sub = codebooks.shape
-    ref = ray.put(codebooks)
+    ref = ray.put({"cb": codebooks, "cents": centroids})
 
     def encode(b: pa.Table) -> pa.Table:
-        cb = ray.get(ref)
+        bc = ray.get(ref)
+        cb = bc["cb"]
         mat = _normalize(np.stack(b.column("embedding").to_numpy(
             zero_copy_only=False)).astype(np.float64))
+        cols = {"vec_id": b.column("vec_id").cast(pa.int64())}
+        if bc["cents"] is not None:
+            cell = _nearest_cell(mat, bc["cents"])
+            mat = mat - bc["cents"][cell]
+            cols["cell"] = pa.array(cell.astype(np.uint16), pa.uint16())
         n = len(mat)
         codes = np.empty((n, m_sub), np.uint8)
         for j in range(m_sub):
@@ -503,44 +527,73 @@ def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Datase
             d2 = ((sub * sub).sum(1)[:, None] - 2 * sub @ c.T
                   + (c * c).sum(1)[None, :])
             codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
-        return pa.table({
-            "vec_id": b.column("vec_id").cast(pa.int64()),
-            "codes": pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.ravel(), pa.uint8()), m_sub),
-        })
+        cols["codes"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.uint8()), m_sub)
+        return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
-def pq_adc_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
-                query_vecs: "dict[int, np.ndarray]", k: int = 10) -> pa.Table:
-    """Asymmetric-distance top-k over PQ codes: per query a (m_sub x k)
-    LUT of sub-distances to the UNQUANTIZED query, per batch one LUT
-    gather + sum per sub-space (no decode, no float matmul against the
-    corpus), partial top-k per batch, tiny driver merge.  Returns
-    (query_id, rank, neighbor_id) like brute_force_topk."""
+def _query_luts(codebooks: np.ndarray, query_vecs: "dict[int, np.ndarray]",
+                centroids: "np.ndarray | None") -> dict:
+    """Per-query ADC lookup tables.  Flat PQ: (m_sub, k) sub-distances to
+    the unquantized query.  Residual PQ: one (m_sub, k) table PER COARSE
+    CELL, built from (q - centroid_i) — flattened to (C*m_sub*k,) so the
+    scan can gather with a single fancy index."""
     m_sub, kk, d_sub = codebooks.shape
-    qids = sorted(query_vecs)
     luts = {}
-    for q in qids:
+    for q in sorted(query_vecs):
         v = np.asarray(query_vecs[q], np.float64)
         v = v / max(np.linalg.norm(v), 1e-12)
-        luts[q] = np.stack([
-            ((codebooks[j] - v[j * d_sub:(j + 1) * d_sub]) ** 2).sum(axis=1)
-            for j in range(m_sub)])
-    ref = ray.put(luts)
+        if centroids is None:
+            luts[q] = np.stack([
+                ((codebooks[j] - v[j * d_sub:(j + 1) * d_sub]) ** 2).sum(axis=1)
+                for j in range(m_sub)])
+        else:
+            res = v[None, :] - centroids            # (C, dim)
+            per_cell = np.stack([
+                ((codebooks[j][None, :, :]
+                  - res[:, None, j * d_sub:(j + 1) * d_sub]) ** 2).sum(axis=2)
+                for j in range(m_sub)], axis=1)      # (C, m_sub, k)
+            luts[q] = np.ascontiguousarray(per_cell).reshape(-1)
+    return luts
+
+
+def pq_adc_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
+                query_vecs: "dict[int, np.ndarray]", k: int = 10,
+                centroids: "np.ndarray | None" = None) -> pa.Table:
+    """Asymmetric-distance top-k over PQ codes: per query a LUT of
+    sub-distances to the UNQUANTIZED query (per coarse cell in residual
+    mode), per batch one LUT gather + sum per sub-space (no decode, no
+    float matmul against the corpus), partial top-k per batch, tiny
+    driver merge.  Returns (query_id, rank, neighbor_id) like
+    brute_force_topk.  Pass a larger k (e.g. 4*k_final) to produce a
+    shortlist for exact_rerank — the IVF-PQ recipe."""
+    m_sub, kk, d_sub = codebooks.shape
+    qids = sorted(query_vecs)
+    ref = ray.put(_query_luts(codebooks, query_vecs, centroids))
 
     def scan(b: pa.Table) -> pa.Table:
         lt = ray.get(ref)
         codes = np.asarray(b.column("codes").combine_chunks().values
                            ).reshape(-1, m_sub)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        if centroids is not None:
+            cell = b.column("cell").to_numpy(zero_copy_only=False)\
+                .astype(np.int64)
+            # flat gather index into the (C, m_sub, k) table per sub-space
+            base = cell[:, None] * (m_sub * kk) \
+                + np.arange(m_sub)[None, :] * kk
+            gather = base + codes
         out_q, out_n, out_d = [], [], []
         for q in qids:
-            d = np.zeros(len(codes))
             lut = lt[q]
-            for j in range(m_sub):
-                d += lut[j][codes[:, j]]
+            if centroids is None:
+                d = np.zeros(len(codes))
+                for j in range(m_sub):
+                    d += lut[j][codes[:, j]]
+            else:
+                d = lut[gather].sum(axis=1)
             top = np.argsort(d, kind="stable")[: k + 1]
             out_q += [q] * len(top)
             out_n += ids[top].tolist()
@@ -567,6 +620,46 @@ def pq_adc_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
             out_q.append(q)
             out_r.append(rank)
             out_n.append(nid)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "neighbor_id": pa.array(out_n, pa.int64()),
+    })
+
+
+def exact_rerank(ds: "ray.data.Dataset",
+                 shortlist: "dict[int, list[int]]",
+                 query_vecs: "dict[int, np.ndarray]",
+                 k: int = 10) -> pa.Table:
+    """Exact cosine re-ranking of ADC shortlists (the standard IVF-PQ
+    refinement): ONE column-pruned filtered pass fetches only the
+    candidate embeddings (|queries| * R rows, never the corpus), exact
+    cosine runs on the driver over that tiny set, top-k per query with
+    (sim DESC, neighbor_id) tie-break.  Self-matches are excluded."""
+    cand_ids = sorted({i for ids in shortlist.values() for i in ids})
+    id_arr = pa.array(cand_ids, pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return b.filter(pc_.is_in(b.column("vec_id").cast(pa.int64()),
+                                  id_arr))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+            for r in rows}
+    out_q, out_r, out_n = [], [], []
+    for q in sorted(shortlist):
+        qv = np.asarray(query_vecs[q], np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        cands = [c for c in shortlist[q] if c != q and c in vecs]
+        mat = _normalize(np.stack([vecs[c] for c in cands]))
+        sim = mat @ qv
+        order = sorted(range(len(cands)), key=lambda i: (-sim[i], cands[i]))
+        for rank, i in enumerate(order[:k], 1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_n.append(cands[i])
     return pa.table({
         "query_id": pa.array(out_q, pa.int64()),
         "rank": pa.array(out_r, pa.int64()),

@@ -3202,14 +3202,20 @@ def q_doc_decontaminate_bloom(sf_dir: str):
 
 
 def q_ann_pq_recall(sf_dir: str):
-    """Product quantization end-to-end (Jegou et al. 2011): sample-train
-    m=8 sub-codebooks, encode the corpus distributed (512-byte float64
-    vectors -> 8-byte codes, 64x), asymmetric-distance top-10 scan via
-    per-query LUT gathers (no float matmul against the corpus), recall@10
-    vs exact brute force reported in-band (rows-only: quality metric).
-    The compression stage of an IVF-PQ index; pairs with
-    ann_ivf_kmeans_recall's coarse quantizer."""
-    from ..functions.ann import brute_force_topk, pq_adc_topk, pq_encode, pq_fit
+    """RESIDUAL product quantization end-to-end (IVF-PQ, Jegou et al.
+    2011 §III): distributed k-means coarse quantizer over the normalized
+    corpus, PQ codebooks sample-trained on residuals to the nearest
+    coarse centroid, corpus encoded distributed to (cell uint16 + 16
+    uint8 codes), asymmetric-distance scan with per-cell LUTs (single
+    fancy-index gather, no float matmul against the corpus) producing a
+    4k shortlist, then EXACT cosine re-ranking of only the shortlist (one
+    column-pruned filtered fetch of |q|*4k embeddings).  recall@10 vs
+    exact brute force reported in-band twice: ADC-only and re-ranked
+    (rows-only: quality metric; the >=0.8 bar is pytest-enforced in
+    tests/test_round4_fixes.py).  Flat-PQ plateaued at 56% with the same
+    code budget — the residual sweep is in BASELINE.md round-4 notes."""
+    from ..functions.ann import (_normalize, brute_force_topk, exact_rerank,
+                                 kmeans_fit, pq_adc_topk, pq_encode, pq_fit)
 
     ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids = list(range(8))
@@ -3218,28 +3224,51 @@ def q_ann_pq_recall(sf_dir: str):
     for r in exact.to_pylist():
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
 
-    M_SUB, K_CB = 16, 64  # 16 uint8 codes/vec = 32x over float64 (dim 64);
-    # recall@10 at sf0.01: 56% (vs 28% at m=8,k=16 and 2% random) —
-    # parameter sweep in BASELINE.md round-3 notes
-    codebooks = pq_fit(ds, m_sub=M_SUB, k=K_CB)
-    codes = pq_encode(ds, codebooks).materialize()
+    M_SUB, K_CB, K_COARSE, SHORTLIST = 16, 64, 16, 40
+
+    def norm_batch(b: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(b.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64))
+        return pa.table({
+            "vec_id": b.column("vec_id").cast(pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float64()), mat.shape[1]),
+        })
+
+    nds = ds.map_batches(norm_batch, batch_format="pyarrow")
+    cents, _sizes, _inertia, _r = kmeans_fit(nds, k=K_COARSE, iters=8)
+    codebooks = pq_fit(ds, m_sub=M_SUB, k=K_CB, centroids=cents)
+    codes = pq_encode(ds, codebooks, centroids=cents).materialize()
     q_rows = ds.map_batches(
         lambda t: t.filter(pc.is_in(t.column("vec_id"),
                                     pa.array(qids, pa.int64()))),
         batch_format="pyarrow").take_all()
     q_vecs = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
               for r in q_rows}
-    approx = pq_adc_topk(codes, codebooks, q_vecs, k=10)
-    hits = sum(1 for r in approx.to_pylist()
+    approx = pq_adc_topk(codes, codebooks, q_vecs, k=SHORTLIST,
+                         centroids=cents)
+    shortlist: dict[int, list] = {q: [] for q in qids}
+    adc_hits = 0
+    for r in approx.to_pylist():
+        shortlist[r["query_id"]].append(r["neighbor_id"])
+        if (r["rank"] <= 10
+                and r["neighbor_id"] in exact_sets.get(r["query_id"], set())):
+            adc_hits += 1
+    rer = exact_rerank(ds, shortlist, q_vecs, k=10)
+    hits = sum(1 for r in rer.to_pylist()
                if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
     dim = len(next(iter(q_vecs.values())))
+    bytes_vec = M_SUB + 2  # codes + coarse cell id
     return pa.table({
         "n_queries": pa.array([len(qids)], pa.int64()),
         "k": pa.array([10], pa.int64()),
         "hits": pa.array([hits], pa.int64()),
         "recall_pct": pa.array([hits * 100 // (10 * len(qids))], pa.int64()),
-        "bytes_per_vec": pa.array([M_SUB], pa.int64()),
-        "compression_x": pa.array([dim * 8 // M_SUB], pa.int64()),
+        "adc_recall_pct": pa.array([adc_hits * 100 // (10 * len(qids))],
+                                   pa.int64()),
+        "shortlist": pa.array([SHORTLIST], pa.int64()),
+        "bytes_per_vec": pa.array([bytes_vec], pa.int64()),
+        "compression_x": pa.array([dim * 8 // bytes_vec], pa.int64()),
     })
 
 

@@ -149,3 +149,14 @@ def test_prepare_shards_resume_invalidation(ray_session, tmp_path):
     assert r4["resumed_shards"] == []  # membership changed
     assert r4["conserved"]
     assert len(r4["shards"]) == 5
+
+
+def test_residual_pq_recall_meets_bar(ray_session):
+    """IVF-PQ with exact re-ranking must hold recall@10 >= 0.8 at sf0.01
+    (flat PQ plateaued at 56% with the same code budget)."""
+    from aushape_ray.pipelines.queries import q_ann_pq_recall
+
+    row = q_ann_pq_recall("/root/testdata/sf0.01").to_pylist()[0]
+    assert row["recall_pct"] >= 80, row
+    assert row["adc_recall_pct"] <= row["recall_pct"]
+    assert row["compression_x"] >= 16
