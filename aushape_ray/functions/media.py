@@ -39,6 +39,37 @@ def synthesize_media(batch: pa.Table) -> pa.Table:
     })
 
 
+# --- format sniffing (magic bytes) -----------------------------------------
+# The decode stage routes by what the payload actually IS, not by what the
+# metadata claims: real formats reach a real decoder (PIL rasters when
+# Pillow is importable, the zero-dependency PPM/WAV/Y4M codecs below
+# always), and only non-codec (synthetic) payloads take the deterministic
+# fake path — so the fake can never silently mask a real format.
+
+_PIL_RASTERS = ("jpeg", "png", "gif", "bmp", "webp")
+
+
+def sniff_format(payload: bytes) -> "str | None":
+    """Magic-byte format sniff; None = no known codec signature."""
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload.startswith(b"BM") and len(payload) >= 26:
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"P6" and payload[2:3] in (b" ", b"\t", b"\n", b"\r"):
+        return "ppm"
+    if payload.startswith(b"YUV4MPEG2 "):
+        return "y4m"
+    return None
+
+
 class FakeDecoder:
     """Actor-pool decode/feature stage.  __init__ = the 'model load' (here:
     a salt); __call__ = per-batch decode.  STUB: real codecs would replace
@@ -51,6 +82,11 @@ class FakeDecoder:
     def _decode(self, kind: str, payload: bytes) -> dict:
         if kind not in self.allowed:
             raise NotImplementedError(f"decoder for {kind} not enabled")
+        fmt = sniff_format(payload)
+        if fmt is not None:
+            raise ValueError(
+                f"payload carries a real {fmt} signature — the fake "
+                f"decoder must not mask it; use make_decoder()")
         d = hashlib.sha256(self.salt + payload).digest()
         if kind == "image":
             return {"width": 64 + d[0] % 192, "height": 64 + d[1] % 192, "frames": 1}
@@ -81,30 +117,58 @@ except ImportError:
 
 
 class PilDecoder(FakeDecoder):
-    """Real image decode via Pillow when available — the deployment swap
-    the FakeDecoder docstring promises, same schema in/out.  Non-image
-    kinds (and every kind when Pillow is absent) fall through to the
-    deterministic fake, so the stage stays total.  Select with
-    make_decoder()."""
+    """Sniffing real-format decoder — the deployment swap the FakeDecoder
+    docstring promises, same schema in/out.  Routing is by magic bytes:
+    PIL raster formats (jpeg/png/gif/bmp/webp) decode via Pillow when
+    importable (and raise NotImplementedError when not — never a silent
+    fake), PPM/WAV/Y4M decode via the zero-dependency codecs below in
+    every container, and payloads with no codec signature (the synthetic
+    corpus) fall through to the deterministic fake so the stage stays
+    total.  Select with make_decoder()."""
 
     def _decode(self, kind: str, payload: bytes) -> dict:
-        if kind != "image" or not HAVE_PIL:
-            return super()._decode(kind, payload)
         if kind not in self.allowed:
             raise NotImplementedError(f"decoder for {kind} not enabled")
-        import io
+        fmt = sniff_format(payload)
+        if fmt is None:
+            d = hashlib.sha256(self.salt + payload).digest()
+            if kind == "image":
+                return {"width": 64 + d[0] % 192,
+                        "height": 64 + d[1] % 192, "frames": 1}
+            if kind == "audio":
+                return {"width": 0, "height": 0,
+                        "frames": 8000
+                        + int.from_bytes(d[2:4], "little") % 8000}
+            return {"width": 320, "height": 240, "frames": 24 + d[4] % 240}
+        if fmt in _PIL_RASTERS:
+            if not HAVE_PIL:
+                raise NotImplementedError(
+                    f"payload is {fmt} but Pillow is not installed")
+            import io
 
-        with _PILImage.open(io.BytesIO(payload)) as im:
-            return {"width": im.width, "height": im.height,
-                    "frames": int(getattr(im, "n_frames", 1))}
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return {"width": im.width, "height": im.height,
+                        "frames": int(getattr(im, "n_frames", 1))}
+        if fmt == "ppm":
+            arr = decode_ppm(payload)
+            return {"width": int(arr.shape[1]), "height": int(arr.shape[0]),
+                    "frames": 1}
+        if fmt == "wav":
+            samples, _rate = decode_wav(payload)
+            return {"width": 0, "height": 0, "frames": int(len(samples))}
+        # y4m
+        frames, _fps = decode_y4m(payload)
+        return {"width": int(frames.shape[2]), "height": int(frames.shape[1]),
+                "frames": int(frames.shape[0])}
 
 
 def make_decoder(*, prefer_real: bool = True, **kwargs) -> FakeDecoder:
-    """Decoder factory: PilDecoder when Pillow is importable and real
-    decode is wanted, FakeDecoder otherwise.  Callers that feed synthetic
-    (non-codec) payloads — media_features over the synth corpus — must
-    pass prefer_real=False."""
-    cls = PilDecoder if (prefer_real and HAVE_PIL) else FakeDecoder
+    """Decoder factory.  prefer_real (default): the sniffing PilDecoder —
+    real formats decode for real (PPM/WAV/Y4M always, PIL rasters when
+    Pillow is importable), unrecognized payloads take the deterministic
+    fake path.  prefer_real=False: the pure FakeDecoder, which REFUSES
+    payloads carrying a real codec signature."""
+    cls = PilDecoder if prefer_real else FakeDecoder
     return cls(**kwargs)
 
 
@@ -175,7 +239,7 @@ def media_features(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     payload bytes dominate memory, so batches stay shallow."""
     media = docs.map_batches(synthesize_media, batch_format="pyarrow",
                              batch_size=256)
-    return media.map_batches(FakeDecoder, batch_format="pyarrow",
+    return media.map_batches(PilDecoder, batch_format="pyarrow",
                              batch_size=256, concurrency=(1, 4))
 
 
@@ -187,7 +251,7 @@ def media_frames(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                              batch_size=256)
 
     def decode_keep_payload(batch: pa.Table) -> pa.Table:
-        dec = FakeDecoder()(batch)
+        dec = PilDecoder()(batch)
         return dec.append_column("payload", batch.column("payload"))
 
     decoded = media.map_batches(decode_keep_payload, batch_format="pyarrow",

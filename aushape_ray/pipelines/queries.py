@@ -1342,9 +1342,11 @@ GROUP BY e.event_id"""
 def q_events_quantiles_sketch(sf_dir: str):
     """Mergeable-quantile scale path: per-batch KLL partial sketches,
     per-group merge — the shuffle carries O(k log n) ints per group, not
-    rows.  Reports sketch p50/p95 alongside the exact values and the
-    observed rank error in basis points (rows-only: approximate by
-    design, like hll_distinct_users)."""
+    rows.  Reports sketch p50/p95 alongside the exact values, the value
+    deviation AND the true RANK error in basis points (the quantity the
+    KLL O(1/k) guarantee bounds; measured by a second broadcast counting
+    pass, 6 ints per type per batch).  Rows-only: approximate by design,
+    like hll_distinct_users; the rank-error bound is pytest-asserted."""
     from ..functions.sketches import KllSketch
 
     ds = _read_table(sf_dir, "events", ["event_type", "value"])
@@ -1379,10 +1381,53 @@ def q_events_quantiles_sketch(sf_dir: str):
 
     exact = q_events_quantiles(sf_dir).to_pandas()  # tiny: one row per type
     m = est.merge(exact.drop(columns=["n"]), on="event_type")
-    # observed RANK error in basis points: |rank(est) - target_rank| / n,
-    # bounded by the KLL guarantee O(1/k); evaluated against the exact
-    # per-type value arrays would need a second pass, so report the
-    # cheaper VALUE deviation of the discrete quantiles instead
+
+    # TRUE rank error (the quantity the KLL guarantee actually bounds):
+    # one extra broadcast pass counts, per type, values strictly below /
+    # at-or-below each estimate; the estimate's attainable rank is the
+    # interval [lt, le] (ties make it an interval), and the deviation is
+    # the distance from the target rank q*n to that interval — 0 when the
+    # target falls inside.  The exchange is 6 ints per type per batch.
+    import ray as _ray
+
+    est_map = {r["event_type"]: (int(r["p50_sketch"]), int(r["p95_sketch"]))
+               for _, r in m.iterrows()}
+    eref = _ray.put(est_map)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        ests = _bcast(eref)
+        v = np.asarray(batch.column("value"), np.float64)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        types = np.asarray(batch.column("event_type"))
+        rows = {"event_type": [], "lt50": [], "le50": [],
+                "lt95": [], "le95": []}
+        for t in np.unique(types):
+            c = cents[types == t]
+            e50, e95 = ests[str(t)]
+            rows["event_type"].append(str(t))
+            rows["lt50"].append(int((c < e50).sum()))
+            rows["le50"].append(int((c <= e50).sum()))
+            rows["lt95"].append(int((c < e95).sum()))
+            rows["le95"].append(int((c <= e95).sum()))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            **{k: pa.array(rows[k], pa.int64())
+               for k in ("lt50", "le50", "lt95", "le95")},
+        })
+
+    ranks = pd.DataFrame(
+        ds.map_batches(rank_partial, batch_format="pyarrow").take_all()
+    ).groupby("event_type", as_index=False).sum()
+    m = m.merge(ranks, on="event_type")
+
+    def rank_dev_bp(lt, le, q):
+        target = (m["n"].to_numpy(np.int64) * q)
+        lt = lt.to_numpy(np.int64)
+        le = le.to_numpy(np.int64)
+        dev = np.maximum(0, np.maximum(lt - target, target - le))
+        return (dev * 10_000 // np.maximum(m["n"].to_numpy(np.int64), 1)
+                ).astype(np.int64)
+
     def bp(a, b):
         return (abs(a - b) * 10_000 // np.maximum(np.abs(b), 1)).astype(np.int64)
 
@@ -1391,9 +1436,13 @@ def q_events_quantiles_sketch(sf_dir: str):
         "p50_sketch": pa.array(m["p50_sketch"], pa.int64()),
         "p50_exact": pa.array(m["p50_cents"], pa.int64()),
         "p50_err_bp": pa.array(bp(m["p50_sketch"], m["p50_cents"]), pa.int64()),
+        "p50_rank_err_bp": pa.array(rank_dev_bp(m["lt50"], m["le50"], 0.5),
+                                    pa.int64()),
         "p95_sketch": pa.array(m["p95_sketch"], pa.int64()),
         "p95_exact": pa.array(m["p95_cents"], pa.int64()),
         "p95_err_bp": pa.array(bp(m["p95_sketch"], m["p95_cents"]), pa.int64()),
+        "p95_rank_err_bp": pa.array(rank_dev_bp(m["lt95"], m["le95"], 0.95),
+                                    pa.int64()),
         "n": pa.array(m["n"], pa.int64()),
     })
 

@@ -160,3 +160,18 @@ def test_residual_pq_recall_meets_bar(ray_session):
     assert row["recall_pct"] >= 80, row
     assert row["adc_recall_pct"] <= row["recall_pct"]
     assert row["compression_x"] >= 16
+
+
+def test_kll_rank_error_within_guarantee(ray_session):
+    """events_quantiles_sketch reports TRUE rank error; it must sit inside
+    the O(1/k)-shaped KLL bound (k=256 -> 1/k = 39bp; deterministic
+    alternating compaction carries a small constant, measured <= 113bp at
+    sf0.1 — assert an 8/k ceiling)."""
+    from aushape_ray.pipelines.queries import q_events_quantiles_sketch
+
+    rows = q_events_quantiles_sketch("/root/testdata/sf0.01").to_pylist()
+    assert rows
+    bound_bp = 10_000 * 8 // 256
+    for r in rows:
+        assert 0 <= r["p50_rank_err_bp"] <= bound_bp, r
+        assert 0 <= r["p95_rank_err_bp"] <= bound_bp, r

@@ -236,30 +236,74 @@ class TestXsdViolations:
 
 # ---------------- optional real image decode (round 3) --------------------
 
-def test_make_decoder_falls_back_without_pil():
+def test_make_decoder_contract():
     from aushape_ray.functions import media
 
+    # default: the sniffing decoder in EVERY container (zero-dep codecs
+    # work without Pillow; PIL rasters raise explicitly when absent)
     dec = media.make_decoder()
-    if not media.HAVE_PIL:
-        assert type(dec) is media.FakeDecoder
-    else:
-        assert type(dec) is media.PilDecoder
-    # fake path must stay total for synthetic payloads either way
+    assert type(dec) is media.PilDecoder
+    # fake path stays total for synthetic (non-codec) payloads
     out = media.make_decoder(prefer_real=False)._decode("image", b"not-a-png")
     assert set(out) == {"width", "height", "frames"}
+    # ...and both decoders agree on them (fake fallback is bit-identical)
+    assert dec._decode("image", b"not-a-png") == out
+    # the fake REFUSES real-format payloads instead of masking them
+    import pytest as _pytest
+
+    from aushape_ray.functions.media import encode_ppm
+
+    import numpy as _np
+
+    ppm = encode_ppm(_np.zeros((3, 5, 3), _np.uint8))
+    with _pytest.raises(ValueError, match="real ppm"):
+        media.make_decoder(prefer_real=False)._decode("image", ppm)
+
+
+def test_sniffing_decoder_reads_real_zero_dep_formats():
+    """PPM/WAV/Y4M payloads decode for REAL through the default decoder in
+    every container (no Pillow needed); dimensions are ground truth."""
+    import numpy as _np
+
+    from aushape_ray.functions.media import (PilDecoder, encode_ppm,
+                                             encode_wav, encode_y4m)
+
+    dec = PilDecoder()
+    ppm = encode_ppm(_np.zeros((7, 11, 3), _np.uint8))
+    assert dec._decode("image", ppm) == {"width": 11, "height": 7,
+                                         "frames": 1}
+    wav = encode_wav(_np.zeros(1234, _np.int16), rate=8000)
+    assert dec._decode("audio", wav)["frames"] == 1234
+    y4m = encode_y4m(_np.zeros((5, 4, 6), _np.uint8), fps=10)
+    assert dec._decode("video", y4m) == {"width": 6, "height": 4,
+                                         "frames": 5}
+    # PIL raster without Pillow: explicit error, never a silent fake
+    from aushape_ray.functions import media as _media
+
+    if not _media.HAVE_PIL:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="jpeg"):
+            dec._decode("image", b"\xff\xd8\xff\xe0" + b"x" * 32)
 
 
 @pytest.mark.skipif(
     not __import__("aushape_ray.functions.media", fromlist=["HAVE_PIL"]).HAVE_PIL,
     reason="Pillow not installed in this container")
-def test_pil_decoder_reads_real_png():
+def test_pil_decoder_reads_real_png_and_jpeg():
+    """Runs in containers that have Pillow: generated PNG + JPEG fixtures
+    decode with ground-truth dimensions through the DEFAULT decoder."""
     import io
 
     from PIL import Image
 
-    from aushape_ray.functions.media import PilDecoder
+    from aushape_ray.functions.media import make_decoder, sniff_format
 
-    buf = io.BytesIO()
-    Image.new("RGB", (31, 17)).save(buf, format="PNG")
-    out = PilDecoder()._decode("image", buf.getvalue())
-    assert (out["width"], out["height"], out["frames"]) == (31, 17, 1)
+    dec = make_decoder()
+    for fmt, dims in (("PNG", (31, 17)), ("JPEG", (23, 9))):
+        buf = io.BytesIO()
+        Image.new("RGB", dims).save(buf, format=fmt)
+        payload = buf.getvalue()
+        assert sniff_format(payload) == fmt.lower()
+        out = dec._decode("image", payload)
+        assert (out["width"], out["height"], out["frames"]) == (*dims, 1)
