@@ -97,6 +97,14 @@ def _as_array(col):
     return col
 
 
+def _flat_list(col) -> "tuple[list, list]":
+    """(flat python values, offsets as a python int list) of a null-free
+    list column — row i's items are flat[off[i]:off[i+1]]."""
+    arr = _as_array(col)
+    off = np.asarray(arr.offsets)
+    return arr.flatten().to_pylist(), (off - off[0]).tolist()
+
+
 def finish_event(rows: dict, asm: EventAssembler, cid: str, ts_first: int,
                  n_turns: int, any_tool: bool,
                  max_event_size: int | None, with_text: bool) -> None:
@@ -164,10 +172,14 @@ class AssemblePartition:
         kinds = _as_array(g.column("kind")).to_pylist()
         nodes = _as_array(g.column("node")).to_pylist()
         ts_us = _as_array(g.column("ts").cast(pa.int64())).to_pylist()
-        tkeys = _as_array(g.column("tok_keys")).to_pylist()
-        tvals = _as_array(g.column("tok_vals")).to_pylist()
-        sp_idx = _as_array(g.column("sp_idx")).to_pylist()
-        sp_val = _as_array(g.column("sp_val")).to_pylist()
+        # list<string> columns cross into Python FLAT + offsets, never via
+        # the nested to_pylist (measured 6x slower: 11.2s vs 1.9s for the
+        # 1M-row tok_keys at sf0.1 — per-list object overhead dominated
+        # the whole assemble stage); per-turn slices are plain list slices
+        tkeys_f, tk_off = _flat_list(g.column("tok_keys"))
+        tvals_f, tv_off = _flat_list(g.column("tok_vals"))
+        spi_f, si_off = _flat_list(g.column("sp_idx"))
+        spv_f, sv_off = _flat_list(g.column("sp_val"))
         salts = (_as_array(g.column("salt")).to_pylist()
                  if "salt" in g.column_names else [-1] * len(conv))
 
@@ -181,10 +193,14 @@ class AssemblePartition:
             asm = EventAssembler(with_text=self.with_text, with_norm=self.with_norm)
             any_tool = False
             while j < n and conv[j] == cid and salts[j] == salt:
-                ks, vs = tkeys[j], tvals[j]
-                if sp_idx[j]:
+                a, b = tk_off[j], tk_off[j + 1]
+                ks = tkeys_f[a:b]
+                vs = tvals_f[tv_off[j]:tv_off[j + 1]]
+                c, d = si_off[j], si_off[j + 1]
+                if c != d:
                     interp = list(vs)
-                    for p, v in zip(sp_idx[j], sp_val[j]):
+                    for p, v in zip(spi_f[c:d],
+                                    spv_f[sv_off[j]:sv_off[j + 1]]):
                         interp[p] = v
                 else:
                     interp = vs
