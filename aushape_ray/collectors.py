@@ -266,6 +266,62 @@ class EventAssembler:
         if self.with_norm and self.error is None:
             self._norm_fields.extend(fields)
 
+    def add_turn_fast(self, kind: str, node: str | None, text: str,
+                      ks: list, vs: list, interp: list) -> None:
+        """Hot-path variant of add_turn: the field triple arrives as three
+        PARALLEL LISTS (keys, raw, interpreted) instead of materialized
+        (k, r, i) tuples, and `interp is vs` signals "no interpretation
+        overrides" so the dominant uniq-kind case renders its dict with a
+        single C-speed comprehension.  Semantics are identical to add_turn
+        (same dispatch, same error latch) — cross-checked by the
+        distributed-vs-oracle parity tests, since the single-process oracle
+        keeps using add_turn."""
+        self.texts.append(text)
+        if self.node is None and node:
+            self.node = node
+        if kind in DROP_KINDS:
+            return
+        self.n_records += 1
+        if self.error is not None:
+            return  # latched: remaining records contribute raw text only
+        try:
+            if kind == EXECVE_KIND:
+                if EXECVE_KIND not in self.order:
+                    self.order.append(EXECVE_KIND)
+                self.execve.add(zip(ks, vs, interp))
+            elif kind == PATH_KIND:
+                if PATH_KIND not in self.order:
+                    self.order.append(PATH_KIND)
+                self.path.add(list(zip(ks, vs, interp)))
+            elif kind in REP_KINDS:
+                if kind not in self.order:
+                    self.order.append(kind)
+                if interp is vs:  # no overrides: every field renders [raw]
+                    rec = {k: [v] for k, v in zip(ks, vs)}
+                else:
+                    rec = {}
+                    for k, r, p in zip(ks, vs, interp):
+                        rec[k] = [p] if p == r else [p, r]
+                rep = self.reps.get(kind)
+                if rep is None:
+                    rep = self.reps[kind] = RepCollector()
+                rep.items.append(rec)  # == RepCollector.add(render_fields)
+            else:
+                if kind in self.uniq:
+                    raise CollectError(f"repeated record kind {kind}")
+                self.order.append(kind)
+                if interp is vs:  # no overrides: every field renders [raw]
+                    self.uniq[kind] = {k: [v] for k, v in zip(ks, vs)}
+                else:
+                    out = {}
+                    for k, r, p in zip(ks, vs, interp):
+                        out[k] = [p] if p == r else [p, r]
+                    self.uniq[kind] = out
+        except CollectError as e:
+            self.error = str(e)
+        if self.with_norm and self.error is None:
+            self._norm_fields.extend(zip(ks, vs, interp))
+
     def merge(self, later: "EventAssembler") -> None:
         """Fold a later turn-range's partial assembly into this one
         (salted-key skew handling, SURVEY.md §4).

@@ -20,12 +20,31 @@ from .collectors import EventAssembler, route_sink, trim_doc
 from .grammar import PSEUDO_FIELDS, TOKEN_RE, interpret_field, strip_quotes
 
 
-def format_time_us(us: int) -> str:
-    """epoch-us -> ISO-8601 with milliseconds, UTC-naive (lib/conv_buf.c:399-404)."""
-    import datetime
+_DAY_PREFIX_CACHE: dict[int, str] = {}
 
-    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=int(us))
-    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}"
+
+def format_time_us(us: int) -> str:
+    """epoch-us -> ISO-8601 with milliseconds, UTC-naive (lib/conv_buf.c:399-404).
+
+    The date prefix is strftime'd once per distinct day and cached (one
+    assemble partition spans few days; strftime per event was ~5% of the
+    stage) — the time-of-day part is plain integer arithmetic.  divmod
+    floors, so negative (pre-1970) timestamps land on the correct day with
+    a non-negative remainder, exactly like the timedelta construction."""
+    day, rem = divmod(int(us), 86_400_000_000)
+    prefix = _DAY_PREFIX_CACHE.get(day)
+    if prefix is None:
+        import datetime
+
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+        prefix = dt.strftime("%Y-%m-%dT")
+        if len(_DAY_PREFIX_CACHE) > 8192:  # bound worker memory
+            _DAY_PREFIX_CACHE.clear()
+        _DAY_PREFIX_CACHE[day] = prefix
+    sec, usec = divmod(rem, 1_000_000)
+    h, sec = divmod(sec, 3600)
+    m, sec = divmod(sec, 60)
+    return f"{prefix}{h:02d}:{m:02d}:{sec:02d}.{usec // 1000:03d}"
 
 
 def parse_text(text: str):

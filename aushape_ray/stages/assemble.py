@@ -28,6 +28,11 @@ from ..oracle import format_time_us
 
 SALT_COLUMN = "salt"  # int32; -1 = unsalted row
 
+# one reusable C encoder (json.dumps with kwargs builds a JSONEncoder per
+# call); output bytes identical to json.dumps(ensure_ascii=False,
+# separators=(",", ":"))
+_ENCODE = json.JSONEncoder(ensure_ascii=False, separators=(",", ":")).encode
+
 EVENT_SCHEMA = pa.schema([
     pa.field("conv_id", pa.string()),
     pa.field("ts_first", pa.timestamp("us")),
@@ -105,6 +110,21 @@ def _flat_list(col) -> "tuple[list, list]":
     return arr.flatten().to_pylist(), (off - off[0]).tolist()
 
 
+def _flat_list_lowcard(col) -> "tuple[list, list]":
+    """_flat_list for a LOW-CARDINALITY flat column (token keys: a small
+    field-name vocabulary).  Dictionary-encodes in C and fans the dictionary
+    out with one numpy object take, so every occurrence of a key is the
+    SAME Python str object — no per-token allocation, and dict inserts
+    downstream reuse the str's cached hash."""
+    arr = _as_array(col)
+    off = np.asarray(arr.offsets)
+    dk = arr.flatten().dictionary_encode()
+    vocab = np.asarray(dk.dictionary.to_pylist(), dtype=object)
+    codes = np.asarray(dk.indices)
+    flat = vocab[codes].tolist() if len(codes) else []
+    return flat, (off - off[0]).tolist()
+
+
 def finish_event(rows: dict, asm: EventAssembler, cid: str, ts_first: int,
                  n_turns: int, any_tool: bool,
                  max_event_size: int | None, with_text: bool) -> None:
@@ -121,7 +141,7 @@ def finish_event(rows: dict, asm: EventAssembler, cid: str, ts_first: int,
     rows["error"].append(asm.error)
     rows["text"].append(asm.texts if with_text else [])
     rows["trimmed"].append(doc.get("trimmed", []))
-    doc_str = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+    doc_str = _ENCODE(doc)
     rows["doc"].append(doc_str)
     # byte length of the serialized doc (== doc_size(doc), without a
     # second serialization pass)
@@ -166,9 +186,17 @@ class AssemblePartition:
             group, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
         g = group.take(order)
-        conv = _as_array(g.column("conv_id")).to_pylist()
+        # conv identity via dictionary codes: run-boundary detection happens
+        # on int codes in numpy (one vector op), never on per-turn Python
+        # string compares; only one string per distinct conversation crosses
+        # into Python
+        conv_dict = _as_array(g.column("conv_id")).dictionary_encode()
+        conv_codes = np.asarray(conv_dict.indices)
+        conv_uniq = conv_dict.dictionary.to_pylist()
         texts = _as_array(g.column("text")).to_pylist()
-        is_tool = _as_array(g.column("is_tool")).to_pylist()
+        is_tool_np = np.asarray(
+            _as_array(pa.compute.fill_null(g.column("is_tool"), False)),
+            dtype=bool)
         kinds = _as_array(g.column("kind")).to_pylist()
         nodes = _as_array(g.column("node")).to_pylist()
         ts_us = _as_array(g.column("ts").cast(pa.int64())).to_pylist()
@@ -176,39 +204,51 @@ class AssemblePartition:
         # the nested to_pylist (measured 6x slower: 11.2s vs 1.9s for the
         # 1M-row tok_keys at sf0.1 — per-list object overhead dominated
         # the whole assemble stage); per-turn slices are plain list slices
-        tkeys_f, tk_off = _flat_list(g.column("tok_keys"))
-        tvals_f, tv_off = _flat_list(g.column("tok_vals"))
+        # keys AND values go through the dictionary fanout: audit-style
+        # fields repeat heavily (12-17x measured vs to_pylist), and the
+        # worst case (all-distinct) just degrades to to_pylist + one C hash
+        # scan
+        tkeys_f, tk_off = _flat_list_lowcard(g.column("tok_keys"))
+        tvals_f, tv_off = _flat_list_lowcard(g.column("tok_vals"))
         spi_f, si_off = _flat_list(g.column("sp_idx"))
-        spv_f, sv_off = _flat_list(g.column("sp_val"))
-        salts = (_as_array(g.column("salt")).to_pylist()
-                 if "salt" in g.column_names else [-1] * len(conv))
+        spv_f, sv_off = _flat_list_lowcard(g.column("sp_val"))
+        n = g.num_rows
+        salts_np = (np.asarray(_as_array(g.column("salt")), dtype=np.int64)
+                    if "salt" in g.column_names
+                    else np.full(n, -1, np.int64))
 
         rows = {name: [] for name in self._schema().names}
-        n = len(conv)
-        i = 0
-        while i < n:
-            j = i
-            cid = conv[i]
-            salt = salts[i]
+        # (conv, salt) run boundaries, one vector op (input is sorted by
+        # conv_id so equal codes are contiguous)
+        if n:
+            change = ((conv_codes[1:] != conv_codes[:-1])
+                      | (salts_np[1:] != salts_np[:-1]))
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            ends = np.concatenate((starts[1:], [n]))
+            run_any_tool = np.logical_or.reduceat(is_tool_np, starts)
+        else:
+            starts = ends = run_any_tool = np.empty(0, np.int64)
+        for r in range(len(starts)):
+            i = int(starts[r])
+            j = int(ends[r])
+            cid = conv_uniq[conv_codes[i]]
+            salt = int(salts_np[i])
             asm = EventAssembler(with_text=self.with_text, with_norm=self.with_norm)
-            any_tool = False
-            while j < n and conv[j] == cid and salts[j] == salt:
-                a, b = tk_off[j], tk_off[j + 1]
+            any_tool = bool(run_any_tool[r])
+            add_turn_fast = asm.add_turn_fast
+            for t in range(i, j):
+                a, b = tk_off[t], tk_off[t + 1]
                 ks = tkeys_f[a:b]
-                vs = tvals_f[tv_off[j]:tv_off[j + 1]]
-                c, d = si_off[j], si_off[j + 1]
+                vs = tvals_f[tv_off[t]:tv_off[t + 1]]
+                c, d = si_off[t], si_off[t + 1]
                 if c != d:
                     interp = list(vs)
                     for p, v in zip(spi_f[c:d],
-                                    spv_f[sv_off[j]:sv_off[j + 1]]):
+                                    spv_f[sv_off[t]:sv_off[t + 1]]):
                         interp[p] = v
                 else:
                     interp = vs
-                fields = list(zip(ks, vs, interp))
-                asm.add_turn(kinds[j], nodes[j], texts[j], fields)
-                if is_tool[j]:
-                    any_tool = True
-                j += 1
+                add_turn_fast(kinds[t], nodes[t], texts[t], ks, vs, interp)
             if salt >= 0 and self.emit_partials:
                 import pickle
 
@@ -236,7 +276,6 @@ class AssemblePartition:
                     while len(rows["partial"]) < len(rows["conv_id"]):
                         rows["partial"].append(None)
                         rows["salt"].append(-1)
-            i = j
 
         schema = self._schema()
         arrays = [pa.array(rows[f.name], f.type) for f in schema]
