@@ -223,3 +223,87 @@ class TestDumpTrimTree:
         assert all_idx == list(range(len(tree["nodes"])))
         # lengths are positive and bounded by the full doc size
         assert all(0 < n["len"] <= doc_size(doc) for n in tree["nodes"])
+
+
+class TestAddTurnFastParity:
+    """add_turn_fast (the distributed hot path: parallel key/raw/interp
+    lists, `interp is vs` fast render) must be observationally identical to
+    add_turn (the oracle path) — same docs, same error latching, same order."""
+
+    CASES = [
+        # (kind, [(key, raw, interp)...]) sequences per conversation
+        [("SYSCALL", [("syscall", "59", "execve"), ("exit", "0", "0")]),
+         ("MSG", [("op", "login", "login")]),
+         ("MSG", [("op", "logout", "logout")])],
+        # interp override + duplicate keys in one record (last wins)
+        [("SYSCALL", [("uid", "0", "root"), ("uid", "1000", "alice")]),
+         ("AVC", [("seresult", "denied", "denied"), ("pid", "7", "7")])],
+        # EXECVE argv + PATH slots + EOE drop
+        [("EXECVE", [("argc", "2", "2"), ("a0", "ls", "ls"), ("a1", "-l", "-l")]),
+         ("PATH", [("item", "0", "0"), ("name", "/bin/ls", "/bin/ls")]),
+         ("EOE", [])],
+        # repeated uniq kind latches an error, later records text-only
+        [("SYSCALL", [("exit", "0", "0")]),
+         ("SYSCALL", [("exit", "1", "1")]),
+         ("MSG", [("op", "x", "x")])],
+        # execve argc missing -> end-time error
+        [("EXECVE", [("a0", "sh", "sh")])],
+        # unicode + empty values
+        [("SYSCALL", [("comm", "café", "café"), ("key", "", "")])],
+    ]
+
+    def _run(self, turns, fast, with_norm):
+        from aushape_ray.collectors import EventAssembler
+
+        asm = EventAssembler(with_text=True, with_norm=with_norm)
+        for k, fields in turns:
+            if fast:
+                ks = [f[0] for f in fields]
+                vs = [f[1] for f in fields]
+                interp = [f[2] for f in fields]
+                if interp == vs:
+                    interp = vs  # exercise the `interp is vs` fast render
+                asm.add_turn_fast(k, "node1", f"text {k}", ks, vs, interp)
+            else:
+                asm.add_turn(k, "node1", f"text {k}", list(fields))
+        doc = asm.end("conv", "2026-01-01T00:00:00.000")
+        return doc, asm.error, asm.n_records
+
+    def test_parity_all_cases(self):
+        for with_norm in (False, True):
+            for turns in self.CASES:
+                slow = self._run(turns, fast=False, with_norm=with_norm)
+                fast = self._run(turns, fast=True, with_norm=with_norm)
+                assert fast == slow, (turns, with_norm, fast, slow)
+
+    def test_interp_override_renders_pair(self):
+        from aushape_ray.collectors import EventAssembler
+
+        asm = EventAssembler()
+        asm.add_turn_fast("SYSCALL", None, "t",
+                          ["uid", "exit"], ["0", "0"], ["root", "0"])
+        doc = asm.end("c", "T")
+        assert doc["data"]["syscall"]["uid"] == ["root", "0"]
+        assert doc["data"]["syscall"]["exit"] == ["0"]
+
+
+def test_format_time_us_matches_datetime_reference():
+    """The day-prefix cache + integer arithmetic must equal the original
+    timedelta+strftime construction everywhere, including pre-1970 and
+    exact day/second boundaries."""
+    import datetime
+    import random
+
+    from aushape_ray.oracle import format_time_us
+
+    def ref(us: int) -> str:
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=int(us))
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}"
+
+    rng = random.Random(42)
+    fixed = [0, 1, -1, 999, 1000, 86_400_000_000, 86_400_000_000 - 1,
+             -86_400_000_000, 1_700_000_000_000_000, -123_456_789]
+    samples = fixed + [rng.randint(-2**44, 2**51) for _ in range(500)]
+    for us in samples:
+        assert format_time_us(us) == ref(us), us
