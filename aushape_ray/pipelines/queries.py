@@ -3344,6 +3344,32 @@ def q_doc_perplexity(sf_dir: str):
     return perplexity_score(docs, model)
 
 
+def q_doc_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every
+    document's importance weight log p_target - log p_raw under hashed
+    unigram+bigram bag LMs (dim 2^16, add-0.5 smoothing) with the
+    corpus's English documents as the target domain, and return the
+    top-100 by weight (desc; doc_id asc tie-break) with their language —
+    the lang column makes selection precision visible in-band (a
+    well-separated model ranks lang='en' docs first).  Rows-only for the
+    driver (FNV/splitmix hashed features aren't SQL-expressible); the
+    pure-Python scalar reference (functions/dsir.scalar_dsir_reference)
+    is parity-enforced in tests/test_dsir.py.  Distributed shape: two
+    O(bytes) stateless scans with the shared zero-copy tokenizer
+    kernels, TWO bounded exchanges of <= dim (bucket, cnt) rows, one
+    512-KiB broadcast; document text is never shuffled."""
+    from ..functions.dsir import dsir_weights
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow")
+    scored = dsir_weights(docs, target, dim=1 << 16)
+    return scored.select_columns(
+        ["doc_id", "lang", "dsir_logratio"]
+    ).sort(["dsir_logratio", "doc_id"], descending=[True, False]).limit(100)
+
+
 def q_doc_chunk_plan(sf_dir: str):
     """GPT-style fixed-block chunking plan: documents concatenated in
     doc_id order, the token stream sliced into 256-token blocks that
@@ -5448,6 +5474,7 @@ def build_registry():
         "emb_outliers": q_emb_outliers,
         "t_similar_convs": q_t_similar_convs,
         "doc_prepare_shards": q_doc_prepare_shards,
+        "doc_dsir_select": q_doc_dsir_select,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
