@@ -199,7 +199,7 @@ def main() -> None:
                  "ann_topk", "doc_token_stats", "doc_fingerprint",
                  "doc_simhash", "emb_sim_pairs", "events_range_join",
                  "doc_span_dedup", "doc_chunk_text", "doc_global_rank",
-                 "t_templates", "emb_knn_graph"):
+                 "t_templates", "emb_knn_graph", "doc_dsir_select"):
         fn = getattr(Q, f"q_{name}")
         t0 = time.time()
         res = fn(sf_dir)
