@@ -828,3 +828,87 @@ def semdedup_victims(ds: "ray.data.Dataset", threshold: float,
         return out
     return out.groupby("vec_id").map_groups(
         lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+def kcenter_select(ds: "ray.data.Dataset", k: int = 8,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> "list[dict]":
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985,
+    the classic 2-approximation for the k-center objective; used as a
+    diversity-maximizing data-selection pass over embedding columns).
+
+    Deterministic: the seed is the row with the minimum id; every later
+    pick is the point farthest (max over points of min cosine-sphere
+    distance) from the current centers, ties broken by smaller id.
+
+    Distributed shape: one stateless map_batches pass per pick — the
+    current center matrix ((r, d) floats) is ray.put ONCE per round and
+    each batch emits a SINGLE candidate row (its locally farthest point:
+    id, vec, min-similarity); the driver reduces O(num_batches) partial
+    rows per round.  Total work k passes x one (r x d) @ (d x n) matmul
+    each — no shuffle, no pairwise matrix, embeddings never leave their
+    blocks.  Returns [{pick, vec_id, radius}] where radius is the
+    max-min Euclidean distance at pick time (monotone non-increasing;
+    radius[k] bounds the corpus's covering radius within 2x of optimal).
+    """
+    import pyarrow.compute as pc
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64())),
+                             "minsim": pa.array([], pa.float64())})
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        i = int(np.argmin(ids))
+        vec = np.asarray(
+            t.column(emb_col).to_numpy(zero_copy_only=False)[i], np.float64)
+        return pa.table({"id": pa.array([int(ids[i])], pa.int64()),
+                         "vec": pa.array([vec.tolist()],
+                                         pa.list_(pa.float64())),
+                         "minsim": pa.array([1.0], pa.float64())})
+
+    def far_partial_fn(centers_ref):
+        def far(t: pa.Table) -> pa.Table:
+            empty = pa.table({"id": pa.array([], pa.int64()),
+                              "vec": pa.array([], pa.list_(pa.float64())),
+                              "minsim": pa.array([], pa.float64())})
+            if t.num_rows == 0:
+                return empty
+            cm = ray.get(centers_ref)  # (r, d) normalized
+            ids = np.asarray(t.column(id_col), dtype=np.int64)
+            mat = _normalize(np.stack(t.column(emb_col).to_numpy(
+                zero_copy_only=False)).astype(np.float64))
+            # nearest-center similarity per point; farthest point = min
+            best = (cm @ mat.T).max(axis=0)
+            order = np.lexsort((ids, best))  # min sim, then min id
+            j = int(order[0])
+            return pa.table({
+                "id": pa.array([int(ids[j])], pa.int64()),
+                "vec": pa.array([mat[j].tolist()], pa.list_(pa.float64())),
+                "minsim": pa.array([float(best[j])], pa.float64())})
+        far.__name__ = "kcenter_far"
+        return far
+
+    def reduce_partials(tbl) -> "tuple[int, np.ndarray, float]":
+        ids = tbl["id"].to_numpy()
+        sims = tbl["minsim"].to_numpy()
+        j = int(np.lexsort((ids, sims))[0])
+        return int(ids[j]), np.asarray(tbl["vec"].iloc[j], np.float64), \
+            float(sims[j])
+
+    first = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    ids = first["id"].to_numpy()
+    j = int(np.argmin(ids))
+    seed_vec = _normalize(np.asarray(first["vec"].iloc[j],
+                                     np.float64)[None, :])[0]
+    picks = [{"pick": 0, "vec_id": int(ids[j]), "radius": None}]
+    centers = [seed_vec]
+    for r in range(1, k):
+        ref = ray.put(np.stack(centers))
+        part = ds.map_batches(far_partial_fn(ref),
+                              batch_format="pyarrow").to_pandas()
+        pid, pvec, psim = reduce_partials(part)
+        picks.append({"pick": r, "vec_id": pid,
+                      "radius": float(np.sqrt(max(0.0, 2.0 - 2.0 * psim)))})
+        centers.append(pvec)
+    return picks

@@ -3370,6 +3370,30 @@ def q_doc_dsir_select(sf_dir: str):
     ).sort(["dsir_logratio", "doc_id"], descending=[True, False]).limit(100)
 
 
+def q_emb_kcenter_select(sf_dir: str):
+    """Diversity-maximizing coreset selection: greedy k-center /
+    farthest-point (Gonzalez 1985) over the embeddings table, k=8.
+    Returns (pick, vec_id, radius) in selection order; radius (the
+    max-min distance at pick time) is monotone non-increasing and its
+    final value bounds the corpus covering radius within 2x of optimal —
+    the in-band quality metric.  Rows-only for the driver (iterative
+    argmax-of-min is not SQL-expressible in one statement); a scalar
+    numpy greedy reference plus monotonicity/determinism are
+    pytest-enforced (tests/test_kcenter.py).  Distributed shape: k
+    stateless passes, each broadcasting the (r, d) center matrix once
+    and reducing ONE candidate row per batch on the driver — no
+    shuffle, no pairwise matrix (functions/ann.kcenter_select)."""
+    from ..functions.ann import kcenter_select
+
+    emb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    picks = kcenter_select(emb, k=8)
+    return pa.table({
+        "pick": pa.array([p["pick"] for p in picks], pa.int32()),
+        "vec_id": pa.array([p["vec_id"] for p in picks], pa.int64()),
+        "radius": pa.array([p["radius"] for p in picks], pa.float64()),
+    })
+
+
 def q_doc_chunk_plan(sf_dir: str):
     """GPT-style fixed-block chunking plan: documents concatenated in
     doc_id order, the token stream sliced into 256-token blocks that
@@ -5475,6 +5499,7 @@ def build_registry():
         "t_similar_convs": q_t_similar_convs,
         "doc_prepare_shards": q_doc_prepare_shards,
         "doc_dsir_select": q_doc_dsir_select,
+        "emb_kcenter_select": q_emb_kcenter_select,
     }
     oracle = _build_oracle(t01)
     # The driver records CORRECTNESS rows for only the first 50 registry
