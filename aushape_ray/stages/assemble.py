@@ -191,8 +191,16 @@ class AssemblePartition:
         # string compares; only one string per distinct conversation crosses
         # into Python
         conv_dict = _as_array(g.column("conv_id")).dictionary_encode()
-        conv_codes = np.asarray(conv_dict.indices)
+        conv_idx = conv_dict.indices
         conv_uniq = conv_dict.dictionary.to_pylist()
+        if conv_idx.null_count:
+            # null conv_ids are ONE conversation with cid=None (the
+            # oracle's dict-key grouping, oracle.py assemble_events) —
+            # give them a fresh code; a plain numpy view of null indices
+            # would otherwise NaN-split every null row into its own run
+            conv_idx = pa.compute.fill_null(conv_idx, len(conv_uniq))
+            conv_uniq = conv_uniq + [None]
+        conv_codes = np.asarray(conv_idx)
         texts = _as_array(g.column("text")).to_pylist()
         is_tool_np = np.asarray(
             _as_array(pa.compute.fill_null(g.column("is_tool"), False)),

@@ -307,3 +307,29 @@ def test_format_time_us_matches_datetime_reference():
     samples = fixed + [rng.randint(-2**44, 2**51) for _ in range(500)]
     for us in samples:
         assert format_time_us(us) == ref(us), us
+
+
+def test_assemble_partition_null_conv_id_groups_as_one():
+    """Null conv_ids are one conversation (oracle dict-key semantics),
+    not one-per-row, and never crash the task (error isolation)."""
+    import pyarrow as pa
+
+    from aushape_ray.stages.assemble import AssemblePartition
+    from aushape_ray.stages.enrich import enrich_batch
+    from aushape_ray.stages.parse import parse_batch
+
+    t = pa.table({
+        "conv_id": pa.array([None, None, "c1", "c1", None], pa.string()),
+        "turn_idx": pa.array([0, 1, 0, 1, 2], pa.int32()),
+        "role": ["user"] * 5,
+        "text": ['type=SYSCALL exit=0', 'type=MSG op=x',
+                 'type=SYSCALL exit=1', 'type=MSG op=y', 'type=AVC pid=7'],
+        "tool": pa.array([None] * 5, pa.string()),
+        "is_tool": [False] * 5,
+        "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+    })
+    out = AssemblePartition()(enrich_batch(parse_batch(t)))
+    convs = out.column("conv_id").to_pylist()
+    assert sorted(convs, key=lambda c: (c is not None, c)) == [None, "c1"]
+    by = {c: n for c, n in zip(convs, out.column("n_turns").to_pylist())}
+    assert by[None] == 3 and by["c1"] == 2
