@@ -119,8 +119,13 @@ def _flat_list_lowcard(col) -> "tuple[list, list]":
     arr = _as_array(col)
     off = np.asarray(arr.offsets)
     dk = arr.flatten().dictionary_encode()
-    vocab = np.asarray(dk.dictionary.to_pylist(), dtype=object)
-    codes = np.asarray(dk.indices)
+    vocab_list = dk.dictionary.to_pylist()
+    idx = dk.indices
+    if idx.null_count:  # null values keep their None identity
+        idx = pa.compute.fill_null(idx, len(vocab_list))
+        vocab_list = vocab_list + [None]
+    vocab = np.asarray(vocab_list, dtype=object)
+    codes = np.asarray(idx)
     flat = vocab[codes].tolist() if len(codes) else []
     return flat, (off - off[0]).tolist()
 
