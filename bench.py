@@ -59,7 +59,11 @@ def _calib_burn_star(seconds: float) -> float:
 
 def _scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # headline-only: skip the per-query roster in sweep subprocesses so
+        # the two levels of a pair run minutes closer together (the host
+        # window drifts on a minutes scale; proximity beats averaging)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -191,11 +195,14 @@ def main() -> None:
 
     # the general path (explicit conv_id hash-partition shuffle) — for
     # inputs without the contiguity guarantee
-    t0 = time.time()
-    events_for(sf_dir, cfg).count()
-    timings["flagship_shuffle"] = round(time.time() - t0, 3)
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    if not headline_only:
+        t0 = time.time()
+        events_for(sf_dir, cfg).count()
+        timings["flagship_shuffle"] = round(time.time() - t0, 3)
 
-    for name in ("q1_pricing", "events_tumbling", "doc_dedup_exact",
+    for name in () if headline_only else (
+                 "q1_pricing", "events_tumbling", "doc_dedup_exact",
                  "ann_topk", "doc_token_stats", "doc_fingerprint",
                  "doc_simhash", "emb_sim_pairs", "events_range_join",
                  "doc_span_dedup", "doc_chunk_text", "doc_global_rank",
