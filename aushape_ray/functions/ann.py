@@ -653,6 +653,8 @@ def exact_rerank(ds: "ray.data.Dataset",
         qv = np.asarray(query_vecs[q], np.float64)
         qv = qv / max(np.linalg.norm(qv), 1e-12)
         cands = [c for c in shortlist[q] if c != q and c in vecs]
+        if not cands:  # shortlist was self-only or fully pruned
+            continue
         mat = _normalize(np.stack([vecs[c] for c in cands]))
         sim = mat @ qv
         order = sorted(range(len(cands)), key=lambda i: (-sim[i], cands[i]))

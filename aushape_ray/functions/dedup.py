@@ -676,6 +676,8 @@ def word_hashes_flat(data: np.ndarray,
     boundaries always split words.  Returns (word_hash, word_doc_index),
     both in word order.  Column-wise FNV on a length-descending ordering:
     pass i touches only words longer than i bytes — O(sum of lengths)."""
+    if len(data) == 0:  # empty block / all-empty docs: no words
+        return (np.array([], np.uint64), np.array([], np.int64))
     ws = _WS_TABLE[data]
     nonws = ~ws
     n_bytes = len(data)

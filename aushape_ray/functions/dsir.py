@@ -72,11 +72,13 @@ def log_ratio_vector(raw_counts: "ray.data.Dataset",
     add-alpha-smoothed per-bucket log(p_target / p_raw) as float64[dim]."""
     vecs = []
     for cds in (raw_counts, tgt_counts):
-        t = pa.concat_tables(cds.iter_batches(batch_format="pyarrow"))
+        batches = list(cds.iter_batches(batch_format="pyarrow"))
         v = np.zeros(dim, np.float64)
-        if t.num_rows:
-            v[np.asarray(t.column("bucket"))] = np.asarray(
-                t.column("sum(cnt)"), dtype=np.float64)
+        if batches:  # a feature-less corpus (all-empty texts) is all-zero
+            t = pa.concat_tables(batches)
+            if t.num_rows:
+                v[np.asarray(t.column("bucket"))] = np.asarray(
+                    t.column("sum(cnt)"), dtype=np.float64)
         vecs.append(v)
     raw_v, tgt_v = vecs
     lp_tgt = np.log(tgt_v + alpha) - np.log(tgt_v.sum() + alpha * dim)

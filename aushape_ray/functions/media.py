@@ -49,23 +49,63 @@ def synthesize_media(batch: pa.Table) -> pa.Table:
 _PIL_RASTERS = ("jpeg", "png", "gif", "bmp", "webp")
 
 
+def _ppm_header_ok(payload: bytes) -> bool:
+    """True iff the payload carries a structurally complete P6 header
+    (decode_ppm's grammar) AND the raster bytes are actually present —
+    text that merely starts 'P6 ' never qualifies."""
+    try:
+        pos, tokens = 2, []
+        n = len(payload)
+        while len(tokens) < 3:
+            while pos < n and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos:pos + 1].isspace():
+                pos += 1
+            if not payload[start:pos].isdigit():
+                return False
+            tokens.append(int(payload[start:pos]))
+        w, h, maxval = tokens
+        return maxval == 255 and n >= pos + 1 + w * h * 3
+    except (ValueError, IndexError):
+        return False
+
+
 def sniff_format(payload: bytes) -> "str | None":
-    """Magic-byte format sniff; None = no known codec signature."""
+    """Magic-byte format sniff; None = no known codec signature.
+
+    Printable signatures are structurally validated (media payloads in a
+    mixed corpus can be arbitrary text bytes, and 'BM...' / 'P6 ...' /
+    'GIF87a...' all occur in natural language): BMP must carry a known
+    DIB header size, PPM a complete digit header plus raster, GIF a valid
+    block introducer after the screen descriptor, WAV the canonical
+    'fmt ' chunk, Y4M an actual FRAME marker.  JPEG/PNG magics contain
+    bytes that are invalid UTF-8 lead sequences, so they cannot
+    false-positive on text-derived payloads."""
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return "png"
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    if (payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) > 13
+            and payload[13:14] in (b"\x2c", b"\x21", b"\x3b")):
         return "gif"
-    if payload.startswith(b"BM") and len(payload) >= 26:
+    if (payload[:2] == b"BM" and len(payload) >= 26
+            and int.from_bytes(payload[14:18], "little")
+            in (12, 40, 52, 56, 64, 108, 124)):
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+            and payload[12:16] == b"fmt "):
         return "wav"
-    if payload[:2] == b"P6" and payload[2:3] in (b" ", b"\t", b"\n", b"\r"):
+    if (payload[:2] == b"P6" and payload[2:3] in (b" ", b"\t", b"\n", b"\r")
+            and _ppm_header_ok(payload)):
         return "ppm"
-    if payload.startswith(b"YUV4MPEG2 "):
+    if payload.startswith(b"YUV4MPEG2 ") and b"FRAME" in payload[:512]:
         return "y4m"
     return None
 
@@ -79,6 +119,16 @@ class FakeDecoder:
         self.allowed = set(allowed_kinds)
         self.salt = b"aushape-media-v1"
 
+    def _fake_features(self, kind: str, payload: bytes) -> dict:
+        """Deterministic fake features for signature-less (synthetic)
+        payloads — shared by FakeDecoder and PilDecoder's fallthrough."""
+        d = hashlib.sha256(self.salt + payload).digest()
+        if kind == "image":
+            return {"width": 64 + d[0] % 192, "height": 64 + d[1] % 192, "frames": 1}
+        if kind == "audio":
+            return {"width": 0, "height": 0, "frames": 8000 + int.from_bytes(d[2:4], "little") % 8000}
+        return {"width": 320, "height": 240, "frames": 24 + d[4] % 240}
+
     def _decode(self, kind: str, payload: bytes) -> dict:
         if kind not in self.allowed:
             raise NotImplementedError(f"decoder for {kind} not enabled")
@@ -87,12 +137,7 @@ class FakeDecoder:
             raise ValueError(
                 f"payload carries a real {fmt} signature — the fake "
                 f"decoder must not mask it; use make_decoder()")
-        d = hashlib.sha256(self.salt + payload).digest()
-        if kind == "image":
-            return {"width": 64 + d[0] % 192, "height": 64 + d[1] % 192, "frames": 1}
-        if kind == "audio":
-            return {"width": 0, "height": 0, "frames": 8000 + int.from_bytes(d[2:4], "little") % 8000}
-        return {"width": 320, "height": 240, "frames": 24 + d[4] % 240}
+        return self._fake_features(kind, payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -131,35 +176,37 @@ class PilDecoder(FakeDecoder):
             raise NotImplementedError(f"decoder for {kind} not enabled")
         fmt = sniff_format(payload)
         if fmt is None:
-            d = hashlib.sha256(self.salt + payload).digest()
-            if kind == "image":
-                return {"width": 64 + d[0] % 192,
-                        "height": 64 + d[1] % 192, "frames": 1}
-            if kind == "audio":
-                return {"width": 0, "height": 0,
-                        "frames": 8000
-                        + int.from_bytes(d[2:4], "little") % 8000}
-            return {"width": 320, "height": 240, "frames": 24 + d[4] % 240}
-        if fmt in _PIL_RASTERS:
-            if not HAVE_PIL:
-                raise NotImplementedError(
-                    f"payload is {fmt} but Pillow is not installed")
-            import io
+            return self._fake_features(kind, payload)
+        try:
+            if fmt in _PIL_RASTERS:
+                if not HAVE_PIL:
+                    raise NotImplementedError(
+                        f"payload is {fmt} but Pillow is not installed")
+                import io
 
-            with _PILImage.open(io.BytesIO(payload)) as im:
-                return {"width": im.width, "height": im.height,
-                        "frames": int(getattr(im, "n_frames", 1))}
-        if fmt == "ppm":
-            arr = decode_ppm(payload)
-            return {"width": int(arr.shape[1]), "height": int(arr.shape[0]),
-                    "frames": 1}
-        if fmt == "wav":
-            samples, _rate = decode_wav(payload)
-            return {"width": 0, "height": 0, "frames": int(len(samples))}
-        # y4m
-        frames, _fps = decode_y4m(payload)
-        return {"width": int(frames.shape[2]), "height": int(frames.shape[1]),
-                "frames": int(frames.shape[0])}
+                with _PILImage.open(io.BytesIO(payload)) as im:
+                    return {"width": im.width, "height": im.height,
+                            "frames": int(getattr(im, "n_frames", 1))}
+            if fmt == "ppm":
+                arr = decode_ppm(payload)
+                return {"width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]), "frames": 1}
+            if fmt == "wav":
+                samples, _rate = decode_wav(payload)
+                return {"width": 0, "height": 0, "frames": int(len(samples))}
+            # y4m
+            frames, _fps = decode_y4m(payload)
+            return {"width": int(frames.shape[2]),
+                    "height": int(frames.shape[1]),
+                    "frames": int(frames.shape[0])}
+        except NotImplementedError:
+            raise  # declared no-Pillow refusal — never silently faked
+        except Exception:
+            # the signature matched but the body doesn't parse: the
+            # payload is NOT actually that format (hardened sniffing makes
+            # this rare); take the deterministic fake path instead of
+            # killing the task — error isolation, same rule as parse
+            return self._fake_features(kind, payload)
 
 
 def make_decoder(*, prefer_real: bool = True, **kwargs) -> FakeDecoder:

@@ -737,6 +737,11 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def _obj_series(d: dict) -> "pd.Series":
+    """Module-level _bcast builder (stable id): dict -> object Series."""
+    return pd.Series(d, dtype="object")
+
+
 def q_mktsegment_orders(sf_dir: str):
     """Broadcast join: customer (small side, ray.put once) -> orders."""
     import ray as _ray
@@ -745,10 +750,11 @@ def q_mktsegment_orders(sf_dir: str):
     seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def join_seg(batch: pa.Table) -> pa.Table:
-        # broadcast dict -> pd.Series once per worker process (_bcast);
-        # per-batch lookups are one vectorized reindex (cython hash
-        # probe), not a per-row Python .get() loop
-        seg = _bcast(seg_ref, lambda d: pd.Series(d, dtype="object"))
+        # broadcast dict -> pd.Series once per worker process (_bcast;
+        # module-level builder so the (ref, id(build)) cache key is
+        # stable); per-batch lookups are one vectorized reindex (cython
+        # hash probe), not a per-row Python .get() loop
+        seg = _bcast(seg_ref, _obj_series)
         keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
         segs = seg.reindex(keys).to_numpy()
         # drop orders with no matching customer: INNER join semantics,
@@ -3509,6 +3515,17 @@ WHERE dot > 0
   AND dot * dot >= {TFIDF_THRESHOLD * TFIDF_THRESHOLD} * na.nrm2 * nb.nrm2"""
 
 
+def _len_outlier_series(d: dict):
+    """Module-level _bcast builder (stable id) for q_doc_len_outliers:
+    the broadcast {source: (n, sum, threshold)} dict as three int64
+    pandas Series for cython reindex probes."""
+    import pandas as pd
+
+    return (pd.Series({k: v[0] for k, v in d.items()}, dtype=np.int64),
+            pd.Series({k: v[1] for k, v in d.items()}, dtype=np.int64),
+            pd.Series({k: v[2] for k, v in d.items()}, dtype=np.int64))
+
+
 def q_doc_len_outliers(sf_dir: str):
     """Per-source length-outlier filter (Gopher-style doc-length
     hygiene): docs whose n_chars sits beyond 2 sigma of their source's
@@ -3553,14 +3570,12 @@ def q_doc_len_outliers(sf_dir: str):
     def flag(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        # three per-source int64 Series built ONCE per worker process
-        # (_bcast memo); per-row resolution is a cython reindex hash
-        # probe, not a Python lambda per row
-        n_s, sm_s, th_s = _bcast(nref, lambda d: (
-            pd.Series({k: v[0] for k, v in d.items()}, dtype=np.int64),
-            pd.Series({k: v[1] for k, v in d.items()}, dtype=np.int64),
-            pd.Series({k: v[2] for k, v in d.items()}, dtype=np.int64),
-        ))
+        # three per-source int64 Series built ONCE per worker process.
+        # The build callable MUST be a module-level function: _bcast keys
+        # on (ref, id(build)), and a per-call lambda's id is only stable
+        # by allocator accident — a miss would rebuild the Series per
+        # batch and churn the shared cache
+        n_s, sm_s, th_s = _bcast(nref, _len_outlier_series)
         src = t.column("source").to_pandas()
         x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.int64)
