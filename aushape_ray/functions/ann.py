@@ -899,6 +899,8 @@ def kcenter_select(ds: "ray.data.Dataset", k: int = 8,
             float(sims[j])
 
     first = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    if len(first) == 0:  # empty dataset: no seed, no picks
+        return []
     ids = first["id"].to_numpy()
     j = int(np.argmin(ids))
     seed_vec = _normalize(np.asarray(first["vec"].iloc[j],
@@ -910,6 +912,11 @@ def kcenter_select(ds: "ray.data.Dataset", k: int = 8,
         part = ds.map_batches(far_partial_fn(ref),
                               batch_format="pyarrow").to_pandas()
         pid, pvec, psim = reduce_partials(part)
+        if psim >= 1.0 - 1e-12:
+            # every remaining point coincides with a center (k exceeds the
+            # number of distinct points) — stop instead of re-picking
+            # already-selected ids
+            break
         picks.append({"pick": r, "vec_id": pid,
                       "radius": float(np.sqrt(max(0.0, 2.0 - 2.0 * psim)))})
         centers.append(pvec)

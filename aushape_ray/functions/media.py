@@ -90,18 +90,37 @@ def sniff_format(payload: bytes) -> "str | None":
         return "jpeg"
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return "png"
-    if (payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) > 13
-            and payload[13:14] in (b"\x2c", b"\x21", b"\x3b")):
-        return "gif"
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) > 13:
+        # Logical screen descriptor: packed byte at 10 carries the global
+        # color table flag (bit 7) and size (bits 0-2); the GCT (when
+        # present, which is the common case for real encoders incl. PIL)
+        # sits BETWEEN the descriptor and the first block introducer, so
+        # the introducer lives at 13 + 3*2^(N+1), not at 13.
+        packed = payload[10]
+        gct = 3 * (2 << (packed & 0x07)) if packed & 0x80 else 0
+        pos = 13 + gct
+        if len(payload) > pos and payload[pos:pos + 1] in (b"\x2c", b"\x21",
+                                                           b"\x3b"):
+            return "gif"
     if (payload[:2] == b"BM" and len(payload) >= 26
             and int.from_bytes(payload[14:18], "little")
             in (12, 40, 52, 56, 64, 108, 124)):
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
-    if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
-            and payload[12:16] == b"fmt "):
-        return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # Spec-legal WAVE files may carry other chunks (bext in Broadcast
+        # Wave, LIST/INFO) before 'fmt ' — scan the first few chunk
+        # headers like decode_wav's walker instead of assuming offset 12.
+        pos = 12
+        for _ in range(8):
+            if pos + 8 > len(payload):
+                break
+            cid = payload[pos:pos + 4]
+            if cid == b"fmt ":
+                return "wav"
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
     if (payload[:2] == b"P6" and payload[2:3] in (b" ", b"\t", b"\n", b"\r")
             and _ppm_header_ok(payload)):
         return "ppm"

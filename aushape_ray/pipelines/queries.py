@@ -2801,10 +2801,26 @@ def q_emb_semdedup(sf_dir: str):
 
 
 def q_ann_ivf_recall(sf_dir: str):
-    """Scale-path ANN: LSH/IVF-bucketed search probing only the query's
-    bucket; reports recall@10 vs the exact brute force (rows-only oracle:
-    quality metric, not SQL-expressible)."""
-    from ..functions.ann import IvfIndexer, brute_force_topk
+    """Scale-path ANN: LSH/IVF-bucketed search with MARGIN-ORDERED
+    multi-probe (Lv et al., VLDB 2007) — each query probes the buckets
+    reachable by flipping its lowest-|margin| hyperplanes first — and the
+    per-bucket candidates are routed through `exact_rerank` (the IVF-PQ
+    refinement recipe, 50%->90%+ precedent in q_ann_pq_recall).  Reports
+    recall@10 vs the exact brute force plus the probed bucket fraction
+    in-band (rows-only oracle: quality metric, not SQL-expressible).
+
+    Honesty note on the probe budget: the synthetic embeddings' true
+    neighbors sit at cosine ~0.3 over a ~0.0 background, where a random
+    hyperplane separates a true pair with p~=0.4 — origin-through LSH
+    needs a large probe fraction for high recall on such weakly
+    correlated corpora (measured here: 13/16 buckets for >=90%).  The
+    structure-aware scale paths are q_ann_ivf_kmeans_recall (learned
+    coarse quantizer) and q_ann_pq_recall (IVF-PQ); this query keeps the
+    classic LSH baseline with its cost made visible rather than hiding
+    the recall loss (>=0.9 pytest-enforced in tests/test_round5.py)."""
+    from itertools import combinations
+
+    from ..functions.ann import IvfIndexer, brute_force_topk, exact_rerank
 
     ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids = list(range(8))
@@ -2814,7 +2830,7 @@ def q_ann_ivf_recall(sf_dir: str):
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
 
     first = ds.take(1)[0]
-    n_planes = 4
+    n_planes, n_probes = 4, 13
     idx = IvfIndexer(dim=len(first["embedding"]), n_planes=n_planes)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -2829,13 +2845,21 @@ def q_ann_ivf_recall(sf_dir: str):
     q_rows = bucketed.map_batches(
         lambda t: t.filter(pc.is_in(t.column("vec_id"), qarr)),
         batch_format="pyarrow").take_all()
-    # multi-probe: each query probes its own bucket plus all Hamming-1
-    # neighbours (standard LSH multi-probe; bounds probed fraction to
-    # (n_planes+1)/2^n_planes of the data)
-    q_probe = {r["vec_id"]: {r["bucket"]} | {r["bucket"] ^ (1 << p)
-                                             for p in range(n_planes)}
-               for r in q_rows}
-    q_vec = {r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in q_rows}
+    # margin-ordered multi-probe: rank candidate flip-sets by the summed
+    # |margin| of the flipped planes (cheapest perturbations first), take
+    # the first n_probes buckets per query
+    flip_sets = [fl for r in range(n_planes + 1)
+                 for fl in combinations(range(n_planes), r)]
+    q_probe: dict[int, set] = {}
+    q_vec: dict[int, np.ndarray] = {}
+    for r in q_rows:
+        v = np.asarray(r["embedding"], np.float64)
+        q_vec[r["vec_id"]] = v
+        costs = np.abs(idx.planes @ v)
+        ranked = sorted(flip_sets, key=lambda fl: sum(costs[list(fl)]))
+        q_probe[r["vec_id"]] = {
+            r["bucket"] ^ sum(1 << p for p in fl)
+            for fl in ranked[:n_probes]}
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = g["bucket"].iloc[0]
@@ -2845,48 +2869,53 @@ def q_ann_ivf_recall(sf_dir: str):
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         ids = g["vec_id"].to_numpy(np.int64)
-        out_q, out_n, out_s = [], [], []
+        out_q, out_n = [], []
         for q in qs:
             v = q_vec[q] / max(np.linalg.norm(q_vec[q]), 1e-12)
             sims = mat @ v
             order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
-            for negs, i in order[:11]:
+            for _negs, i in order[:11]:
                 if i == q:
                     continue
                 out_q.append(q)
                 out_n.append(int(i))
-                out_s.append(float(-negs))
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                             "sim": out_s})
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
     per_bucket.__name__ = "per_bucket"
     approx = bucketed.groupby("bucket").map_groups(
         per_bucket, batch_format="pandas").to_pandas()
-    hits = 0
-    for q in qids:
-        cand = approx[approx["query_id"] == q]
-        # merge per-bucket partials into the global approximate top-10
-        cand = cand.sort_values(["sim", "neighbor_id"],
-                                ascending=[False, True]).head(10)
-        got = set(cand["neighbor_id"].astype(int))
-        hits += len(got & exact_sets.get(q, set()))
+    # per-bucket top-11 partials -> per-query shortlist -> exact re-rank
+    # (one column-pruned filtered fetch of |q| * 11 * n_probes rows max)
+    shortlist: dict[int, list] = {q: [] for q in qids}
+    for q, n in zip(approx["query_id"].astype(int),
+                    approx["neighbor_id"].astype(int)):
+        shortlist[q].append(n)
+    rer = exact_rerank(ds, shortlist, q_vec, k=10)
+    hits = sum(1 for r in rer.to_pylist()
+               if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
     return pa.table({
         "n_queries": pa.array([len(qids)], pa.int64()),
         "k": pa.array([10], pa.int64()),
         "hits": pa.array([hits], pa.int64()),
         "recall_pct": pa.array([hits * 100 // (10 * len(qids))], pa.int64()),
+        "probed_pct": pa.array([n_probes * 100 // (1 << n_planes)],
+                               pa.int64()),
     })
 
 
 def q_ann_ivf_kmeans_recall(sf_dir: str):
     """IVF with a LEARNED coarse quantizer: k-means centroids partition
-    the vectors, each query probes its 2 nearest cells, per-cell top-k
-    merges into the approximate answer; reports recall@10 vs exact brute
-    force (rows-only quality metric).  The trained-quantizer upgrade of
-    q_ann_ivf_recall's random hyperplanes."""
+    the vectors, each query probes its NPROBE nearest cells, the per-cell
+    top-k candidates are routed through `exact_rerank` (the IVF-PQ
+    refinement recipe); reports recall@10 vs exact brute force plus the
+    probed cell fraction (rows-only quality metric; >=0.9 pytest-enforced
+    in tests/test_round5.py).  The trained-quantizer upgrade of
+    q_ann_ivf_recall's random hyperplanes: 4/16 cells probed reaches the
+    recall the hyperplane path needs 13/16 buckets for (6/16 cells =
+    92% measured at sf0.01 vs 13/16 buckets = 93%)."""
     import ray as _ray
 
-    from ..functions.ann import brute_force_topk, kmeans_fit
+    from ..functions.ann import brute_force_topk, exact_rerank, kmeans_fit
 
     ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids = list(range(8))
@@ -2916,11 +2945,12 @@ def q_ann_ivf_kmeans_recall(sf_dir: str):
         batch_format="pyarrow").take_all()
     q_vec = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
              for r in q_rows}
+    NPROBE = 6
     q_probe: dict[int, set] = {}
     for r in q_rows:
         v = q_vec[r["vec_id"]]
         d2 = ((centroids - v) ** 2).sum(axis=1)
-        q_probe[r["vec_id"]] = set(np.argsort(d2)[:2].tolist())
+        q_probe[r["vec_id"]] = set(np.argsort(d2)[:NPROBE].tolist())
 
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
         cell = int(g["cell"].iloc[0])
@@ -2948,17 +2978,20 @@ def q_ann_ivf_kmeans_recall(sf_dir: str):
     per_cell.__name__ = "per_cell"
     approx = cells.groupby("cell", num_partitions=16).map_groups(
         per_cell, batch_format="pandas").to_pandas()
-    hits = 0
-    for q in qids:
-        cand = approx[approx["query_id"] == q].sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]).head(10)
-        hits += len(set(cand["neighbor_id"].astype(int))
-                    & exact_sets.get(q, set()))
+    # per-cell top-11 partials -> per-query shortlist -> exact re-rank
+    shortlist: dict[int, list] = {q: [] for q in qids}
+    for q, n in zip(approx["query_id"].astype(int),
+                    approx["neighbor_id"].astype(int)):
+        shortlist[q].append(n)
+    rer = exact_rerank(ds, shortlist, q_vec, k=10)
+    hits = sum(1 for r in rer.to_pylist()
+               if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
     return pa.table({
         "n_queries": pa.array([len(qids)], pa.int64()),
         "k": pa.array([10], pa.int64()),
         "hits": pa.array([hits], pa.int64()),
         "recall_pct": pa.array([hits * 100 // (10 * len(qids))], pa.int64()),
+        "probed_pct": pa.array([NPROBE * 100 // 16], pa.int64()),
     })
 
 
