@@ -134,9 +134,19 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data
 
         from .pipelines.events_pipeline import (
-            build_events,
+            build_events as _build_events,
             write_routed,
         )
+
+        # salted parquet runs use the side-channel write path: finished
+        # events stream straight to sink files, only partial rows take the
+        # second groupby (stats/validate need the merged EVENT_SCHEMA
+        # dataset, so they keep the in-plan merge)
+        defer = (args.format == "parquet" and bool(args.salt_threshold)
+                 and not args.stats and not args.validate)
+
+        def build_events(ds, cfg):
+            return _build_events(ds, cfg, defer_partial_merge=defer)
 
         if args.input_format == "jsonl":
             from .pipelines.events_pipeline import _configure_shuffle

@@ -79,7 +79,8 @@ def assemble_events(table: pa.Table, with_text: bool = True,
         by_conv[cid].append(i)
 
     out = []
-    for cid in sorted(by_conv):
+    # None (null conv_id) is a legal key — one conversation, sorted first
+    for cid in sorted(by_conv, key=lambda c: (c is not None, c or "")):
         idxs = sorted(by_conv[cid], key=lambda i: cols["turn_idx"][i])
         asm = EventAssembler(with_text=with_text, with_norm=with_norm)
         any_tool = False

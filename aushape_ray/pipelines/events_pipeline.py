@@ -70,7 +70,8 @@ def read_transcripts(sf_dir: str,
 
 
 def build_events(ds: "ray.data.Dataset",
-                 cfg: PipelineConfig = PipelineConfig()) -> "ray.data.Dataset":
+                 cfg: PipelineConfig = PipelineConfig(),
+                 defer_partial_merge: bool = False) -> "ray.data.Dataset":
     """Transcript rows -> assembled event rows (EVENT_SCHEMA).
 
     The one groupby exchange runs on the strategy cfg.shuffle selects
@@ -78,6 +79,11 @@ def build_events(ds: "ray.data.Dataset",
     NOTE: the strategy only applies if it was set before `ds` was created
     (read_transcripts does this); set it in your session before building
     datasets from other sources.
+
+    defer_partial_merge (salted runs only): return the raw PARTIAL_SCHEMA
+    assemble output — finished events plus unpicked partial rows — for a
+    consumer that merges the partial side-channel itself (write_routed's
+    in-stream sink write).  Ignored when no conversation is hot.
     """
     _configure_shuffle(cfg)
 
@@ -141,32 +147,31 @@ def build_events(ds: "ray.data.Dataset",
     )
     if not hot:
         return assembled
+    if defer_partial_merge:
+        # PARTIAL_SCHEMA; the consumer owns the merge.  The marker attr is
+        # how write_routed detects the shape without touching the lazy
+        # plan (Dataset.schema() would trigger partial execution).
+        assembled._aushape_has_partials = True
+        return assembled
 
-    # salted path: split finished events from partial assemblies, merge the
-    # partials per conversation (tiny: n_salts rows per hot conv), union.
-    # materialize() pins the assembled output (event-sized, far smaller
-    # than the input) so the two consumers don't re-execute the pipeline;
-    # a 100 TB deployment would write full events straight to sinks and
-    # run the merge over the partial side-channel only.
-    import pyarrow.compute as pc
+    # salted path, fully streaming (no materialize, single execution): one
+    # more groupby keyed on the conversation's MERGE PARTITION — within a
+    # partition finished events pass through, each hot conversation's
+    # n_salts partial rows merge in salt order.  Events are far smaller
+    # than the input turns, and the stream is never pinned in the object
+    # store.  When the consumer is a sink write, prefer
+    # write_routed(events, ..., cfg) on the defer_partial_merge output:
+    # finished events go straight to sink files in-stream and ONLY the
+    # partial side-channel (n_salts rows per hot conversation) takes the
+    # second exchange.
+    from ..stages.assemble import add_merge_part, make_merge_or_pass
 
-    from ..stages.assemble import EVENT_SCHEMA, make_merge_partials
-
-    assembled = assembled.materialize()
-    full = assembled.map_batches(
-        lambda t: t.filter(pc.is_null(t.column("partial")))
-        .select(EVENT_SCHEMA.names),
+    tagged = assembled.map_batches(
+        lambda b: add_merge_part(b, cfg.num_parts), batch_format="pyarrow")
+    return tagged.groupby("mpart", num_partitions=cfg.num_parts).map_groups(
+        make_merge_or_pass(cfg.with_text, cfg.with_norm, cfg.max_event_size),
         batch_format="pyarrow",
     )
-    partials = assembled.map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("partial"))),
-        batch_format="pyarrow",
-    )
-    merged = partials.groupby("conv_id").map_groups(
-        make_merge_partials(cfg.with_text, cfg.with_norm, cfg.max_event_size),
-        batch_format="pyarrow",
-    )
-    return full.union(merged)
 
 
 def _find_hot_convs(ds: "ray.data.Dataset", cfg: PipelineConfig) -> dict[str, int]:
@@ -192,6 +197,10 @@ def _find_hot_convs(ds: "ray.data.Dataset", cfg: PipelineConfig) -> dict[str, in
     def partial(batch: pa.Table) -> pa.Table:
         vc = batch.column("conv_id").combine_chunks().value_counts()
         vals = vc.field("values")
+        if vals.null_count:  # null conv_ids never salt (one conversation
+            import pyarrow.compute as pc  # with cid=None, oracle semantics)
+            vc = vc.filter(pc.is_valid(vals))
+            vals = vc.field("values")
         b = np.fromiter(
             (zlib.crc32(s.encode()) for s in vals.to_pylist()),
             dtype=np.int64, count=len(vals)) % n_buckets
@@ -436,6 +445,68 @@ def write_jsonl_routed(events: "ray.data.Dataset", out_dir: str,
     return {r["sink"]: int(r["n"]) for r in out}
 
 
+class ParquetSinkWriter:
+    """In-stream hive-layout parquet sink writer (the salted side-channel,
+    verdict r4 item 2 / the old build_events docstring's 100-TB design):
+    each task writes its batch's FINISHED events straight to
+    `out_dir/sink=<name>/part-<uuid>.parquet` (atomic tmp+rename, same
+    layout as write_parquet(partition_cols=["sink"]), events_per_doc rows
+    per file max) and forwards ONLY the partial rows downstream.  Finished
+    events therefore never enter a second exchange or the object store —
+    only n_salts rows per hot conversation move again."""
+
+    def __init__(self, out_dir: str, events_per_doc: "int | None" = None) -> None:
+        self.out_dir = out_dir
+        self.events_per_doc = events_per_doc
+        self.__name__ = "parquet_sink_writer"
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import os
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..stages.assemble import EVENT_SCHEMA, PARTIAL_SCHEMA
+
+        if "partial" in batch.column_names:
+            mask = pc.is_valid(batch.column("partial"))
+            partials = batch.filter(mask)
+            full = batch.filter(pc.invert(mask)).select(EVENT_SCHEMA.names)
+        else:  # merged events coming back through the writer
+            partials = PARTIAL_SCHEMA.empty_table()
+            full = batch.select(EVENT_SCHEMA.names)
+        for sink in full.column("sink").unique().to_pylist():
+            sub = full.filter(pc.equal(full.column("sink"), sink))
+            # hive layout: the sink column lives in the directory name
+            sub = sub.drop_columns(["sink"])
+            d = os.path.join(self.out_dir, f"sink={sink}")
+            os.makedirs(d, exist_ok=True)
+            step = max(1, self.events_per_doc or sub.num_rows)
+            for lo in range(0, sub.num_rows, step):
+                uid = uuid.uuid4().hex
+                tmp = os.path.join(d, f".part-{uid}.tmp")
+                pq.write_table(sub.slice(lo, step), tmp)
+                os.replace(tmp, os.path.join(d, f"part-{uid}.parquet"))
+        return partials
+
+
+def _footer_counts(out_dir: str) -> dict[str, int]:
+    """Per-sink row counts from parquet footers only — no data scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for sink in SINKS:
+        n = 0
+        for f in glob.glob(f"{out_dir}/sink={sink}/*.parquet"):
+            n += pq.ParquetFile(f).metadata.num_rows
+        if n:
+            counts[sink] = n
+    return counts
+
+
 def write_routed(events: "ray.data.Dataset", out_dir: str,
                  cfg: PipelineConfig = PipelineConfig()) -> dict[str, int]:
     """Fan-out write: one parquet directory per sink (S2-S4 analogue).
@@ -450,12 +521,16 @@ def write_routed(events: "ray.data.Dataset", out_dir: str,
     count is hit, lib/conv.c:121-125).  min_rows_per_file must not be used
     here: it coalesces on the operator's INPUT row counts, which collapses
     the contiguous path (32 one-row path blocks) into a single write task.
+
+    Salted side-channel: when `events` is a deferred-merge salted build
+    (build_events(..., defer_partial_merge=True) with hot conversations),
+    finished events are written to the sink dirs IN-STREAM by
+    ParquetSinkWriter and only the partial rows — n_salts per hot
+    conversation — take the second groupby; the merged hot events then
+    pass through the same writer.  No materialization anywhere.
     """
-    import glob
     import os
     import shutil
-
-    import pyarrow.parquet as pq
 
     # remove ONLY the sink=... partition dirs a previous run of this writer
     # created — write_parquet appends uuid-named files, so a rerun into the
@@ -464,15 +539,25 @@ def write_routed(events: "ray.data.Dataset", out_dir: str,
         d = os.path.join(out_dir, f"sink={sink}")
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+    if getattr(events, "_aushape_has_partials", False):
+        from ..stages.assemble import make_merge_partials
+
+        partials = events.map_batches(
+            ParquetSinkWriter(out_dir, cfg.events_per_doc),
+            batch_format="pyarrow")
+        merged = partials.groupby("conv_id").map_groups(
+            make_merge_partials(cfg.with_text, cfg.with_norm,
+                                cfg.max_event_size),
+            batch_format="pyarrow")
+        leftover = merged.map_batches(
+            ParquetSinkWriter(out_dir, cfg.events_per_doc),
+            batch_format="pyarrow")
+        n_left = leftover.count()  # drives the whole plan, exactly once
+        assert n_left == 0, f"{n_left} partial rows survived the merge"
+        return _footer_counts(out_dir)
+
     events.write_parquet(
         out_dir, partition_cols=["sink"], max_rows_per_file=cfg.events_per_doc,
     )
-
-    counts: dict[str, int] = {}
-    for sink in SINKS:
-        n = 0
-        for f in glob.glob(f"{out_dir}/sink={sink}/*.parquet"):
-            n += pq.ParquetFile(f).metadata.num_rows
-        if n:
-            counts[sink] = n
-    return counts
+    return _footer_counts(out_dir)

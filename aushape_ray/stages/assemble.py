@@ -73,8 +73,14 @@ def add_part(batch: pa.Table, num_parts: int,
         conv = conv.chunk(0) if conv.num_chunks else pa.array([], pa.string())
     dict_arr = conv.dictionary_encode()
     uniq = dict_arr.dictionary.to_pylist()
-    part_of = np.array([stable_hash(u) % num_parts for u in uniq], dtype=np.int32)
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+    # sentinel slot for null conv_ids: they are ONE conversation with
+    # cid=None (oracle dict-key semantics) and all hash to partition 0
+    part_of = np.array([stable_hash(u) % num_parts for u in uniq] + [0],
+                       dtype=np.int32)
+    idx = dict_arr.indices
+    if idx.null_count:
+        idx = pa.compute.fill_null(idx, len(uniq))
+    codes = np.asarray(idx)
     parts = part_of[codes]
     salts = np.full(len(codes), -1, dtype=np.int32)
     if hot:
@@ -295,30 +301,96 @@ class AssemblePartition:
         return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def _merge_partial_group(g: pa.Table, with_text: bool, with_norm: bool,
+                         max_event_size: int | None) -> pa.Table:
+    """Merge one conversation's salt-ordered partial rows into its event."""
+    import pickle
+
+    cid = _as_array(g.column("conv_id")).to_pylist()[0]
+    states = [pickle.loads(b) for b in _as_array(g.column("partial")).to_pylist()]
+    base = states[0]
+    asm: EventAssembler = base["asm"]
+    any_tool = base["any_tool"]
+    n_turns = base["n_turns"]
+    for s in states[1:]:
+        asm.merge(s["asm"])
+        any_tool = any_tool or s["any_tool"]
+        n_turns += s["n_turns"]
+    rows = {name: [] for name in EVENT_SCHEMA.names}
+    finish_event(rows, asm, cid, base["ts_first"], n_turns, any_tool,
+                 max_event_size, with_text)
+    arrays = [pa.array(rows[f.name], f.type) for f in EVENT_SCHEMA]
+    return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
+
+
 def make_merge_partials(with_text: bool = True, with_norm: bool = False,
                         max_event_size: int | None = None):
     """Per-conversation merge of salted partial assemblies (tiny groupby:
     one group per hot conversation, a handful of rows each)."""
-    import pickle
 
     def merge_partials(group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(group, sort_keys=[("salt", "ascending")])
-        g = group.take(order)
-        cid = _as_array(g.column("conv_id")).to_pylist()[0]
-        states = [pickle.loads(b) for b in _as_array(g.column("partial")).to_pylist()]
-        base = states[0]
-        asm: EventAssembler = base["asm"]
-        any_tool = base["any_tool"]
-        n_turns = base["n_turns"]
-        for s in states[1:]:
-            asm.merge(s["asm"])
-            any_tool = any_tool or s["any_tool"]
-            n_turns += s["n_turns"]
-        rows = {name: [] for name in EVENT_SCHEMA.names}
-        finish_event(rows, asm, cid, base["ts_first"], n_turns, any_tool,
-                     max_event_size, with_text)
-        arrays = [pa.array(rows[f.name], f.type) for f in EVENT_SCHEMA]
-        return pa.Table.from_arrays(arrays, schema=EVENT_SCHEMA)
+        return _merge_partial_group(group.take(order), with_text, with_norm,
+                                    max_event_size)
 
     merge_partials.__name__ = "merge_partials"
     return merge_partials
+
+
+def add_merge_part(batch: pa.Table, num_parts: int) -> pa.Table:
+    """Tag PARTIAL_SCHEMA rows with the conversation's merge partition
+    (plain conv hash, no salting — all of a hot conversation's partial
+    rows must land together)."""
+    conv = _as_array(batch.column("conv_id"))
+    dict_arr = conv.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pylist()
+    part_of = np.array([stable_hash(u) % num_parts for u in uniq] + [0],
+                       dtype=np.int32)  # sentinel slot for null conv_ids
+    idx = dict_arr.indices
+    if idx.null_count:
+        idx = pa.compute.fill_null(idx, len(uniq))
+    parts = part_of[np.asarray(idx)]
+    return batch.append_column("mpart", pa.array(parts, pa.int32()))
+
+
+def make_merge_or_pass(with_text: bool = True, with_norm: bool = False,
+                       max_event_size: int | None = None):
+    """Salted-path finisher WITHOUT materialization: one streaming
+    groupby over the PARTIAL_SCHEMA assemble output, keyed by the
+    conversation's MERGE PARTITION (add_merge_part) — never per
+    conversation, which would pay per-group overhead for every finished
+    event (measured 5x the whole pipeline at 90k events).  Within a
+    partition, finished events pass through untouched; each hot
+    conversation's n_salts partial rows merge in salt order.  Replaces
+    the former materialize-then-filter-twice plan (verdict r4 item 2):
+    the event stream is exchanged once more (events are far smaller than
+    the input turns) but is never pinned — backpressure and spilling
+    stay in force.  write_routed's salted side-channel avoids even this
+    exchange for finished events by writing them to sinks in-stream."""
+
+    def merge_or_pass(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part_col = group.column("partial")
+        passthrough = group.filter(pc.is_null(part_col)) \
+                           .select(EVENT_SCHEMA.names)
+        if passthrough.num_rows == group.num_rows:
+            return passthrough
+        partials = group.filter(pc.is_valid(part_col))
+        order = pa.compute.sort_indices(
+            partials, sort_keys=[("conv_id", "ascending"),
+                                 ("salt", "ascending")])
+        p = partials.take(order)
+        # conversation run boundaries over the sorted partial rows
+        codes = np.asarray(pa.compute.fill_null(
+            _as_array(p.column("conv_id")).dictionary_encode().indices, -1))
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [p.num_rows]))
+        merged = [_merge_partial_group(p.slice(int(i), int(j - i)),
+                                       with_text, with_norm, max_event_size)
+                  for i, j in zip(starts, ends)]
+        return pa.concat_tables([passthrough] + merged)
+
+    merge_or_pass.__name__ = "merge_or_pass"
+    return merge_or_pass

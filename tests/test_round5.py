@@ -122,3 +122,123 @@ def test_kcenter_k_exceeding_distinct_points_stops_early(ray_session):
     picks = kcenter_select(ds, k=8)
     got = [p["vec_id"] for p in picks]
     assert len(got) == len(set(got)) == 3, picks
+
+
+# ------------------------------------------- salted path without materialize
+
+def test_build_events_has_no_materialize():
+    """Verdict r4 item 2: the designed-in materialization is gone — the
+    salted path streams through a merge-or-pass groupby instead."""
+    import inspect
+
+    from aushape_ray.pipelines import events_pipeline
+
+    src = inspect.getsource(events_pipeline.build_events)
+    assert ".materialize()" not in src
+
+
+def test_salted_sink_side_channel_matches_oracle(ray_session, tiny_transcripts,
+                                                 oracle_events, tmp_path):
+    """The deferred-merge salted build + write_routed side-channel must
+    produce byte-identical routed rows and counts vs the oracle: finished
+    events go straight to sink files, only partials take the second
+    groupby."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.oracle import sink_counts as oracle_sink_counts
+    from aushape_ray.pipelines.events_pipeline import build_events, write_routed
+
+    cfg = PipelineConfig(num_parts=16, salt_threshold=40, n_salts=4)
+    ds = build_events(ray.data.from_arrow(tiny_transcripts), cfg,
+                      defer_partial_merge=True)
+    assert getattr(ds, "_aushape_has_partials", False)
+    out = str(tmp_path / "routed")
+    counts = write_routed(ds, out, cfg)
+    assert counts == oracle_sink_counts(oracle_events)
+
+    got = {}
+    for sink, _n in counts.items():
+        t = pq.read_table(f"{out}/sink={sink}")
+        for r in t.to_pylist():
+            r["sink"] = sink
+            got[r["conv_id"]] = r
+    exp = {e["conv_id"]: e for e in oracle_events}
+    assert len(got) == len(exp)
+    for cid, e in exp.items():
+        assert got[cid]["doc"] == e["doc"], cid
+        assert got[cid]["sink"] == e["sink"], cid
+
+
+def test_deferred_merge_without_hot_convs_is_plain(ray_session,
+                                                   tiny_transcripts, tmp_path):
+    """defer_partial_merge with no hot conversations degrades to the plain
+    EVENT_SCHEMA path (write_routed's write_parquet branch)."""
+    import ray.data
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.pipelines.events_pipeline import build_events, write_routed
+
+    cfg = PipelineConfig(num_parts=8)  # salt_threshold=None
+    ds = build_events(ray.data.from_arrow(tiny_transcripts), cfg,
+                      defer_partial_merge=True)
+    assert not getattr(ds, "_aushape_has_partials", False)
+    counts = write_routed(ds, str(tmp_path / "routed2"), cfg)
+    assert sum(counts.values()) > 0
+
+
+def test_salted_events_per_doc_respected_in_side_channel(ray_session,
+                                                         tiny_transcripts,
+                                                         tmp_path):
+    """ParquetSinkWriter honors events_per_doc as an upper bound per file
+    (the reference's doc-close rule, lib/conv.c:121-125)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.pipelines.events_pipeline import build_events, write_routed
+
+    cfg = PipelineConfig(num_parts=16, salt_threshold=40, n_salts=4,
+                         events_per_doc=7)
+    ds = build_events(ray.data.from_arrow(tiny_transcripts), cfg,
+                      defer_partial_merge=True)
+    out = str(tmp_path / "routed3")
+    write_routed(ds, out, cfg)
+    for f in glob.glob(f"{out}/sink=*/*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 7, f
+
+
+def test_null_conv_id_with_salting(ray_session):
+    """Null conv_ids are one conversation (oracle dict-key semantics) and
+    must survive add_part's vectorized hashing and the salted path (found
+    while removing the salted materialize: indices with nulls made the
+    part_of gather crash)."""
+    import ray.data
+
+    from aushape_ray.config import PipelineConfig
+    from aushape_ray.oracle import assemble_events
+    from aushape_ray.pipelines.events_pipeline import build_events
+
+    rows = [(None if i < 50 else "c1", i, "user",
+             f"node=h type=MSG i={i}", "", i + 1) for i in range(100)]
+    tb = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([r[4] for r in rows], pa.string()),
+        "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+    })
+    oracle = {e["conv_id"]: e for e in assemble_events(tb)}
+    assert len(oracle) == 2 and None in oracle
+    for kw in ({}, {"salt_threshold": 20, "n_salts": 4}):
+        cfg = PipelineConfig(num_parts=4, **kw)
+        got = build_events(ray.data.from_arrow(tb), cfg).take_all()
+        assert len(got) == 2, kw
+        for r in got:
+            assert r["doc"] == oracle[r["conv_id"]]["doc"], (kw, r["conv_id"])
