@@ -210,7 +210,8 @@ def curate_corpus(sf_dir: str, out_dir: str, resume: bool = False,
 
         surv = _survivors(docs, reject_ds)
         cands = minhash_candidates(surv)
-        verified = verify_pairs_jaccard(cands, surv)
+        verified = verify_pairs_jaccard(cands, surv,
+                                        min_jaccard=jaccard_min)
         pairs = verified.map_batches(
             lambda t: t.filter(pc.greater_equal(t.column("jaccard"),
                                                 jaccard_min))

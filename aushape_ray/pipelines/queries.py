@@ -1599,7 +1599,7 @@ def q_doc_minhash_pairs(sf_dir: str):
 
     docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_candidates(docs)
-    verified = verify_pairs_jaccard(cands, docs)
+    verified = verify_pairs_jaccard(cands, docs, min_jaccard=0.5)
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
         .select(["doc_a", "doc_b"]),
@@ -2488,7 +2488,7 @@ def q_doc_emb_consistency(sf_dir: str):
 
     docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_candidates(docs)
-    verified = verify_pairs_jaccard(cands, docs)
+    verified = verify_pairs_jaccard(cands, docs, min_jaccard=0.5)
     pairs = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.5))
         .select(["doc_a", "doc_b"]), batch_format="pyarrow")
@@ -4671,7 +4671,7 @@ def q_t_similar_convs(sf_dir: str):
     chain_docs = docs.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
     cands = minhash_candidates(chain_docs, n_parts=N_PARTS, cap=64)
-    verified = verify_pairs_jaccard(cands, chain_docs)
+    verified = verify_pairs_jaccard(cands, chain_docs, min_jaccard=0.8)
     pairs = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.8))
         .select(["doc_a", "doc_b"]), batch_format="pyarrow")

@@ -72,7 +72,8 @@ def main() -> None:
     print(f"candidates: {n_cands} pairs in {t1 - t0:.1f}s")
 
     t1 = time.perf_counter()
-    verified = verify_pairs_jaccard(cands, docs, n_buckets=64)
+    verified = verify_pairs_jaccard(cands, docs, n_buckets=64,
+                                    min_jaccard=0.8)
     near = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.8)),
         batch_format="pyarrow").materialize()

@@ -242,3 +242,81 @@ def test_null_conv_id_with_salting(ray_session):
         assert len(got) == 2, kw
         for r in got:
             assert r["doc"] == oracle[r["conv_id"]]["doc"], (kw, r["conv_id"])
+
+
+# ---------------------------------------------- vectorized shingling/verify
+
+def test_shingles_flat_parity_with_per_doc():
+    """shingles_flat(unique=True) is value-identical per doc to _shingles
+    (verdict r4 item 3), including the <=k-byte md5 fallback, empty and
+    null docs, and multi-byte UTF-8."""
+    import random
+
+    from aushape_ray.functions.dedup import _shingles, shingles_flat
+
+    random.seed(11)
+    texts = [None, "", "ab", "abcde", "abcdef", "héllo wörld",
+             "the quick brown fox " * 40]
+    for _ in range(200):
+        n = random.choice([0, 2, 5, 6, 30, 300])
+        texts.append("".join(random.choice("abcd eé世")
+                             for _ in range(n)))
+    col = pa.array(texts, pa.string())
+    flat, off = shingles_flat(col, unique=True)
+    for i, t in enumerate(texts):
+        assert np.array_equal(_shingles(t or ""), flat[off[i]:off[i + 1]]), i
+
+
+def test_minhash_signature_parity_nonunique_path():
+    """MinHasher's flat nonunique path (min over the shingle multiset)
+    must produce signatures identical to per-doc signature() over the
+    unique set."""
+    from aushape_ray.functions.dedup import MinHasher
+
+    texts = ["the cat sat on the mat " * 8, "abc", "", "xyzzy " * 100,
+             "one two three four five six seven eight nine ten " * 3]
+    batch = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    mh = MinHasher()
+    got = np.stack([np.asarray(x, np.int64) for x in
+                    mh(batch).column("minhash").to_pylist()]).astype(np.uint64)
+    want = np.stack([mh.signature(t) for t in texts])
+    assert np.array_equal(got, want)
+
+
+def test_verify_prefilter_is_lossless(ray_session):
+    """verify_pairs_jaccard(min_jaccard=t) must return exactly the pairs
+    the unfiltered run keeps at jaccard >= t (the size bound can only cut
+    below-threshold pairs)."""
+    import ray.data
+
+    from aushape_ray.functions.dedup import verify_pairs_jaccard
+
+    texts = {
+        1: "aaaa bbbb cccc dddd eeee ffff gggg",
+        2: "aaaa bbbb cccc dddd eeee ffff gggh",   # near-dup of 1
+        3: "completely different content here zz",
+        4: "aaaa",                                  # tiny -> size-bound cut
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1, 1, 99], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 2], pa.int64()),  # 99 missing -> drop
+    }))
+    base = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in verify_pairs_jaccard(pairs, docs).take_all()}
+    fil = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in verify_pairs_jaccard(pairs, docs,
+                                         min_jaccard=0.5).take_all()}
+    want = {k: v for k, v in base.items() if v >= 0.5}
+    assert fil.keys() >= want.keys()
+    for k2, v in want.items():
+        assert abs(fil[k2] - v) < 1e-12
+    assert all(v >= 0.0 for v in fil.values())
+    assert (1, 4) not in fil  # size bound cut it
+    assert (99, 2) not in base and (99, 2) not in fil
