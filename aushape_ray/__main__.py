@@ -69,6 +69,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="priority name for --format syslog")
     ap.add_argument("--resume", action="store_true",
                     help="per-shard manifests; rerun skips finished shards")
+    ap.add_argument("--follow", action="store_true",
+                    help="continuous tailing ingest (audispd live-mode "
+                         "analogue): poll INPUT_DIR and process newly "
+                         "appeared / changed rotations incrementally via "
+                         "the --resume manifest machinery; stop via "
+                         "--stop-file / --idle-timeout / --max-polls")
+    ap.add_argument("--poll-interval", type=float, default=1.0,
+                    help="--follow: seconds between input_dir polls")
+    ap.add_argument("--idle-timeout", type=float, default=None,
+                    help="--follow: stop after this many seconds without "
+                         "new work")
+    ap.add_argument("--max-polls", type=int, default=None,
+                    help="--follow: stop after this many poll cycles")
+    ap.add_argument("--stop-file", default=None,
+                    help="--follow: stop when this file appears")
     ap.add_argument("--contiguous", action="store_true",
                     help="use the shuffle-free per-shard fast path; REQUIRES "
                          "that no conversation spans input files (guarded by "
@@ -116,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
 
         res = curate_corpus(args.input_dir, args.out_dir,
                             resume=args.resume)
+        print(json.dumps(res))
+        ray.shutdown()
+        return 0
+
+    if args.follow:
+        from .state.manifest import run_follow
+
+        res = run_follow(args.input_dir, args.out_dir, cfg,
+                         input_format=args.input_format,
+                         poll_interval=args.poll_interval,
+                         idle_timeout=args.idle_timeout,
+                         max_polls=args.max_polls,
+                         stop_file=args.stop_file)
         print(json.dumps(res))
         ray.shutdown()
         return 0

@@ -208,13 +208,9 @@ def _check_rawlog_contiguity(files: "list[str]") -> None:
             prev_last, prev_f = last, f
 
 
-def run_resumable(input_dir: str, out_dir: str,
-                  cfg: PipelineConfig = PipelineConfig(),
-                  input_format: str = "parquet") -> dict:
-    """Process all input shards, skipping ones already completed with a
-    matching input fingerprint.  Returns {processed, skipped, sink_counts}.
-    input_format "rawlog" consumes raw auditd text rotations instead of
-    parquet (same per-shard manifest/rename idempotence)."""
+def _discover_checked(input_dir: str, input_format: str) -> list[str]:
+    """Shard discovery + the contiguity guard the per-shard assembly
+    relies on (shared by run_resumable and run_follow)."""
     if input_format == "rawlog":
         files = find_shards(input_dir, "*.log*")
         _check_rawlog_contiguity(files)
@@ -223,25 +219,39 @@ def run_resumable(input_dir: str, out_dir: str,
         from ..pipelines.events_pipeline import check_shard_contiguity
 
         check_shard_contiguity(files)  # per-shard assembly needs the guarantee
+    return files
+
+
+def _select_todo(files: list[str], out_dir: str,
+                 input_dir: "str | None") -> "tuple[list[str], int]":
+    """Split the current shard set into (todo, n_skipped) by manifest +
+    input fingerprint (a changed rotation invalidates exactly itself)."""
     done = completed_shards(out_dir)
     todo = []
     skipped = 0
     for f in files:
-        key = shard_key(f, input_dir)
-        m = done.get(key)
+        m = done.get(shard_key(f, input_dir))
         if m and m.get("input") == fingerprint(f):
             skipped += 1
         else:
             todo.append(f)
-    if todo:
-        ds = ray.data.from_items([{"path": f} for f in todo])
-        ds.map_batches(_ResumableShardWriter(out_dir, cfg, input_dir,
-                                             input_format),
-                       batch_size=1,
-                       batch_format="numpy").materialize()
-    # aggregate ONLY over manifests whose shard is in the current input set:
-    # stale manifests (input files removed/renamed since an earlier run)
-    # must not inflate the totals
+    return todo, skipped
+
+
+def _process_shards(todo: list[str], out_dir: str, cfg: PipelineConfig,
+                    input_dir: "str | None", input_format: str) -> None:
+    ds = ray.data.from_items([{"path": f} for f in todo])
+    ds.map_batches(_ResumableShardWriter(out_dir, cfg, input_dir,
+                                         input_format),
+                   batch_size=1,
+                   batch_format="numpy").materialize()
+
+
+def _aggregate(files: list[str], out_dir: str,
+               input_dir: "str | None") -> "tuple[dict[str, int], list[str]]":
+    """Per-sink totals over manifests of the CURRENT input set only: stale
+    manifests (input files removed/renamed since an earlier run) must not
+    inflate the totals."""
     current = {shard_key(f, input_dir) for f in files}
     total: dict[str, int] = {}
     orphans = []
@@ -251,7 +261,99 @@ def run_resumable(input_dir: str, out_dir: str,
             continue
         for sink, n in m["sink_counts"].items():
             total[sink] = total.get(sink, 0) + n
+    return total, orphans
+
+
+def run_resumable(input_dir: str, out_dir: str,
+                  cfg: PipelineConfig = PipelineConfig(),
+                  input_format: str = "parquet") -> dict:
+    """Process all input shards, skipping ones already completed with a
+    matching input fingerprint.  Returns {processed, skipped, sink_counts}.
+    input_format "rawlog" consumes raw auditd text rotations instead of
+    parquet (same per-shard manifest/rename idempotence)."""
+    files = _discover_checked(input_dir, input_format)
+    todo, skipped = _select_todo(files, out_dir, input_dir)
+    if todo:
+        _process_shards(todo, out_dir, cfg, input_dir, input_format)
+    total, orphans = _aggregate(files, out_dir, input_dir)
     out = {"processed": len(todo), "skipped": skipped, "sink_counts": total}
+    if orphans:
+        out["orphaned_shards"] = sorted(orphans)
+    return out
+
+
+def run_follow(input_dir: str, out_dir: str,
+               cfg: PipelineConfig = PipelineConfig(),
+               input_format: str = "parquet",
+               poll_interval: float = 1.0,
+               idle_timeout: "float | None" = None,
+               max_polls: "int | None" = None,
+               stop_file: "str | None" = None,
+               quiesce_sec: float = 0.0) -> dict:
+    """Continuous tailing ingest — the audispd live-plugin analogue
+    (reference README.md:167-208, where aushape consumes a live pipe and
+    emits one document per event as it completes).  Polls input_dir and
+    processes newly appeared or fingerprint-CHANGED rotations
+    incrementally through the same per-shard manifest machinery as
+    run_resumable: every completed shard is an atomic rename + manifest,
+    so a kill at ANY point loses nothing — the next follow (or a plain
+    --resume batch run) redoes exactly the unfinished shards, and
+    re-delivering a finished shard is impossible (idempotence drill in
+    tests/test_follow.py).
+
+    Stop conditions (any):
+      stop_file      — path whose appearance ends the loop (checked every
+                       cycle; the operational kill switch),
+      idle_timeout   — seconds without new work,
+      max_polls      — fixed number of cycles (tests/batch drains).
+    quiesce_sec > 0 skips files modified within the last quiesce_sec —
+    use when the producer writes rotations in place non-atomically.
+
+    Returns {cycles, processed, skipped_final, sink_counts, stopped_by}.
+    """
+    import time as _time
+
+    cycles = 0
+    processed = 0
+    last_work = _time.monotonic()
+    stopped_by = "max_polls"
+    files: list[str] = []
+    while True:
+        if stop_file and os.path.exists(stop_file):
+            stopped_by = "stop_file"
+            break
+        if max_polls is not None and cycles >= max_polls:
+            stopped_by = "max_polls"
+            break
+        cycles += 1
+        try:
+            files = _discover_checked(input_dir, input_format)
+        except FileNotFoundError:
+            files = []  # nothing yet — an empty dir is a normal live start
+        if quiesce_sec > 0:
+            now = _time.time()
+            files = [f for f in files
+                     if now - os.stat(f).st_mtime >= quiesce_sec]
+        todo, _skipped = _select_todo(files, out_dir, input_dir)
+        if todo:
+            _process_shards(todo, out_dir, cfg, input_dir, input_format)
+            processed += len(todo)
+            last_work = _time.monotonic()
+        elif idle_timeout is not None \
+                and _time.monotonic() - last_work >= idle_timeout:
+            stopped_by = "idle_timeout"
+            break
+        _time.sleep(poll_interval)
+    if not files:
+        try:
+            files = _discover_checked(input_dir, input_format)
+        except FileNotFoundError:
+            files = []
+    total, orphans = _aggregate(files, out_dir, input_dir)
+    _t, skipped_final = _select_todo(files, out_dir, input_dir)
+    out = {"cycles": cycles, "processed": processed,
+           "skipped_final": skipped_final, "sink_counts": total,
+           "stopped_by": stopped_by}
     if orphans:
         out["orphaned_shards"] = sorted(orphans)
     return out
