@@ -4560,6 +4560,27 @@ FROM pairs GROUP BY tool"""
 
 
 def q_t_similar_convs(sf_dir: str):
+    """NEAR-duplicate conversations via capped MinHash-LSH discovery —
+    see _t_similar_convs_impl.  Precision 100%, recall LSH-bound (sf0.1:
+    959 clusters vs the exact chain's 694).  Rows-only: brute-force
+    cluster parity is pytest-enforced on the fixture corpus."""
+    return _t_similar_convs_impl(sf_dir, discovery="lsh")
+
+
+def q_t_similar_convs_exact(sf_dir: str):
+    """NEAR-duplicate conversations with LOSSLESS discovery (verdict r4
+    item 7): the AllPairs/PPJoin prefix-filter join replaces capped LSH,
+    so no cluster can split from a missed band collision — cluster
+    recall is exact, pytest-enforced against a brute-force union-find on
+    a constructed corpus (tests/test_round5.py).  Kind chains are short
+    (tens of grams), which is exactly where the prefix filter is cheap;
+    on corpora whose distinct chains form huge near-identical families
+    the capped-LSH variant (t_similar_convs) remains the bounded-output
+    fallback.  Rows-only."""
+    return _t_similar_convs_impl(sf_dir, discovery="exact")
+
+
+def _t_similar_convs_impl(sf_dir: str, discovery: str):
     """NEAR-duplicate conversations: byte-5-gram Jaccard >= 0.8 between
     ordered kind chains (sessions that repeat a workflow with small
     deviations — the fuzzy complement of t_conv_dups' exact match).
@@ -4665,13 +4686,19 @@ def q_t_similar_convs(sf_dir: str):
     # clusters can split where no band collides (sf0.1: 959 clusters vs
     # the exact chain's 694 — the standard cap/star tradeoff, same as
     # doc_dedup_near's).
-    from ..functions.dedup import (cluster_pairs, minhash_candidates,
-                                   verify_pairs_jaccard)
+    from ..functions.dedup import (cluster_pairs, jaccard_pairs_prefix,
+                                   minhash_candidates, verify_pairs_jaccard)
 
     chain_docs = docs.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
-    cands = minhash_candidates(chain_docs, n_parts=N_PARTS, cap=64)
-    verified = verify_pairs_jaccard(cands, chain_docs, min_jaccard=0.8)
+    if discovery == "exact":
+        # lossless AllPairs/PPJoin prefix join: result == uncapped
+        # brute force, no LSH recall loss (t_similar_convs_exact)
+        verified = jaccard_pairs_prefix(chain_docs, threshold=0.8,
+                                        n_parts=N_PARTS)
+    else:
+        cands = minhash_candidates(chain_docs, n_parts=N_PARTS, cap=64)
+        verified = verify_pairs_jaccard(cands, chain_docs, min_jaccard=0.8)
     pairs = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("jaccard"), 0.8))
         .select(["doc_a", "doc_b"]), batch_format="pyarrow")
@@ -5419,15 +5446,16 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 # registry
 # --------------------------------------------------------------------------
 
-def build_registry():
+def build_registry(transcript_sf: str = SF001):
     """(queries, oracle_sql) for __ray_entry__.
 
-    Transcript oracle SQL embeds the sf0.01 corpus path (the driver's
-    correctness scale); it is generated on demand here so DuckDB always
-    finds the file.
-    """
-    ensure_transcripts(SF001)
-    t01 = transcripts_glob(SF001)
+    Transcript oracle SQL embeds the transcript corpus path for
+    `transcript_sf` — sf0.01 by default (the driver's correctness scale);
+    scripts/check_queries.py --sf-dir passes the gate's scale so the t_*
+    oracles read the SAME corpus the Ray queries run over.  Generated on
+    demand so DuckDB always finds the file."""
+    ensure_transcripts(transcript_sf)
+    t01 = transcripts_glob(transcript_sf)
     queries = {
         "t_sink_counts": q_t_sink_counts,
         "t_event_envelope": q_t_event_envelope,
@@ -5545,6 +5573,7 @@ def build_registry():
         "t_tool_error_rate": q_t_tool_error_rate,
         "emb_outliers": q_emb_outliers,
         "t_similar_convs": q_t_similar_convs,
+        "t_similar_convs_exact": q_t_similar_convs_exact,
         "doc_prepare_shards": q_doc_prepare_shards,
         "doc_dsir_select": q_doc_dsir_select,
         "emb_kcenter_select": q_emb_kcenter_select,
@@ -5569,31 +5598,30 @@ def build_registry():
 
 
 # Driver-window rotation order (see build note above).  Positions 0-8:
-# pinned §2-critical; 9-39: the 31 previously-unwitnessed oracle-backed
-# queries; 40-49: first fill block of the previously-covered set.  NEXT
-# ROUND: move the remaining previously-covered queries (everything not
-# listed here) into positions 9+ so r04 ∪ r05 covers all 81.
+# pinned §2-critical; 9-39 (round 5): the 31 oracle-backed queries NOT in
+# the round-4 window, so r04 ∪ r05 = all 81 witnessed within two rounds
+# (every oracle-backed query stays at most 2 rounds stale); 40-49: fill
+# from the r4 set, oldest-witness first.  NEXT ROUND: swap blocks again.
 _WINDOW_ROTATION = [
     # pinned
     "t_sink_counts", "t_event_envelope", "t_turn_kind_counts",
     "t_uid_interp", "t_syscall_interp", "t_proctitle_decode",
     "t_path_names", "t_node_counts", "t_execve_argv",
-    # round-4 focus: the 31 tail queries without a driver row in r01-r03
+    # round-5 focus: the 31 oracle-backed queries outside the r4 window
+    "events_tumbling", "events_type_distinct", "events_props_stats",
+    "t_norm", "lineitem_top_revenue", "events_sessionize",
+    "events_sliding", "events_asof_prev_error", "events_range_join",
+    "events_funnel", "events_hot_users", "events_latest_by_user",
+    "t_kind_bigrams", "t_field_histogram", "customers_no_orders",
+    "events_quantiles", "doc_dedup_keep_first", "doc_token_stats",
+    "doc_char_stats", "doc_quality", "doc_lang_id", "doc_sample",
+    "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
+    "events_quantiles_exact", "doc_idf", "doc_curation",
+    "events_sample_stratified", "events_window_anomaly", "ann_topk",
+    # fill block from the r4 set (rotates out next round)
     "events_heavy_hitters", "doc_decontaminate_bloom", "events_late_data",
     "doc_dedup_online", "doc_mixture_sample", "doc_shuffle_shard",
     "doc_pack", "doc_bpe_pairs", "doc_span_dedup", "doc_tfidf_pairs",
-    "doc_chunk_plan", "doc_chunk_text", "doc_len_outliers",
-    "doc_global_rank", "t_conv_gaps", "t_role_runs", "t_templates",
-    "t_tool_latency", "emb_knn_graph", "emb_knn_classify", "t_sessionize",
-    "t_template_drift", "t_grok_extract", "t_grok_route",
-    "events_quantiles_by_type", "doc_dataset_card", "events_retention",
-    "doc_cross_dedup", "doc_emb_consistency", "t_conv_dups",
-    "t_tool_error_rate",
-    # fill block (rotates out next round)
-    "q1_pricing", "orders_priority_revenue", "events_daily_top_users",
-    "mktsegment_orders", "doc_dedup_exact", "doc_dedup_near",
-    "doc_minhash_pairs", "doc_dup_clusters", "doc_contamination",
-    "emb_sim_pairs",
 ]
 
 

@@ -52,20 +52,27 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, "/root/repo")
-    import __ray_entry__ as entrymod
 
-    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF_DIR}/{t}.parquet')")
-
+    global SF_DIR
     argv = sys.argv[1:]
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if "--sf-dir" in argv:  # e.g. the committed sf0.1 full-roster gate
+        i = argv.index("--sf-dir")
+        SF_DIR = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    # the t_* oracle SQL embeds the transcript corpus path — build the
+    # registry at the gate's scale so oracle and query read the same data
+    from aushape_ray.pipelines.queries import build_registry
+
+    qs, sqls = build_registry(transcript_sf=SF_DIR)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
     names = argv or sorted(qs)
     results: "dict[str, dict]" = {}
 

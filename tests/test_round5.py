@@ -320,3 +320,101 @@ def test_verify_prefilter_is_lossless(ray_session):
     assert all(v >= 0.0 for v in fil.values())
     assert (1, 4) not in fil  # size bound cut it
     assert (99, 2) not in base and (99, 2) not in fil
+
+
+# ------------------------------------------------- t_similar_convs_exact
+
+def test_similar_convs_exact_matches_bruteforce(ray_session, tmp_path):
+    """Lossless prefix-join discovery (verdict r4 item 7): clusters on a
+    CONSTRUCTED corpus of near-duplicate kind chains must equal the
+    brute-force union-find exactly — no LSH recall loss possible."""
+    from aushape_ray.fixtures import transcripts_path, write_shards
+    from aushape_ray.functions.dedup import _shingles
+    from aushape_ray.pipelines.queries import q_t_similar_convs_exact
+
+    # 6 families x 5 distinct variants, plus singles.  A variant mutates
+    # the TAIL of a 40-kind chain so byte-5-gram Jaccard stays >= 0.8
+    # within a family and ~0 across families.
+    kinds = ["SYSCALL", "PATH", "MSG", "AVC", "LOGIN", "CWD", "EXECVE"]
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+            "tool": [], "ts": []}
+    chains: dict[str, str] = {}
+    cid_n = 0
+    for fam in range(6):
+        base = [kinds[(fam * 3 + i * i) % len(kinds)] for i in range(40)]
+        for var in range(5):
+            chain = list(base)
+            chain[39 - var] = kinds[(fam + var + 1) % len(kinds)]
+            # two conversations per variant (identical chains collapse)
+            for dup in range(2):
+                cid = f"c{cid_n:04d}"
+                cid_n += 1
+                chains.setdefault(",".join(chain), cid)
+                for t, k in enumerate(chain):
+                    rows["conv_id"].append(cid)
+                    rows["turn_idx"].append(t)
+                    rows["role"].append("user")
+                    rows["text"].append(f"node=h type={k} i={t}")
+                    rows["tool"].append("")
+                    rows["ts"].append(cid_n * 100 + t)
+    for s in range(8):  # unrelated singles
+        cid = f"s{s:04d}"
+        for t in range(10):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(t)
+            rows["role"].append("user")
+            rows["text"].append(f"node=h type=UNIQ{s}K{t} i={t}")
+            rows["tool"].append("")
+            rows["ts"].append(90_000 + s * 100 + t)
+    table = pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "role": pa.array(rows["role"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+        "tool": pa.array(rows["tool"], pa.string()),
+        "ts": pa.array(rows["ts"], pa.timestamp("us")),
+    })
+    sf_dir = str(tmp_path / "sfx")
+    write_shards(table, transcripts_path(sf_dir), 4)
+
+    # brute force over distinct chains (same reduction as the query)
+    import collections
+
+    per_conv: dict[str, list] = collections.defaultdict(list)
+    for c, t, x in zip(rows["conv_id"], rows["turn_idx"], rows["text"]):
+        per_conv[c].append((t, x.split("type=")[1].split(" ")[0]))
+    rep: dict[str, str] = {}
+    members: dict[str, int] = collections.defaultdict(int)
+    for c, tl in per_conv.items():
+        seq = ",".join(k for _t, k in sorted(tl))
+        members[seq] += 1
+        if seq not in rep or c < rep[seq]:
+            rep[seq] = c
+    sh = {c: set(_shingles(s).tolist()) for s, c in rep.items()}
+    n_mem = {rep[s]: n for s, n in members.items()}
+    convs = sorted(sh)
+    parent = {c: c for c in convs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(convs):
+        for b in convs[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list] = collections.defaultdict(list)
+    for c in convs:
+        comps[find(c)].append(c)
+    want = {(min(v), len(v), sum(n_mem[c] for c in v))
+            for v in comps.values() if len(v) > 1}
+    assert len(want) == 6  # one cluster per family
+
+    got_df = q_t_similar_convs_exact(sf_dir).to_pandas()
+    got = {(r.rep_conv, r.n_chains, r.n_convs) for r in got_df.itertuples()}
+    assert got == want
