@@ -272,6 +272,10 @@ def shared_term_pairs(docs: "ray.data.Dataset", min_shared: int = 10,
         b = g.column("doc_b").to_numpy(zero_copy_only=False)
         real = a >= 0  # drop the schema-stabilizing sentinel rows
         a, b = a[real], b[real]
+        if len(a) == 0:  # sentinel-only partition (fully-pruned corpus)
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
         order = np.lexsort((b, a))
         a2, b2 = a[order], b[order]
         bounds = np.flatnonzero(np.concatenate(
@@ -438,7 +442,7 @@ def tfidf_pairs(docs: "ray.data.Dataset", threshold: float,
 
     j1 = hash_join(dots, norms, "doc_a", "nd", how="inner")
     j2 = hash_join(j1, norms_b, "doc_b", "nd_b", how="inner")
-    return j2.map_batches(
+    out = j2.map_batches(
         lambda t: t.filter(pc.and_(
             pc.greater(t.column("dot"), 0),
             pc.greater_equal(
@@ -447,6 +451,15 @@ def tfidf_pairs(docs: "ray.data.Dataset", threshold: float,
                             pc.multiply(t.column("n2"), t.column("n2_b")))),
         )).select(["doc_a", "doc_b"]),
         batch_format="pyarrow")
+    # On a fully-pruned corpus (every term's df > max_df) the join chain
+    # emits only schema-less empty bundles and the result would surface
+    # as a no-column frame; one 0-row schema-carrying block keeps the
+    # (doc_a, doc_b) contract discoverable when the answer is empty.
+    import ray.data
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    return out.union(ray.data.from_arrow(empty))
 
 
 def repetition_stats(batch: pa.Table) -> pa.Table:

@@ -28,7 +28,19 @@ def to_pandas(res):
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if len(df.columns) == 0:
+            # Ray's Dataset.to_pandas() drops the schema when every block
+            # is empty (a legitimately-empty result, e.g. a DF-capped pair
+            # join on a corpus where every term exceeds the cap), even
+            # though ds.schema() and the blocks themselves carry it.
+            # Rebuild the empty frame from the dataset schema so the
+            # column check compares names, not this conversion artifact.
+            sch = res.schema(fetch_if_missing=True)
+            if sch is not None:
+                df = pa.schema(
+                    zip(sch.names, sch.types)).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res

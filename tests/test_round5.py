@@ -418,3 +418,49 @@ def test_similar_convs_exact_matches_bruteforce(ray_session, tmp_path):
     got_df = q_t_similar_convs_exact(sf_dir).to_pandas()
     got = {(r.rep_conv, r.n_chains, r.n_convs) for r in got_df.itertuples()}
     assert got == want
+
+
+# --- schema-stable empty pair joins (sf0.1 gate regression) -------------
+# At sf>=0.1 every term of the synthetic vocabulary exceeds the DF caps of
+# doc_shared_term_pairs / doc_tfidf_pairs, so both results are
+# intentionally empty — and must still surface their (doc_a, doc_b[, n])
+# column contract instead of a schema-less no-column frame.
+
+def _fully_pruned_docs():
+    import ray.data
+
+    return ray.data.from_items(
+        [{"doc_id": i, "text": "aaa bbb ccc"} for i in range(20)])
+
+
+def test_shared_term_pairs_empty_keeps_schema(ray_session):
+    from aushape_ray.functions.textops import shared_term_pairs
+
+    ds = shared_term_pairs(_fully_pruned_docs(), min_shared=2, max_df=3)
+    sch = ds.schema(fetch_if_missing=True)
+    assert sch is not None
+    assert list(sch.names) == ["doc_a", "doc_b", "n_shared"]
+    assert ds.count() == 0
+
+
+def test_tfidf_pairs_empty_keeps_schema(ray_session):
+    from aushape_ray.functions.textops import tfidf_pairs
+
+    ds = tfidf_pairs(_fully_pruned_docs(), 0.9, max_df=3)
+    sch = ds.schema(fetch_if_missing=True)
+    assert sch is not None
+    assert list(sch.names) == ["doc_a", "doc_b"]
+    assert ds.count() == 0
+
+
+def test_shared_term_pairs_nonempty_unaffected(ray_session):
+    import ray.data
+
+    from aushape_ray.functions.textops import shared_term_pairs
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "alpha beta gamma delta"} for i in range(3)]
+        + [{"doc_id": 10 + i, "text": "zeta eta theta"} for i in range(2)])
+    df = shared_term_pairs(docs, min_shared=3, max_df=10).to_pandas()
+    got = {(r.doc_a, r.doc_b, r.n_shared) for r in df.itertuples()}
+    assert got == {(0, 1, 4), (0, 2, 4), (1, 2, 4), (10, 11, 3)}
