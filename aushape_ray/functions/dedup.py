@@ -1187,9 +1187,8 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
         o_a = [np.array([], np.int64)]
         o_b = [np.array([], np.int64)]
         live = counts >= 2
-        for s, c in zip(bounds[live].tolist(), counts[live].tolist()):
-            d, sz, po = d2[s:s + c], s2[s:s + c], p2[s:s + c]
-            iu, ju = np.triu_indices(c, k=1)
+
+        def filt_append(d, sz, po, iu, ju):
             sa, sb = sz[iu], sz[ju]
             # LENGTH filter: J <= min/max, so J >= t needs
             # min(|A|,|B|) >= t*max(|A|,|B|)
@@ -1206,6 +1205,32 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
             keep &= ub >= alpha
             o_a.append(d[iu][keep])
             o_b.append(d[ju][keep])
+
+        # Tiled emission: a gram run of c docs has C(c,2) raw pairs, and
+        # one triu_indices over a dense run (c ~ tens of thousands on
+        # near-identical chain families) would allocate multi-GB index
+        # arrays BEFORE the filters see them — measured as 83% of the
+        # whole prefix-join wall at sf0.1.  Emitting the triangle in
+        # row-blocks of <= TILE_ELEMS pair slots keeps every allocation
+        # bounded while producing the identical filtered pair set.
+        TILE_ELEMS = 4_000_000
+        for s, c in zip(bounds[live].tolist(), counts[live].tolist()):
+            d, sz, po = d2[s:s + c], s2[s:s + c], p2[s:s + c]
+            if c * (c - 1) // 2 <= TILE_ELEMS:
+                iu, ju = np.triu_indices(c, k=1)
+                filt_append(d, sz, po, iu, ju)
+                continue
+            rows = max(1, TILE_ELEMS // c)
+            for i0 in range(0, c - 1, rows):
+                ii = np.arange(i0, min(i0 + rows, c - 1), dtype=np.int64)
+                lens = c - 1 - ii
+                tot = int(lens.sum())
+                iu = np.repeat(ii, lens)
+                starts = np.concatenate(
+                    [[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+                ju = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(starts, lens) + iu + 1)
+                filt_append(d, sz, po, iu, ju)
         a = np.concatenate(o_a)
         b = np.concatenate(o_b)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
