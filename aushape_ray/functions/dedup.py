@@ -1073,7 +1073,8 @@ def jaccard_pairs_exact(ds: "ray.data.Dataset", threshold: float = 0.5,
 
 
 def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
-                         n_parts: int = 32) -> "ray.data.Dataset":
+                         n_parts: int = 32,
+                         tile_elems: int = 4_000_000) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup discovery at corpus scale via
     PREFIX FILTERING (the AllPairs/PPJoin bound, Bayardo et al. WWW'07 /
     Xiao et al. WWW'08): if J(A,B) >= t then |A ∩ B| >= ceil(t·|A|), so
@@ -1211,16 +1212,17 @@ def jaccard_pairs_prefix(ds: "ray.data.Dataset", threshold: float = 0.5,
         # near-identical chain families) would allocate multi-GB index
         # arrays BEFORE the filters see them — measured as 83% of the
         # whole prefix-join wall at sf0.1.  Emitting the triangle in
-        # row-blocks of <= TILE_ELEMS pair slots keeps every allocation
-        # bounded while producing the identical filtered pair set.
-        TILE_ELEMS = 4_000_000
+        # row-blocks of <= tile_elems pair slots keeps every allocation
+        # bounded while producing the identical filtered pair set
+        # (tile_elems is a parameter so tests can parity-check the tiled
+        # path against whole-triangle emission on small corpora).
         for s, c in zip(bounds[live].tolist(), counts[live].tolist()):
             d, sz, po = d2[s:s + c], s2[s:s + c], p2[s:s + c]
-            if c * (c - 1) // 2 <= TILE_ELEMS:
+            if c * (c - 1) // 2 <= tile_elems:
                 iu, ju = np.triu_indices(c, k=1)
                 filt_append(d, sz, po, iu, ju)
                 continue
-            rows = max(1, TILE_ELEMS // c)
+            rows = max(1, tile_elems // c)
             for i0 in range(0, c - 1, rows):
                 ii = np.arange(i0, min(i0 + rows, c - 1), dtype=np.int64)
                 lens = c - 1 - ii

@@ -464,3 +464,37 @@ def test_shared_term_pairs_nonempty_unaffected(ray_session):
     df = shared_term_pairs(docs, min_shared=3, max_df=10).to_pandas()
     got = {(r.doc_a, r.doc_b, r.n_shared) for r in df.itertuples()}
     assert got == {(0, 1, 4), (0, 2, 4), (1, 2, 4), (10, 11, 3)}
+
+
+def test_jaccard_prefix_tiled_emission_parity(ray_session):
+    """The tiled emit_pairs path (tile_elems small enough that every gram
+    run is split into many row-blocks, including rows=1 blocks) must
+    produce the identical verified pair set as whole-triangle emission."""
+    import random
+
+    import ray.data
+
+    from aushape_ray.functions.dedup import jaccard_pairs_prefix
+
+    rng = random.Random(7)
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten"]
+    docs = []
+    for i in range(40):
+        words = base[i % 2].split()
+        if rng.random() < 0.6:  # small deviation -> near-dup families
+            words[rng.randrange(len(words))] = f"mut{rng.randrange(5)}"
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    ds = ray.data.from_items(docs)
+
+    def pairset(tile_elems):
+        df = jaccard_pairs_prefix(ds, threshold=0.5, n_parts=4,
+                                  tile_elems=tile_elems).to_pandas()
+        return {(r.doc_a, r.doc_b, round(r.jaccard, 12))
+                for r in df.itertuples()}
+
+    whole = pairset(10**9)   # every run fits one triangle
+    tiny = pairset(1)        # every run forced through 1-row tiles
+    mid = pairset(64)
+    assert whole == tiny == mid
+    assert len(whole) > 0
