@@ -25,8 +25,9 @@ aushape.schema.json:5-13).
 
 from __future__ import annotations
 
-import json
 from typing import Iterable
+
+from .jsonenc import encode_doc_bytes
 
 from .grammar import (
     ARG_LEN_RE,
@@ -415,7 +416,7 @@ class EventAssembler:
 
 
 def doc_size(doc: dict) -> int:
-    return len(json.dumps(doc, ensure_ascii=False, separators=(",", ":")).encode())
+    return len(encode_doc_bytes(doc))
 
 
 def dump_trim_tree(doc: dict, fmt=None) -> str:

@@ -11,13 +11,13 @@ turn ordering (the north rule).
 
 from __future__ import annotations
 
-import json
 from collections import defaultdict
 
 import pyarrow as pa
 
 from .collectors import EventAssembler, route_sink, trim_doc
 from .grammar import PSEUDO_FIELDS, TOKEN_RE, interpret_field, strip_quotes
+from .jsonenc import encode_doc
 
 
 _DAY_PREFIX_CACHE: dict[int, str] = {}
@@ -95,7 +95,7 @@ def assemble_events(table: pa.Table, with_text: bool = True,
             continue
         doc = trim_doc(doc, max_event_size)
         sink = route_sink(asm.error, any_tool)
-        doc_str = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+        doc_str = encode_doc(doc)
         out.append({
             "conv_id": cid,
             "ts_first": ts_first,

@@ -17,7 +17,6 @@ column (error isolation, lib/conv_buf.c:627-648).
 
 from __future__ import annotations
 
-import json
 import zlib
 
 import numpy as np
@@ -28,10 +27,9 @@ from ..oracle import format_time_us
 
 SALT_COLUMN = "salt"  # int32; -1 = unsalted row
 
-# one reusable C encoder (json.dumps with kwargs builds a JSONEncoder per
-# call); output bytes identical to json.dumps(ensure_ascii=False,
-# separators=(",", ":"))
-_ENCODE = json.JSONEncoder(ensure_ascii=False, separators=(",", ":")).encode
+# shared compact encoder (orjson fast path, stdlib fallback — byte-
+# identical contract, see jsonenc.py)
+from ..jsonenc import encode_doc_bytes
 
 EVENT_SCHEMA = pa.schema([
     pa.field("conv_id", pa.string()),
@@ -152,11 +150,11 @@ def finish_event(rows: dict, asm: EventAssembler, cid: str, ts_first: int,
     rows["error"].append(asm.error)
     rows["text"].append(asm.texts if with_text else [])
     rows["trimmed"].append(doc.get("trimmed", []))
-    doc_str = _ENCODE(doc)
-    rows["doc"].append(doc_str)
+    doc_bytes = encode_doc_bytes(doc)
+    rows["doc"].append(doc_bytes.decode("utf-8"))
     # byte length of the serialized doc (== doc_size(doc), without a
     # second serialization pass)
-    rows["doc_bytes"].append(len(doc_str.encode("utf-8")))
+    rows["doc_bytes"].append(len(doc_bytes))
 
 
 class AssemblePartition:

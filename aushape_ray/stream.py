@@ -20,10 +20,10 @@ call-order violations raise (the reference's AUSHAPE_RC_INVALID_STATE).
 
 from __future__ import annotations
 
-import json
 
 from .collectors import EventAssembler, route_sink, trim_doc
 from .config import PipelineConfig
+from .jsonenc import encode_doc
 from .oracle import format_time_us, parse_text
 
 
@@ -161,7 +161,7 @@ class StreamConverter:
         return ev
 
     def _event_row(self, asm: EventAssembler, cid: str, doc: dict) -> dict:
-        doc_str = json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+        doc_str = encode_doc(doc)
         return {
             "conv_id": cid,
             "ts_first": self._ts_first,

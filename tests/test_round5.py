@@ -498,3 +498,31 @@ def test_jaccard_prefix_tiled_emission_parity(ray_session):
     mid = pairset(64)
     assert whole == tiny == mid
     assert len(whole) > 0
+
+
+# --- jsonenc: orjson fast path must be byte-identical to stdlib ---------
+
+def test_jsonenc_backend_parity_corpus(ray_session, tiny_transcripts):
+    """encode_doc/_bytes (orjson when present) must be byte-identical to
+    json.dumps(ensure_ascii=False, separators=(",", ":")) over real event
+    docs and adversarial values; out-of-contract values (ints beyond
+    64-bit) take the stdlib fallback, so output never diverges."""
+    import json
+
+    from aushape_ray.jsonenc import encode_doc, encode_doc_bytes
+    from aushape_ray.oracle import assemble_events
+
+    std = json.JSONEncoder(ensure_ascii=False, separators=(",", ":")).encode
+    docs = [json.loads(e["doc"]) for e in assemble_events(tiny_transcripts)]
+    cases = docs + [
+        {"q": 'quote"backslash\\'}, {"c": "ctrl\x01\x1f\x7f"},
+        {"nl": "a\nb\tc\rd\x08e\x0cf"}, {"u": "héllo — 日本語 🚀"},
+        {"i": 2**63 - 1}, {"neg": -2**63}, {"big": 2**80},  # fallback path
+        {"nested": {"k": ["a", 1, None, True, False, {"z": ""}]}},
+        {}, {"e": []}, {"s": ""},
+    ]
+    assert len(docs) > 0
+    for c in cases:
+        want = std(c)
+        assert encode_doc(c) == want
+        assert encode_doc_bytes(c) == want.encode("utf-8")
