@@ -526,3 +526,115 @@ def test_jsonenc_backend_parity_corpus(ray_session, tiny_transcripts):
         want = std(c)
         assert encode_doc(c) == want
         assert encode_doc_bytes(c) == want.encode("utf-8")
+
+
+# --- small-universe bitset verify + 128-bit mask emit filter -------------
+
+def _chain_corpus(n_docs=60, seed=3):
+    """Kind-chain-like corpus: comma-joined tokens from a 4-symbol
+    alphabet -> tiny 5-byte-gram vocabulary (the shape that trips the
+    bitset kernel), with planted near-dup families."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["dialog", "tool", "error", "meta"]
+    docs = []
+    base = [",".join(rng.choice(kinds) for _ in range(rng.randint(8, 20)))
+            for _ in range(n_docs // 3)]
+    for i in range(n_docs):
+        if i < len(base):
+            docs.append(base[i])
+        else:  # mutate an existing chain: near-dup family member
+            toks = base[i % len(base)].split(",")
+            toks[rng.randrange(len(toks))] = rng.choice(kinds)
+            docs.append(",".join(toks))
+    return [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+
+
+def test_verify_bitset_kernel_parity(ray_session):
+    """The small-universe bitset kernel (popcount over per-doc bitsets)
+    must be value-identical to the general searchsorted path on the SAME
+    all-pairs candidate list — both against the scalar jaccard()
+    reference.  The all-pairs list guarantees len(todo) >= 4*len(docs)
+    per bucket, so the vocab probe actually fires."""
+    import ray.data
+
+    from aushape_ray.functions.dedup import jaccard, verify_pairs_jaccard
+
+    rows = _chain_corpus()
+    docs = ray.data.from_items(rows)
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    n = len(rows)
+    prs = [{"doc_a": a, "doc_b": b} for a in range(n)
+           for b in range(a + 1, n)]
+    pairs = ray.data.from_items(prs).repartition(3)
+
+    def runs(cap):
+        out = verify_pairs_jaccard(pairs, docs, n_buckets=2,
+                                   bitset_max_vocab=cap).take_all()
+        return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+
+    fast = runs(4096)   # bitset path (chain vocab is tiny)
+    slow = runs(0)      # forced general path
+    assert set(fast) == set(slow) == {(p["doc_a"], p["doc_b"])
+                                      for p in prs}
+    for k, j in fast.items():
+        assert abs(j - slow[k]) < 1e-12, (k, j, slow[k])
+        want = jaccard(texts[k[0]], texts[k[1]])
+        assert abs(j - want) < 1e-12, (k, j, want)
+
+
+def test_prefix_join_mask_filter_lossless_on_chains(ray_session):
+    """jaccard_pairs_prefix with the 128-bit mask emit filter must still
+    equal the uncapped brute force on a low-entropy chain corpus — the
+    shape where the mask actually prunes (large-vocab text corpora are
+    covered by test_jaccard_pairs_prefix_matches_exact)."""
+    import ray.data
+
+    from aushape_ray.functions.dedup import (jaccard_pairs_exact,
+                                             jaccard_pairs_prefix)
+
+    docs = ray.data.from_items(_chain_corpus(n_docs=80, seed=11))
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs_exact(
+                 docs, threshold=0.6, n_parts=4).take_all()}
+    pref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_prefix(
+                docs, threshold=0.6, n_parts=4).take_all()}
+    assert len(exact) >= 5  # mutated families survive t=0.6
+    assert set(pref) == set(exact)
+    for k, j in pref.items():
+        assert abs(j - exact[k]) < 1e-12, (k, j, exact[k])
+
+
+def test_prefix_join_exact_threshold_boundary(ray_session):
+    """Pairs whose Jaccard is EXACTLY the threshold must be returned.
+    IEEE chains like ceil(0.8/1.8*63) land one above the true integer
+    bound, so un-guarded filters (prefix length, length ratio, alpha,
+    min_jaccard) silently drop exact-boundary pairs — found on the sf0.1
+    chain corpus (3,801 dropped by alpha; 10,506 recovered overall once
+    every filter was _eps_down-guarded).  This pins two real offenders
+    from that corpus plus the containment shape min/max == t."""
+    import ray.data
+
+    from aushape_ray.functions.dedup import (jaccard, jaccard_pairs_prefix,
+                                             verify_pairs_jaccard)
+
+    ta = "CONFIG,MSG,OBJ_PID,MSG,MSG,MSG,SUMMARY,CWD"
+    tb = "CONFIG,MSG,MSG,MSG,MSG,SUMMARY,CWD,OBJ_PID,MSG,MSG"
+    t = jaccard(ta, tb)
+    assert t == 0.8  # exact-boundary reproducer (sizes 31/32, inter 28)
+
+    rows = [{"doc_id": 0, "text": ta}, {"doc_id": 1, "text": tb},
+            {"doc_id": 2, "text": "AVC,SYSCALL,EOE"},
+            {"doc_id": 3, "text": "PATH,PATH,PATH,CWD"}]
+    docs = ray.data.from_items(rows)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in jaccard_pairs_prefix(docs, threshold=t,
+                                         n_parts=2).take_all()}
+    assert (0, 1) in got
+
+    pairs = ray.data.from_items([{"doc_a": 0, "doc_b": 1}])
+    out = verify_pairs_jaccard(pairs, docs, n_buckets=2,
+                               min_jaccard=t).take_all()
+    assert len(out) == 1 and out[0]["jaccard"] == t
