@@ -4562,7 +4562,7 @@ FROM pairs GROUP BY tool"""
 def q_t_similar_convs(sf_dir: str):
     """NEAR-duplicate conversations via capped MinHash-LSH discovery —
     see _t_similar_convs_impl.  Precision 100%, recall LSH-bound (sf0.1:
-    959 clusters vs the exact chain's 694).  Rows-only: brute-force
+    959 clusters vs the exact chain's 683).  Rows-only: brute-force
     cluster parity is pytest-enforced on the fixture corpus."""
     return _t_similar_convs_impl(sf_dir, discovery="lsh")
 
@@ -4598,7 +4598,7 @@ def _t_similar_convs_impl(sf_dir: str, discovery: str):
     MinHash-LSH (functions/dedup.minhash_candidates, cap=64) with exact
     Jaccard verification — precision 100%, recall LSH-bound, so clusters
     can SPLIT where no band collides (sf0.1: 959 clusters vs the exact
-    chain's 694; see the inline note below for why the exact AllPairs
+    chain's 683; see the inline note below for why the exact AllPairs
     prefix join is the wrong tool on dense chain families).
     Rows-only: brute-force cluster parity is pytest-enforced."""
     from ..functions.joins import bucket_exchange, hash_join
@@ -4679,12 +4679,12 @@ def _t_similar_convs_impl(sf_dir: str, discovery: str):
     # discovery via capped MinHash-LSH, not exact AllPairs: distinct
     # chains form DENSE similarity families on log corpora (a family of
     # m near-identical chains has m^2/2 qualifying pairs — measured
-    # 2.1M pairs / ~3 min at sf0.1 with the exact prefix join), and the
+    # 2.13M pairs at sf0.1 with the exact prefix join), and the
     # bucket cap's star fallback emits only hub-spoke pairs per bucket,
     # which is all connected components need WITHIN a bucket.
     # Verification is exact (precision 100%); recall is LSH-bound, so
     # clusters can split where no band collides (sf0.1: 959 clusters vs
-    # the exact chain's 694 — the standard cap/star tradeoff, same as
+    # the exact chain's 683 — the standard cap/star tradeoff, same as
     # doc_dedup_near's).
     from ..functions.dedup import (cluster_pairs, jaccard_pairs_prefix,
                                    minhash_candidates, verify_pairs_jaccard)
