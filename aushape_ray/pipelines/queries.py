@@ -1176,6 +1176,81 @@ def sql_events_type_distinct() -> str:
     return "SELECT DISTINCT event_type FROM events"
 
 
+def q_events_window_distinct(sf_dir: str):
+    """EXACT distinct users per 1h tumbling window (the streaming-
+    analytics complement of events_tumbling's counts and
+    hll_distinct_users' sketch).  Scale shape: per-batch (window, user)
+    dedup bounds what leaves each map task, then ONE coarse exchange by
+    hash(window, user) — each surviving pair lands in exactly one bucket,
+    so a bucket-local unique + per-window count is a correct partial —
+    and a tiny (bucket, window, n) groupby finishes.  No row-level
+    shuffle of the events table, no driver materialization."""
+    from ..functions.joins import bucket_exchange, hash_part
+
+    ds = _read_table(sf_dir, "events", ["ts", "user_id"])
+    WIDTH = 3_600_000_000
+    N_PARTS = 16
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        win = (ts // WIDTH) * WIDTH
+        order = np.lexsort((uid, win))
+        w2, u2 = win[order], uid[order]
+        first = (np.concatenate([[True], (w2[1:] != w2[:-1])
+                                 | (u2[1:] != u2[:-1])])
+                 if len(w2) else np.array([], bool))
+        w2, u2 = w2[first], u2[first]
+        return pa.table({
+            "part": pa.array(hash_part(w2 ^ (u2 * np.int64(0x9E3779B9)),
+                                       N_PARTS), pa.int32()),
+            "window_us": pa.array(w2, pa.int64()),
+            "user_id": pa.array(u2, pa.int64()),
+        })
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"window_us": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        w = g.column("window_us").to_numpy(zero_copy_only=False)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, w))
+        w2, u2 = w[order], u[order]
+        first = np.concatenate([[True], (w2[1:] != w2[:-1])
+                                | (u2[1:] != u2[:-1])])
+        w2 = w2[first]
+        bounds = np.flatnonzero(np.concatenate([[True], w2[1:] != w2[:-1]]))
+        n = np.diff(np.append(bounds, len(w2)))
+        return pa.table({"window_us": pa.array(w2[bounds], pa.int64()),
+                         "n_users": pa.array(n, pa.int64())})
+
+    count_bucket.__name__ = "window_distinct_bucket"
+    partial = bucket_exchange(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        N_PARTS, count_bucket, bucket_col="part")
+    out = partial.groupby("window_us").aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_us").cast(pa.int64())
+            .cast(pa.timestamp("us")),
+            "n_users": batch.column("n_users").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_window_distinct() -> str:
+    return """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+         AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1"""
+
+
 def q_lineitem_top_revenue(sf_dir: str):
     """Global sort + limit: top-10 line items by revenue cents."""
     ds = _read_table(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
@@ -1714,6 +1789,48 @@ def sql_doc_sample() -> str:
 SELECT doc_id::BIGINT AS doc_id FROM documents
 WHERE (((doc_id % 4294967296 + 4294967296) % 4294967296)::HUGEINT
        * 2654435761) % 4294967296 < 429496729"""
+
+
+def q_doc_cap_per_source(sf_dir: str):
+    """Hard per-domain cap (the curation complement of
+    doc_mixture_sample's weighted quotas): keep the CAP smallest doc_ids
+    of every source — bounding any one domain's contribution to a
+    training mix.  Top-n-by-key is a MERGEABLE aggregate, so the scale
+    shape is: per-batch per-source n-smallest (<= CAP * n_sources rows
+    leave each map task, independent of batch size), then one tiny
+    groupby(source) applies the same kernel to the union of partials —
+    no full shuffle of the documents table."""
+    CAP = 10
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def keep_smallest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        did = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, src))
+        s2, d2 = src[order], did[order]
+        bounds = np.flatnonzero(np.concatenate([[True], s2[1:] != s2[:-1]]))
+        counts = np.diff(np.append(bounds, len(s2)))
+        rank = np.arange(len(s2), dtype=np.int64) - np.repeat(bounds, counts)
+        keep = rank < CAP
+        return pa.table({"doc_id": pa.array(d2[keep], pa.int64()),
+                         "source": pa.array(s2[keep], pa.string())})
+
+    keep_smallest.__name__ = "cap_per_source"
+    partial = ds.map_batches(keep_smallest, batch_format="pyarrow")
+    return partial.groupby("source", num_partitions=8).map_groups(
+        keep_smallest, batch_format="pyarrow")
+
+
+def sql_doc_cap_per_source() -> str:
+    return """
+SELECT doc_id::BIGINT AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 10"""
 
 
 def q_doc_top_tokens(sf_dir: str):
@@ -5472,6 +5589,7 @@ def build_registry(transcript_sf: str = SF001):
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
         "events_type_distinct": q_events_type_distinct,
+        "events_window_distinct": q_events_window_distinct,
         "events_props_stats": q_events_props_stats,
         "t_norm": q_t_norm,
         "lineitem_top_revenue": q_lineitem_top_revenue,
@@ -5501,6 +5619,7 @@ def build_registry(transcript_sf: str = SF001):
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_near": q_doc_dedup_near,
         "doc_sample": q_doc_sample,
+        "doc_cap_per_source": q_doc_cap_per_source,
         "doc_normalize": q_doc_normalize,
         "emb_quantize_int8": q_emb_quantize_int8,
         "doc_top_tokens": q_doc_top_tokens,
@@ -5643,6 +5762,7 @@ def _build_oracle(t01):
         "mktsegment_orders": sql_mktsegment_orders(),
         "events_tumbling": sql_events_tumbling(),
         "events_type_distinct": sql_events_type_distinct(),
+        "events_window_distinct": sql_events_window_distinct(),
         "events_props_stats": sql_events_props_stats(),
         "t_norm": sql_t_norm(t01),
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
@@ -5668,6 +5788,7 @@ def _build_oracle(t01):
         "doc_dup_clusters": sql_doc_dup_clusters(),
         "doc_dedup_near": sql_doc_dedup_near(),
         "doc_sample": sql_doc_sample(),
+        "doc_cap_per_source": sql_doc_cap_per_source(),
         "doc_normalize": sql_doc_normalize(),
         "doc_top_tokens": sql_doc_top_tokens(),
         "doc_shared_term_pairs": sql_doc_shared_term_pairs(),

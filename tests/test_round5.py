@@ -638,3 +638,71 @@ def test_prefix_join_exact_threshold_boundary(ray_session):
     out = verify_pairs_jaccard(pairs, docs, n_buckets=2,
                                min_jaccard=t).take_all()
     assert len(out) == 1 and out[0]["jaccard"] == t
+
+
+def test_doc_cap_per_source_merge_across_batches(ray_session):
+    """cap-per-source partials are a mergeable top-n: with one source's
+    smallest doc_ids scattered across many batches, each batch keeps its
+    local 10 but the combine must return the GLOBAL 10 smallest."""
+    import ray.data
+
+    from aushape_ray.pipelines.queries import q_doc_cap_per_source
+
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    rows = []
+    # source 'a': 40 docs, ids interleaved so every batch holds some of
+    # the global-smallest; source 'b': fewer than the cap (all kept)
+    for i in range(40):
+        rows.append({"doc_id": 1000 - i * 7, "text": "x", "lang": "en",
+                     "source": "a", "n_chars": 1})
+    for i in range(4):
+        rows.append({"doc_id": 5000 + i, "text": "x", "lang": "en",
+                     "source": "b", "n_chars": 1})
+    with tempfile.TemporaryDirectory() as d:
+        pa_tbl = pa.Table.from_pylist(rows)
+        # many tiny row groups -> many Ray blocks/batches
+        pq.write_table(pa_tbl, os.path.join(d, "documents.parquet"),
+                       row_group_size=5)
+        out = q_doc_cap_per_source(d).take_all()
+    got_a = sorted(r["doc_id"] for r in out if r["source"] == "a")
+    want_a = sorted(sorted(1000 - i * 7 for i in range(40))[:10])
+    assert got_a == want_a
+    got_b = sorted(r["doc_id"] for r in out if r["source"] == "b")
+    assert got_b == [5000, 5001, 5002, 5003]
+
+
+def test_events_window_distinct_exactness(ray_session):
+    """window-distinct: a user appearing many times in one window counts
+    once; the same user in two windows counts in both; parity with a
+    scalar reference on random data across multiple batches."""
+    import random
+    import tempfile, os
+
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_events_window_distinct
+
+    rng = random.Random(5)
+    W = 3_600_000_000
+    rows = []
+    for _ in range(3000):
+        rows.append({"ts": rng.randrange(0, 24) * W + rng.randrange(W),
+                     "user_id": rng.randrange(50),
+                     "event_type": "t", "value": 0.0, "props": "{}",
+                     "event_id": len(rows)})
+    want = {}
+    for r in rows:
+        want.setdefault((r["ts"] // W) * W, set()).add(r["user_id"])
+    tbl = pa.Table.from_pylist(rows).set_column(
+        0, "ts", pa.array([r["ts"] for r in rows],
+                          pa.int64()).cast(pa.timestamp("us")))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"),
+                       row_group_size=100)
+        out = q_events_window_distinct(d).take_all()
+    got = {r["window_start"].timestamp() * 1e6: r["n_users"] for r in out}
+    assert len(got) == len(want)
+    for w, users in want.items():
+        assert got[float(w)] == len(users), (w, len(users))
