@@ -706,3 +706,63 @@ def test_events_window_distinct_exactness(ray_session):
     assert len(got) == len(want)
     for w, users in want.items():
         assert got[float(w)] == len(users), (w, len(users))
+
+
+def test_cluster_pairs_star_reduce_parity(ray_session):
+    """cluster_pairs(star_reduce=True) must return EXACTLY the same
+    (doc_id, cluster_id) rows as the unreduced path and as a scalar
+    union-find, on random graphs whose components span many blocks (the
+    reduction is per-block; only the union of stars sees the whole
+    component), including chains (worst case for pointer jumping),
+    dense cliques (the case the reduction exists for), and self-loops
+    (singleton components must keep their row)."""
+    import random
+
+    import ray.data
+
+    rng = random.Random(99)
+    edges = []
+    # chains: 40-node paths force cross-block label propagation
+    for c in range(5):
+        base = c * 1000
+        edges += [(base + i, base + i + 1) for i in range(40)]
+    # dense cliques
+    for c in range(3):
+        base = 10_000 + c * 100
+        ids = [base + i for i in range(15)]
+        edges += [(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]]
+    # random sparse edges
+    edges += [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges.append((77777, 77777))  # self-loop singleton
+    rng.shuffle(edges)
+
+    # scalar union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    from aushape_ray.functions.dedup import cluster_pairs
+
+    ds = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in edges]).repartition(7)
+
+    def run(star):
+        out = cluster_pairs(ds, n_buckets=4, small_threshold=10,
+                            star_reduce=star).take_all()
+        return {r["doc_id"]: r["cluster_id"] for r in out}
+
+    got_star = run(True)
+    got_plain = run(False)
+    assert got_star == got_plain == want
