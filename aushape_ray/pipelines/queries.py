@@ -1833,6 +1833,163 @@ SELECT doc_id::BIGINT AS doc_id, source FROM (
   FROM documents) WHERE rn <= 10"""
 
 
+# Train/val/test boundaries at 80% / 90% of 2^32 — integer constants
+# shared by the split family and its SQL oracles, so parity is exact.
+_SPLIT_T_TRAIN, _SPLIT_T_VAL = 3_435_973_836, 3_865_470_566
+# doc_sample's Knuth-multiplicative hash in SQL form (HUGEINT multiply +
+# floor-mod; see sql_doc_sample for the overflow-exactness argument).
+_SPLIT_SQL_HV = ("((({x} % 4294967296 + 4294967296) % 4294967296)"
+                 "::HUGEINT * 2654435761) % 4294967296")
+_SPLIT_SQL_CASE = (f"CASE WHEN hv < {_SPLIT_T_TRAIN} THEN 'train' "
+                   f"WHEN hv < {_SPLIT_T_VAL} THEN 'val' "
+                   "ELSE 'test' END AS split")
+
+
+def _split_hash(ids: np.ndarray) -> np.ndarray:
+    """q_doc_sample's masked Knuth hash (mask before multiply so the
+    uint64 product is exact for any int64 id), shared by the split
+    family so every member and its SQL oracle agree bit for bit."""
+    r = (ids.astype(np.int64) % (1 << 32)).astype(np.uint64)
+    return (r * np.uint64(2654435761)) % np.uint64(1 << 32)
+
+
+def _split_names(hv: np.ndarray) -> np.ndarray:
+    return np.where(hv < np.uint64(_SPLIT_T_TRAIN), "train",
+                    np.where(hv < np.uint64(_SPLIT_T_VAL), "val", "test"))
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by the Knuth
+    hash of doc_id — the naive per-DOCUMENT split every pipeline starts
+    with: stateless per-batch map, zero shuffle, no RNG state, identical
+    on any executor and in SQL.  Its failure mode is eval contamination:
+    near-duplicate documents land on opposite sides of the train/eval
+    boundary in proportion to the split mass product — measured by
+    doc_split_leakage; doc_split_group is the fix."""
+    ds = _read_table(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "split": pa.array(_split_names(_split_hash(d)),
+                                           pa.string())})
+
+    assign.__name__ = "split_assign"
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_doc_split_assign() -> str:
+    hv = _SPLIT_SQL_HV.format(x="doc_id")
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, {_SPLIT_SQL_CASE}
+FROM (SELECT doc_id, {hv} AS hv FROM documents)"""
+
+
+def q_doc_split_group(sf_dir: str):
+    """Leakage-safe split: every document of a source (domain) gets the
+    SAME split, keyed by the hash of the group's canonical id (its min
+    doc_id).  Near-duplicates cluster within domains, so group-level
+    splitting keeps them on one side of the train/eval boundary — the
+    standard fix for the contamination doc_split_leakage measures.
+    Scale shape: ONE bucketed exchange keyed by a string-hash of source
+    (each domain lands wholly in one bucket), where the canonical id,
+    its hash and the per-row assignment are one vectorized pass — no
+    join, no driver materialization, every doc row moves exactly once."""
+    from ..functions.joins import bucket_exchange
+
+    N_PARTS = 16
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "part", pa.array(_str_part(b.column("source"), N_PARTS),
+                             pa.int32()))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "split": pa.array([], pa.string())})
+        did = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, src))
+        s2, d2 = src[order], did[order]
+        bounds = np.flatnonzero(np.concatenate([[True], s2[1:] != s2[:-1]]))
+        counts = np.diff(np.append(bounds, len(s2)))
+        gid = np.repeat(d2[bounds], counts)  # run-min = group canonical id
+        return pa.table({"doc_id": pa.array(d2, pa.int64()),
+                         "source": pa.array(s2, pa.string()),
+                         "split": pa.array(_split_names(_split_hash(gid)),
+                                           pa.string())})
+
+    assign.__name__ = "group_split"
+    return bucket_exchange(ds.map_batches(tag, batch_format="pyarrow"),
+                           N_PARTS, assign, bucket_col="part")
+
+
+def sql_doc_split_group() -> str:
+    hv = _SPLIT_SQL_HV.format(x="gid")
+    return f"""
+WITH g AS (SELECT source, min(doc_id) AS gid FROM documents GROUP BY source),
+h AS (SELECT source, {hv} AS hv FROM g)
+SELECT d.doc_id::BIGINT AS doc_id, d.source, {_SPLIT_SQL_CASE}
+FROM documents d JOIN h USING (source)"""
+
+
+def q_doc_split_leakage(sf_dir: str):
+    """Split-leakage audit: near-duplicate pairs (exact n-gram Jaccard
+    >= 0.5 via the lossless prefix join, the same notion as
+    doc_jaccard_pairs) whose ends fall in DIFFERENT doc_split_assign
+    splits — the eval contamination a per-document split creates.
+    The split is a pure function of doc_id, so tagging the pair stream
+    costs no join: one map over the pairs + a tiny groupby of per-batch
+    partial counts (<= 3 combination rows leave each task).  Output:
+    (split_a, split_b, n_pairs), split_a < split_b.
+    Rows-only: the discovery is the prefix-filtered gram join (no SQL
+    form); brute-force parity is pytest-enforced (tests/test_round5.py
+    ::test_doc_split_leakage_bruteforce)."""
+    from ..functions.dedup import jaccard_pairs_prefix
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs_prefix(docs, threshold=0.5)
+
+    def split_code(ids: np.ndarray) -> np.ndarray:
+        hv = _split_hash(ids)
+        return ((hv >= np.uint64(_SPLIT_T_TRAIN)).astype(np.int64)
+                + (hv >= np.uint64(_SPLIT_T_VAL)).astype(np.int64))
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = t.column("doc_b").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ca, cb = split_code(a), split_code(b)
+        cross = ca != cb
+        lo = np.minimum(ca[cross], cb[cross])
+        hi = np.maximum(ca[cross], cb[cross])
+        n = np.bincount(lo * 3 + hi, minlength=9)
+        combo = np.flatnonzero(n)
+        return pa.table({"combo": pa.array(combo, pa.int64()),
+                         "n_pairs": pa.array(n[combo], pa.int64())})
+
+    tag_pairs.__name__ = "tag_split_pairs"
+    NAME = ["train", "val", "test"]
+
+    def unpack(t: pa.Table) -> pa.Table:
+        combo = t.column("combo").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "split_a": pa.array([NAME[c // 3] for c in combo], pa.string()),
+            "split_b": pa.array([NAME[c % 3] for c in combo], pa.string()),
+            "n_pairs": t.column("sum(n_pairs)").cast(pa.int64())})
+
+    return (pairs.map_batches(tag_pairs, batch_format="pyarrow")
+            .groupby("combo").sum("n_pairs")
+            .map_batches(unpack, batch_format="pyarrow")
+            .sort(["split_a", "split_b"]))
+
+
 def q_doc_top_tokens(sf_dir: str):
     """Vocabulary building: global top-30 tokens by occurrence count —
     per-batch Counter partials, tiny (token, n) shuffle, deterministic
@@ -5620,6 +5777,9 @@ def build_registry(transcript_sf: str = SF001):
         "doc_dedup_near": q_doc_dedup_near,
         "doc_sample": q_doc_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
+        "doc_split_assign": q_doc_split_assign,
+        "doc_split_group": q_doc_split_group,
+        "doc_split_leakage": q_doc_split_leakage,
         "doc_normalize": q_doc_normalize,
         "emb_quantize_int8": q_emb_quantize_int8,
         "doc_top_tokens": q_doc_top_tokens,
@@ -5737,10 +5897,13 @@ _WINDOW_ROTATION = [
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
     "events_quantiles_exact", "doc_idf", "doc_curation",
     "events_sample_stratified", "events_window_anomaly", "ann_topk",
-    # fill block from the r4 set (rotates out next round)
+    # fill block: first the four round-5 NEW oracle-backed operators
+    # (never driver-witnessed — they did not exist before this round),
+    # then r4-witnessed entries, oldest-witness first
+    "events_window_distinct", "doc_cap_per_source",
+    "doc_split_assign", "doc_split_group",
     "events_heavy_hitters", "doc_decontaminate_bloom", "events_late_data",
     "doc_dedup_online", "doc_mixture_sample", "doc_shuffle_shard",
-    "doc_pack", "doc_bpe_pairs", "doc_span_dedup", "doc_tfidf_pairs",
 ]
 
 
@@ -5789,6 +5952,8 @@ def _build_oracle(t01):
         "doc_dedup_near": sql_doc_dedup_near(),
         "doc_sample": sql_doc_sample(),
         "doc_cap_per_source": sql_doc_cap_per_source(),
+        "doc_split_assign": sql_doc_split_assign(),
+        "doc_split_group": sql_doc_split_group(),
         "doc_normalize": sql_doc_normalize(),
         "doc_top_tokens": sql_doc_top_tokens(),
         "doc_shared_term_pairs": sql_doc_shared_term_pairs(),

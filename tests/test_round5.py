@@ -766,3 +766,84 @@ def test_cluster_pairs_star_reduce_parity(ray_session):
     got_star = run(True)
     got_plain = run(False)
     assert got_star == got_plain == want
+
+
+def _scalar_split(doc_id: int) -> str:
+    hv = ((doc_id % 2**32 + 2**32) % 2**32) * 2654435761 % 2**32
+    return ("train" if hv < 3_435_973_836
+            else "val" if hv < 3_865_470_566 else "test")
+
+
+def test_doc_split_family_bruteforce(ray_session, tmp_path):
+    """The split trio against scalar references on a constructed corpus:
+    doc_split_assign == per-doc scalar hash split; doc_split_group gives
+    every doc of a source the split of the source's MIN doc_id (and is
+    leakage-free by construction when near-dups stay within a source);
+    doc_split_leakage == brute-force 5-gram Jaccard >= 0.5 pairs whose
+    scalar splits differ, counted per (split_a, split_b)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aushape_ray.functions.dedup import _shingles
+    from aushape_ray.pipelines.queries import (q_doc_split_assign,
+                                               q_doc_split_group,
+                                               q_doc_split_leakage)
+
+    rng = random.Random(4242)
+    alpha = "abcdefghij "
+    texts, sources = [], []
+    for i in range(40):
+        texts.append("".join(rng.choice(alpha) for _ in range(120)))
+        sources.append(f"src{i % 6}")
+    # plant near-dups across MANY doc_ids so some pairs straddle splits
+    for i in range(14):
+        src = list(texts[i])
+        for _ in range(4):
+            src[rng.randrange(len(src))] = rng.choice(alpha)
+        texts.append("".join(src))
+        sources.append(f"src{rng.randrange(6)}")
+    # spread doc_ids widely so all three splits are populated
+    ids = [i * 104729 + 17 for i in range(len(texts))]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "source": pa.array(sources, pa.string()),
+                             "text": pa.array(texts, pa.string())}),
+                   tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    # assign: per-doc scalar parity, all three splits present
+    got = {r["doc_id"]: r["split"]
+           for r in q_doc_split_assign(sf).take_all()}
+    want = {i: _scalar_split(i) for i in ids}
+    assert got == want
+    assert set(want.values()) == {"train", "val", "test"}
+
+    # group: split(doc) == split(min doc_id of its source)
+    gmin = {}
+    for i, s in zip(ids, sources):
+        gmin[s] = min(gmin.get(s, i), i)
+    gotg = {r["doc_id"]: (r["source"], r["split"])
+            for r in q_doc_split_group(sf).take_all()}
+    assert gotg == {i: (s, _scalar_split(gmin[s]))
+                    for i, s in zip(ids, sources)}
+
+    # leakage: brute-force jaccard pairs straddling scalar splits
+    sh = [set(_shingles(t).tolist()) for t in texts]
+    combos = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            inter = len(sh[x] & sh[y])
+            if not inter:
+                continue
+            j = inter / (len(sh[x]) + len(sh[y]) - inter)
+            if j >= 0.5:
+                sx, sy = _scalar_split(ids[x]), _scalar_split(ids[y])
+                if sx != sy:
+                    order = ["train", "val", "test"]
+                    lo, hi = sorted((sx, sy), key=order.index)
+                    combos[(lo, hi)] = combos.get((lo, hi), 0) + 1
+    gotl = {(r["split_a"], r["split_b"]): r["n_pairs"]
+            for r in q_doc_split_leakage(sf).take_all()}
+    assert combos, "corpus must plant at least one straddling pair"
+    assert gotl == combos
