@@ -1990,6 +1990,115 @@ def q_doc_split_leakage(sf_dir: str):
             .sort(["split_a", "split_b"]))
 
 
+def q_doc_ngram_novelty(sf_dir: str):
+    """Corpus-level novelty scoring (the data-selection signal behind
+    "prefer documents that add new text to the mix"): per document, how
+    many of its DISTINCT word-8-grams occur in no other document.
+    Words are maximal whitespace-separated runs (word_hashes_flat, the
+    SimHasher kernel); grams are splitmix64 chains of 8 word hashes
+    (ngram_hashes_flat) — the whole batch is one flat zero-copy pass,
+    no per-doc Python.  Scale shape: ONE exchange of distinct
+    (gram_hash, doc_id) pairs bucketed by gram hash (inherent to exact
+    document frequency; a 100-TB deployment would swap in a counting-
+    Bloom/CM prefilter to drop the df>=2 majority before the exchange),
+    each bucket reduces to per-doc (n_grams, n_novel) partials, and one
+    tiny doc_id groupby sums them.  Gram identity is the 64-bit chain
+    hash (collision odds ~n_grams^2/2^64, ~1e-8 here); the DuckDB
+    oracle uses true strings, so the PASS also certifies no collision
+    fired.  Docs with fewer than 8 words emit nothing (matches SQL)."""
+    from ..functions.dedup import (flat_utf8, ngram_hashes_flat,
+                                   word_hashes_flat)
+    from ..functions.joins import bucket_exchange
+
+    N, NB = 8, 16
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"b": pa.array([], pa.int32()),
+                          "gh": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        did = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        data, doff, _n = flat_utf8(t.column("text"))
+        if len(data) == 0:
+            return empty
+        wh, wdoc = word_hashes_flat(data, doff)
+        gh, gdoc = ngram_hashes_flat(wh, wdoc, N)
+        if len(gh) == 0:
+            return empty
+        # distinct (gram, doc) before anything leaves the task
+        order = np.lexsort((gh, gdoc))
+        gh2, gd2 = gh[order], gdoc[order]
+        first = np.concatenate(
+            [[True], (gh2[1:] != gh2[:-1]) | (gd2[1:] != gd2[:-1])])
+        gh2, gd2 = gh2[first], gd2[first]
+        return pa.table({
+            "b": pa.array((gh2 % np.uint64(NB)).astype(np.int32)),
+            "gh": pa.array(gh2.view(np.int64), pa.int64()),
+            "doc_id": pa.array(did[gd2], pa.int64())})
+
+    gram_pairs.__name__ = "novelty_gram_pairs"
+
+    def df_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_novel": pa.array([], pa.int64())})
+        gh = t.column("gh").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(gh, kind="stable")
+        gh2, dd = gh[order], did[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], gh2[1:] != gh2[:-1]]))
+        runlen = np.diff(np.append(starts, len(gh2)))
+        novel_docs = dd[starts[runlen == 1]]
+        u, inv = np.unique(dd, return_inverse=True)
+        n_grams = np.bincount(inv, minlength=len(u))
+        n_novel = np.zeros(len(u), np.int64)
+        if len(novel_docs):
+            un, cn = np.unique(novel_docs, return_counts=True)
+            n_novel[np.searchsorted(u, un)] = cn
+        return pa.table({"doc_id": pa.array(u, pa.int64()),
+                         "n_grams": pa.array(n_grams, pa.int64()),
+                         "n_novel": pa.array(n_novel, pa.int64())})
+
+    df_reduce.__name__ = "novelty_df_reduce"
+    partials = bucket_exchange(
+        ds.map_batches(gram_pairs, batch_format="pyarrow"),
+        NB, df_reduce, bucket_col="b")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "n_grams": t.column("sum(n_grams)").cast(
+                             pa.int64()),
+                         "n_novel": t.column("sum(n_novel)").cast(
+                             pa.int64())})
+
+    return (partials.groupby("doc_id").sum(["n_grams", "n_novel"])
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+def sql_doc_ngram_novelty() -> str:
+    # [[:space:]] == the kernel's _WS_TABLE byte set {9,10,11,12,13,32};
+    # run-splitting + empty-filter == maximal non-whitespace word runs.
+    return r"""
+WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[[:space:]]+'),
+                         x -> x <> '') AS ws
+           FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-6, 1))) AS i
+        FROM w),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ws, i, i+7), ' ') AS gram
+      FROM idx),
+dfq AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY 1)
+SELECT g.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+FROM g JOIN dfq USING (gram) GROUP BY 1"""
+
+
 def q_doc_top_tokens(sf_dir: str):
     """Vocabulary building: global top-30 tokens by occurrence count —
     per-batch Counter partials, tiny (token, n) shuffle, deterministic
@@ -5780,6 +5889,7 @@ def build_registry(transcript_sf: str = SF001):
         "doc_split_assign": q_doc_split_assign,
         "doc_split_group": q_doc_split_group,
         "doc_split_leakage": q_doc_split_leakage,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_normalize": q_doc_normalize,
         "emb_quantize_int8": q_emb_quantize_int8,
         "doc_top_tokens": q_doc_top_tokens,
@@ -5901,9 +6011,9 @@ _WINDOW_ROTATION = [
     # (never driver-witnessed — they did not exist before this round),
     # then r4-witnessed entries, oldest-witness first
     "events_window_distinct", "doc_cap_per_source",
-    "doc_split_assign", "doc_split_group",
+    "doc_split_assign", "doc_split_group", "doc_ngram_novelty",
     "events_heavy_hitters", "doc_decontaminate_bloom", "events_late_data",
-    "doc_dedup_online", "doc_mixture_sample", "doc_shuffle_shard",
+    "doc_dedup_online", "doc_mixture_sample",
 ]
 
 
@@ -5954,6 +6064,7 @@ def _build_oracle(t01):
         "doc_cap_per_source": sql_doc_cap_per_source(),
         "doc_split_assign": sql_doc_split_assign(),
         "doc_split_group": sql_doc_split_group(),
+        "doc_ngram_novelty": sql_doc_ngram_novelty(),
         "doc_normalize": sql_doc_normalize(),
         "doc_top_tokens": sql_doc_top_tokens(),
         "doc_shared_term_pairs": sql_doc_shared_term_pairs(),

@@ -847,3 +847,58 @@ def test_doc_split_family_bruteforce(ray_session, tmp_path):
             for r in q_doc_split_leakage(sf).take_all()}
     assert combos, "corpus must plant at least one straddling pair"
     assert gotl == combos
+
+
+def test_doc_ngram_novelty_scalar_parity(ray_session, tmp_path):
+    """doc_ngram_novelty against a scalar set-based reference on a
+    corpus with adversarial whitespace (double spaces, tabs, newlines,
+    leading/trailing runs), planted shared 8-grams, exact-dup docs
+    (their every gram has df >= 2), and sub-8-word docs (must emit no
+    row) — proving the flat-kernel word/gram semantics and the df==1
+    credit are exact, not corpus-shaped."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_doc_ngram_novelty
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        sep = [" ", "  ", "\t", "\n", " \t "][rng.randrange(5)]
+        texts.append(sep.join(words))
+    shared = " ".join(vocab[:12])          # 12 words -> 5 shared 8-grams
+    texts.append(shared + " aa bb cc")
+    texts.append("zz " + shared)           # overlapping copies of shared
+    texts.append(texts[0])                 # exact dup: all grams df>=2
+    texts.append("  " + texts[1] + "\n")   # dup modulo edge whitespace
+    texts.append("only seven words live in here now")  # 7 words: no row
+    texts.append("")                       # empty: no row
+    ids = [i * 37 + 5 for i in range(len(texts))]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   tmp_path / "documents.parquet")
+
+    # scalar reference: whitespace-run words, string 8-gram sets
+    grams = {}
+    for i, t in zip(ids, texts):
+        ws = t.split()
+        g = {" ".join(ws[j:j + 8]) for j in range(len(ws) - 7)}
+        if g:
+            grams[i] = g
+    from collections import Counter
+
+    dfreq = Counter(g for s in grams.values() for g in s)
+    want = {i: (len(s), sum(1 for g in s if dfreq[g] == 1))
+            for i, s in grams.items()}
+
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+           for r in q_doc_ngram_novelty(str(tmp_path)).take_all()}
+    assert got == want
+    # the planted structure actually exercised the interesting cases
+    assert ids[25] in got and got[ids[25]][1] < got[ids[25]][0]
+    assert got[ids[27]][1] == 0 and got[ids[28]][1] == 0
+    assert ids[29] not in got and ids[30] not in got
