@@ -822,6 +822,129 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority"""
 
 
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5 shape: 1996 revenue from LOCAL suppliers (supplier and
+    customer in the same nation) per nation of one region — the
+    registry's multi-way join: six tables, two bucketed exchanges, two
+    broadcasts, sized by where each table sits at 100 TB.
+
+    Plan:
+      1. nation x region resolve DRIVER-side (25 x 5 rows, constant at
+         any SF) to the allowed {n_nationkey: n_name} dict, closed over
+         by the task lambdas (O(25) shipped with the task spec).
+      2. customer pruned to (custkey, nationkey), filtered to those
+         nations; orders pruned + date-filtered at the batch level; the
+         two sides meet in the partitioned hash_join on custkey — both
+         scale with SF, so neither is broadcastable.
+      3. supplier -> {s_suppkey: s_nationkey} via ray.put ONCE
+         (supplier is 1/6000 of lineitem — broadcast is right up to
+         ~SF 1k / a few GB of dict; past that swap this lookup for a
+         second hash_join on l_suppkey, same shape as step 2).
+      4. lineitem maps to (l_orderkey, s_nationkey, cents) against the
+         broadcast, hash_joins with (2) on orderkey, and the final map
+         applies the Q5 local-supplier condition
+         (c_nationkey == s_nationkey) and pre-aggregates per nation, so
+         the closing groupby moves <= 25 rows per task."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    from ..functions.joins import hash_join
+
+    REGION, Y0, Y1 = "ASIA", "1996-01-01", "1997-01-01"
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == REGION, "r_regionkey"])
+    name_of = {int(k): str(v) for k, v in
+               zip(nat["n_nationkey"], nat["n_name"])
+               if int(nat.loc[nat["n_nationkey"] == k, "n_regionkey"].iloc[0])
+               in rkeys}
+
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    allowed = pa.array(sorted(name_of), pa.int32())
+
+    def filt_cust(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("c_nationkey"), value_set=allowed))
+
+    lo = pa.scalar(np.datetime64(Y0, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(Y1, "us"), pa.timestamp("us"))
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read_table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        filt_orders, batch_format="pyarrow")
+    ord_nat = hash_join(
+        orders, cust.map_batches(filt_cust, batch_format="pyarrow"),
+        "o_custkey", "c_custkey", n_buckets=16).select_columns(
+        ["o_orderkey", "c_nationkey"])
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_ref = _ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+
+    def li_side(t: pa.Table) -> pa.Table:
+        snat = _bcast(sup_ref, _obj_series)
+        keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        s_nationkey = snat.reindex(keys).to_numpy(dtype=np.float64,
+                                                  na_value=np.nan)
+        price = np.asarray(t.column("l_extendedprice"), np.float64)
+        disc = np.asarray(t.column("l_discount"), np.float64)
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        ok = ~np.isnan(s_nationkey)  # inner-join semantics on suppkey
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").filter(pa.array(ok)),
+            "s_nationkey": pa.array(s_nationkey[ok].astype(np.int32)),
+            "cents": pa.array(cents[ok]),
+        })
+
+    li = _read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+    joined = hash_join(li, ord_nat, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        local = cn == sn
+        df = pd.DataFrame({
+            "n_name": pd.Series(sn[local]).map(name_of),
+            "cents": t.column("cents").to_numpy(zero_copy_only=False)[local],
+        })
+        g = df.groupby("n_name", as_index=False).agg(
+            n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def sql_nation_revenue() -> str:
+    return """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name"""
+
+
 def q_events_daily_top_users(sf_dir: str):
     """Windowed top-k: top-3 users per day by event count (tie-break by
     user_id), partial counts then per-day head."""
@@ -4030,6 +4153,61 @@ FROM documents d JOIN s USING (source)
 GROUP BY d.source"""
 
 
+def q_doc_len_filter_pct(sf_dir: str):
+    """Global-percentile length filter (CCNet/RefinedWeb-style curation
+    cut): drop the shortest 5% and longest 5% of the corpus by
+    whitespace token count.  The registry's two-phase global-statistic
+    filter: phase 1 computes the EXACT corpus order statistics of
+    n_tokens (functions/sketches.exact_quantiles — one sort exchange;
+    only per-block counts and two boundary rows ever reach the driver),
+    phase 2 re-derives n_tokens per batch and filters against the two
+    broadcast scalars.  Thresholds are VALUES, not ranks, so ties at
+    the cut are kept deterministically on both engines (>= 90% of docs
+    survive whenever the cut values repeat).  Rank convention is the
+    shared zero-based floor(q*(n-1)) of events_quantiles_exact.  The
+    token recount in phase 2 trades one extra RE2 scan of the text for
+    never materializing a doc_id->count table — at 100 TB the rescan is
+    embarrassingly parallel while the table would be another pinned
+    dataset."""
+    from ..functions.sketches import exact_quantiles
+    from ..functions.textops import token_stats
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    stats = docs.map_batches(token_stats, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+    qv = exact_quantiles(stats, "n_tokens", qs=(0.05, 0.95))
+    lo, hi = int(qv[0][1]), int(qv[1][1])
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = token_stats(t)
+        n = s.column("n_tokens")
+        return s.select(["doc_id", "n_tokens"]).filter(
+            pc.and_(pc.greater_equal(n, pa.scalar(lo, pa.int64())),
+                    pc.less_equal(n, pa.scalar(hi, pa.int64()))))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_doc_len_filter_pct() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents),
+s AS (
+  SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM tok),
+th AS (
+  SELECT max(CASE WHEN rk = LEAST(n - 1, FLOOR(0.05 * (n - 1))::BIGINT)
+                  THEN n_tokens END) AS lo,
+         max(CASE WHEN rk = LEAST(n - 1, FLOOR(0.95 * (n - 1))::BIGINT)
+                  THEN n_tokens END) AS hi
+  FROM s)
+SELECT t.doc_id, t.n_tokens
+FROM tok t, th
+WHERE t.n_tokens BETWEEN th.lo AND th.hi"""
+
+
 def q_doc_global_rank(sf_dir: str):
     """Exact global row_number (order by n_chars, doc_id) WITHOUT a full
     sort exchange: range partition by value, per-range counts to the
@@ -5851,6 +6029,7 @@ def build_registry(transcript_sf: str = SF001):
         "t_execve_argv": q_t_execve_argv,
         "q1_pricing": q_q1_pricing,
         "orders_priority_revenue": q_orders_priority_revenue,
+        "nation_revenue": q_nation_revenue,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -5937,6 +6116,7 @@ def build_registry(transcript_sf: str = SF001):
         "doc_chunk_plan": q_doc_chunk_plan,
         "doc_chunk_text": q_doc_chunk_text,
         "doc_len_outliers": q_doc_len_outliers,
+        "doc_len_filter_pct": q_doc_len_filter_pct,
         "doc_global_rank": q_doc_global_rank,
         "doc_pagerank": q_doc_pagerank,
         "doc_dedup_central": q_doc_dedup_central,
@@ -6012,8 +6192,8 @@ _WINDOW_ROTATION = [
     # then r4-witnessed entries, oldest-witness first
     "events_window_distinct", "doc_cap_per_source",
     "doc_split_assign", "doc_split_group", "doc_ngram_novelty",
+    "nation_revenue", "doc_len_filter_pct",
     "events_heavy_hitters", "doc_decontaminate_bloom", "events_late_data",
-    "doc_dedup_online", "doc_mixture_sample",
 ]
 
 
@@ -6039,6 +6219,7 @@ def _build_oracle(t01):
         "events_props_stats": sql_events_props_stats(),
         "t_norm": sql_t_norm(t01),
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
+        "nation_revenue": sql_nation_revenue(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),
@@ -6089,6 +6270,7 @@ def _build_oracle(t01):
         "doc_chunk_plan": sql_doc_chunk_plan(),
         "doc_chunk_text": sql_doc_chunk_text(),
         "doc_len_outliers": sql_doc_len_outliers(),
+        "doc_len_filter_pct": sql_doc_len_filter_pct(),
         "doc_global_rank": sql_doc_global_rank(),
         "t_conv_gaps": sql_t_conv_gaps(t01),
         "t_role_runs": sql_t_role_runs(t01),

@@ -902,3 +902,51 @@ def test_doc_ngram_novelty_scalar_parity(ray_session, tmp_path):
     assert ids[25] in got and got[ids[25]][1] < got[ids[25]][0]
     assert got[ids[27]][1] == 0 and got[ids[28]][1] == 0
     assert ids[29] not in got and ids[30] not in got
+
+
+def _duckdb_views(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def test_nation_revenue_matches_oracle(ray_session):
+    """Multi-way join (TPC-H Q5 shape): exact parity with the DuckDB
+    oracle at sf0.001 — local-supplier condition, date window, cents."""
+    from aushape_ray.pipelines.queries import (q_nation_revenue,
+                                               sql_nation_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_nation_revenue(sf).to_pandas() \
+        .sort_values("n_name", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_nation_revenue()).df() \
+        .sort_values("n_name", ignore_index=True)
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["n_items"].astype(int).tolist() == exp["n_items"].tolist()
+    assert (got["revenue_cents"].astype(int).tolist()
+            == exp["revenue_cents"].tolist())
+    assert len(got) >= 1  # the ASIA/1996 window is non-degenerate
+
+
+def test_doc_len_filter_pct_matches_oracle(ray_session):
+    """Two-phase global-percentile filter: the exact-order-statistic
+    thresholds and the kept set match the SQL replica at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_doc_len_filter_pct,
+                                               sql_doc_len_filter_pct)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_len_filter_pct(sf).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_doc_len_filter_pct()).df() \
+        .sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tokens"].astype(int).tolist() == exp["n_tokens"].tolist()
+    # both tails were actually cut (the filter is non-trivial)
+    n_docs = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs
