@@ -108,11 +108,18 @@ def main(argv: list[str] | None = None) -> int:
                          "PII redaction; --resume = stage-level skip)")
     args = ap.parse_args(argv)
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # Attach to the cluster `ray job submit` provides (RAY_ADDRESS);
+        # default to a local instance otherwise.  num_cpus is only legal
+        # when we own the instance — an existing cluster sizes itself.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
+        ray.init(address=addr, include_dashboard=False,
+                 logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
