@@ -21,6 +21,18 @@ import json
 import sys
 
 
+def _ray_init_kwargs(addr: str, num_cpus: "int | None") -> dict:
+    """ray.init kwargs for the CLI: own a local instance (num_cpus legal)
+    when addr is 'local'; otherwise attach to the cluster `ray job
+    submit` / RAY_ADDRESS provides, where num_cpus must not be passed —
+    the cluster sizes itself."""
+    kw = {"address": addr, "include_dashboard": False,
+          "logging_level": "ERROR"}
+    if addr == "local":
+        kw["num_cpus"] = num_cpus
+    return kw
+
+
 def _size(v: str) -> int:
     # k/m suffix handling, like aushape_conf_load (lib/conf.c:272-300)
     m = {"k": 1024, "m": 1024 * 1024}
@@ -113,13 +125,8 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        # Attach to the cluster `ray job submit` provides (RAY_ADDRESS);
-        # default to a local instance otherwise.  num_cpus is only legal
-        # when we own the instance — an existing cluster sizes itself.
-        addr = os.environ.get("RAY_ADDRESS", "local")
-        kw = {"num_cpus": args.num_cpus} if addr == "local" else {}
-        ray.init(address=addr, include_dashboard=False,
-                 logging_level="ERROR", **kw)
+        ray.init(**_ray_init_kwargs(
+            os.environ.get("RAY_ADDRESS", "local"), args.num_cpus))
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

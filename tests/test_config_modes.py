@@ -29,3 +29,15 @@ def test_actor_pool_enrich_mode(ray_session, tiny_transcripts, expected):
 def test_hash_shuffle_mode(ray_session, tiny_transcripts, expected):
     cfg = PipelineConfig(num_parts=8, shuffle="hash")
     assert _docs(tiny_transcripts, cfg) == expected
+
+
+def test_cli_ray_init_kwargs_cluster_vs_local():
+    from aushape_ray.__main__ import _ray_init_kwargs
+
+    local = _ray_init_kwargs("local", 8)
+    assert local["address"] == "local" and local["num_cpus"] == 8
+    # under `ray job submit` RAY_ADDRESS points at the cluster: attach,
+    # and never pass num_cpus (ray.init rejects it for existing clusters)
+    attach = _ray_init_kwargs("ray://head:10001", 8)
+    assert attach["address"] == "ray://head:10001"
+    assert "num_cpus" not in attach
