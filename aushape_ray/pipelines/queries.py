@@ -822,6 +822,56 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority"""
 
 
+def q_part_brand_revenue(sf_dir: str):
+    """Revenue by part brand (TPC-H Q14 family): lineitem x part on
+    partkey — BOTH sides scale with SF (part is 1/30 of lineitem, far
+    past broadcast at 100 TB), so this is the partitioned hash join,
+    with each side pre-projected to its minimal columns (lineitem ships
+    (key, cents); part ships (key, brand)) before the exchange and the
+    brand totals pre-aggregated per task after it."""
+    from ..functions.joins import hash_join
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        price = np.asarray(t.column("l_extendedprice"), np.float64)
+        disc = np.asarray(t.column("l_discount"), np.float64)
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "cents": pa.array(
+                np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)),
+        })
+
+    li = _read_table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_proj, batch_format="pyarrow")
+    part = _read_table(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = hash_join(li, part, "l_partkey", "p_partkey", n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_brand": t.column("p_brand").to_pylist(),
+            "cents": t.column("cents").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "p_brand").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def sql_part_brand_revenue() -> str:
+    return """
+SELECT p.p_brand,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand"""
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H Q5 shape: 1996 revenue from LOCAL suppliers (supplier and
     customer in the same nation) per nation of one region — the
@@ -6030,6 +6080,7 @@ def build_registry(transcript_sf: str = SF001):
         "q1_pricing": q_q1_pricing,
         "orders_priority_revenue": q_orders_priority_revenue,
         "nation_revenue": q_nation_revenue,
+        "part_brand_revenue": q_part_brand_revenue,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6192,8 +6243,8 @@ _WINDOW_ROTATION = [
     # then r4-witnessed entries, oldest-witness first
     "events_window_distinct", "doc_cap_per_source",
     "doc_split_assign", "doc_split_group", "doc_ngram_novelty",
-    "nation_revenue", "doc_len_filter_pct",
-    "events_heavy_hitters", "doc_decontaminate_bloom", "events_late_data",
+    "nation_revenue", "doc_len_filter_pct", "part_brand_revenue",
+    "events_heavy_hitters", "doc_decontaminate_bloom",
 ]
 
 
@@ -6220,6 +6271,7 @@ def _build_oracle(t01):
         "t_norm": sql_t_norm(t01),
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
         "nation_revenue": sql_nation_revenue(),
+        "part_brand_revenue": sql_part_brand_revenue(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

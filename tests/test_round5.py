@@ -950,3 +950,22 @@ def test_doc_len_filter_pct_matches_oracle(ray_session):
     n_docs = _duckdb_views(sf).execute(
         "SELECT count(*) FROM documents").fetchone()[0]
     assert 0 < len(got) < n_docs
+
+
+def test_part_brand_revenue_matches_oracle(ray_session):
+    """Both-sides-large lineitem x part hash join: exact parity with the
+    DuckDB oracle at sf0.001 (this query makes `part` the tenth and last
+    input table exercised by the registry)."""
+    from aushape_ray.pipelines.queries import (q_part_brand_revenue,
+                                               sql_part_brand_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_part_brand_revenue(sf).to_pandas() \
+        .sort_values("p_brand", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_part_brand_revenue()).df() \
+        .sort_values("p_brand", ignore_index=True)
+    assert got["p_brand"].tolist() == exp["p_brand"].tolist()
+    assert got["n_items"].astype(int).tolist() == exp["n_items"].tolist()
+    assert (got["revenue_cents"].astype(int).tolist()
+            == exp["revenue_cents"].tolist())
+    assert len(got) > 1
