@@ -1056,6 +1056,56 @@ r AS (
 SELECT day, user_id, n, rank::BIGINT AS rank FROM r WHERE rank <= 3"""
 
 
+def q_events_pivot_daily(sf_dir: str):
+    """Dynamic-schema pivot (crosstab): one wide row per day, one int64
+    count column PER DISCOVERED event_type — the output schema is data.
+    Pass 1 discovers the column set (Dataset.unique on event_type — a
+    k-row aggregate, k = |type domain|, never the rows); pass 2 pivots
+    each batch to the wide layout locally (pd.crosstab against the FIXED
+    category list, so every task emits the identical schema with 0-fill)
+    and a single day-keyed groupby Sums the wide partials — the exchange
+    carries days x k ints, not events.  The SQL oracle is DuckDB's
+    dynamic PIVOT, so the column-name agreement is itself the check that
+    discovery found exactly the true domain."""
+    US_DAY = 86_400_000_000
+    ds = _read_table(sf_dir, "events", ["ts", "event_type"])
+    types = sorted(ds.unique("event_type"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // US_DAY) * US_DAY
+        cat = pd.Categorical(t.column("event_type").to_pylist(),
+                             categories=types)
+        w = pd.crosstab(pd.Series(day, name="day_us"),
+                        pd.Series(cat, name="et"), dropna=False)
+        cols = {"day_us": pa.array(w.index.to_numpy(np.int64))}
+        for typ in types:
+            cols[typ] = pa.array(w[typ].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    wide = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "day_us").aggregate(*[Sum(t, alias_name=t) for t in types])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"day": t.column("day_us").cast(pa.int64()).cast(
+            pa.timestamp("us"))}
+        for typ in types:
+            cols[typ] = t.column(typ).cast(pa.int64())
+        return pa.table(cols)
+
+    return wide.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_pivot_daily() -> str:
+    return """
+SELECT * FROM (
+  PIVOT (SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000)
+                  AS day,
+                event_type
+         FROM events)
+  ON event_type USING count(*) GROUP BY day)"""
+
+
 def q_events_tumbling(sf_dir: str):
     from ..functions.windows import tumbling_counts
 
@@ -6081,6 +6131,7 @@ def build_registry(transcript_sf: str = SF001):
         "orders_priority_revenue": q_orders_priority_revenue,
         "nation_revenue": q_nation_revenue,
         "part_brand_revenue": q_part_brand_revenue,
+        "events_pivot_daily": q_events_pivot_daily,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6244,7 +6295,7 @@ _WINDOW_ROTATION = [
     "events_window_distinct", "doc_cap_per_source",
     "doc_split_assign", "doc_split_group", "doc_ngram_novelty",
     "nation_revenue", "doc_len_filter_pct", "part_brand_revenue",
-    "events_heavy_hitters", "doc_decontaminate_bloom",
+    "events_pivot_daily", "events_heavy_hitters",
 ]
 
 
@@ -6272,6 +6323,7 @@ def _build_oracle(t01):
         "lineitem_top_revenue": sql_lineitem_top_revenue(),
         "nation_revenue": sql_nation_revenue(),
         "part_brand_revenue": sql_part_brand_revenue(),
+        "events_pivot_daily": sql_events_pivot_daily(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

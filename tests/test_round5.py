@@ -969,3 +969,24 @@ def test_part_brand_revenue_matches_oracle(ray_session):
     assert (got["revenue_cents"].astype(int).tolist()
             == exp["revenue_cents"].tolist())
     assert len(got) > 1
+
+
+def test_events_pivot_daily_matches_oracle(ray_session):
+    """Dynamic-schema pivot: the discovered wide column set and every
+    per-day count match DuckDB's dynamic PIVOT at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_events_pivot_daily,
+                                               sql_events_pivot_daily)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_pivot_daily(sf).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_pivot_daily()).df() \
+        .sort_values("day", ignore_index=True)
+    assert sorted(got.columns) == sorted(exp.columns)
+    exp = exp[got.columns.tolist()]
+    assert got["day"].tolist() == exp["day"].tolist()
+    for c in got.columns:
+        if c == "day":
+            continue
+        assert got[c].astype(int).tolist() == exp[c].tolist(), c
+    assert len(got.columns) >= 3  # the pivot actually widened
