@@ -103,6 +103,46 @@ def sessionize(ds: "ray.data.Dataset", gap_s: int = 1800,
         per_partition, batch_format="pandas")
 
 
+def debounce(ds: "ray.data.Dataset", min_gap_s: int = 60,
+             n_parts: int = 64) -> "ray.data.Dataset":
+    """Per-(user_id, event_type) event throttling (telemetry debounce):
+    keep an event iff it is its key's first, or arrives more than
+    min_gap_s after the PREVIOUS event of that key.  "Previous" is the
+    previous event in (ts, event_id) order — not the previous KEPT one:
+    the stateless-lag semantics is SQL-window-expressible and
+    embarrassingly partitionable, where chained suppression would be a
+    serial scan per key.  Same coarse hash(user_id)-partition +
+    one-vectorized-pandas-pass shape as sessionize (event_type only
+    subdivides within a user's rows, so partitioning on user alone
+    keeps every key whole)."""
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        from .joins import hash_part
+
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "part": pa.array(hash_part(uid, n_parts)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                           ignore_index=True)
+        same = (df["user_id"].eq(df["user_id"].shift())
+                & df["event_type"].eq(df["event_type"].shift()))
+        keep = (~same) | (df["ts_us"].diff() > min_gap_s * 1_000_000)
+        return df.loc[keep, ["event_id"]]
+
+    per_partition.__name__ = "debounce_partition"
+    return ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")
+
+
 def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
                      n_parts: int = 32,
                      order_col: str = "event_id") -> "ray.data.Dataset":

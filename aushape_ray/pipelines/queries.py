@@ -1261,6 +1261,31 @@ def q_events_sessionize(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_events_debounce(sf_dir: str):
+    """Telemetry debounce/throttle: the event_ids that survive a 6 h
+    per-(user, event_type) suppression window (functions/windows.debounce
+    — stateless-lag semantics, one coarse user-hash exchange)."""
+    from ..functions.windows import debounce
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "event_type", "ts"])
+    out = debounce(ds, min_gap_s=21600)
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t.column("event_id").cast(
+            pa.int64())}), batch_format="pyarrow")
+
+
+def sql_events_debounce() -> str:
+    return """
+WITH g AS (
+  SELECT event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT event_id FROM g WHERE gap IS NULL OR gap > 21600000000"""
+
+
 def sql_events_sessionize() -> str:
     return """
 WITH o AS (
@@ -6132,6 +6157,7 @@ def build_registry(transcript_sf: str = SF001):
         "nation_revenue": q_nation_revenue,
         "part_brand_revenue": q_part_brand_revenue,
         "events_pivot_daily": q_events_pivot_daily,
+        "events_debounce": q_events_debounce,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6295,7 +6321,7 @@ _WINDOW_ROTATION = [
     "events_window_distinct", "doc_cap_per_source",
     "doc_split_assign", "doc_split_group", "doc_ngram_novelty",
     "nation_revenue", "doc_len_filter_pct", "part_brand_revenue",
-    "events_pivot_daily", "events_heavy_hitters",
+    "events_pivot_daily", "events_debounce",
 ]
 
 
@@ -6324,6 +6350,7 @@ def _build_oracle(t01):
         "nation_revenue": sql_nation_revenue(),
         "part_brand_revenue": sql_part_brand_revenue(),
         "events_pivot_daily": sql_events_pivot_daily(),
+        "events_debounce": sql_events_debounce(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -990,3 +990,19 @@ def test_events_pivot_daily_matches_oracle(ray_session):
             continue
         assert got[c].astype(int).tolist() == exp[c].tolist(), c
     assert len(got.columns) >= 3  # the pivot actually widened
+
+
+def test_events_debounce_matches_oracle(ray_session):
+    """Per-key throttle: kept event_ids match the SQL lag replica at
+    sf0.001, and the filter is non-trivial in both directions."""
+    from aushape_ray.pipelines.queries import (q_events_debounce,
+                                               sql_events_debounce)
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(r["event_id"]
+                 for r in q_events_debounce(sf).take_all())
+    con = _duckdb_views(sf)
+    exp = sorted(r[0] for r in con.execute(sql_events_debounce()).fetchall())
+    assert got == exp
+    n = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert 0 < len(got) < n
