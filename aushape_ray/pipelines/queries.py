@@ -822,6 +822,102 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority"""
 
 
+def q_orders_size_histogram(sf_dir: str):
+    """Aggregate-of-aggregate (two-level re-key): the distribution of
+    order SIZES — count lineitems per order, then count orders per
+    size.  Level 1 pre-counts per batch so the orderkey exchange moves
+    partial counts, not rows; level 2 re-keys the (orderkey, n_items)
+    aggregate by its VALUE — the second exchange is |distinct sizes|
+    buckets of partial histograms, a few dozen rows total at any SF."""
+    li = _read_table(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("l_orderkey").combine_chunks()
+        vc = v.value_counts()
+        return pa.table({
+            "l_orderkey": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    sizes = li.map_batches(partial, batch_format="pyarrow").groupby(
+        "l_orderkey").aggregate(Sum("n", alias_name="n_items"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column("n_items").cast(pa.int64()).combine_chunks()
+        vc = v.value_counts()
+        return pa.table({
+            "n_items": vc.field("values"),
+            "c": vc.field("counts").cast(pa.int64()),
+        })
+
+    return sizes.map_batches(hist_partial, batch_format="pyarrow").groupby(
+        "n_items").aggregate(Sum("c", alias_name="n_orders"))
+
+
+def sql_orders_size_histogram() -> str:
+    return """
+WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS n_items
+           FROM lineitem GROUP BY l_orderkey)
+SELECT n_items, count(*)::BIGINT AS n_orders FROM c GROUP BY n_items"""
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): detail rows plus per-type
+    subtotals plus the grand total, NULL-padded exactly like SQL.  The
+    raw events are touched ONCE (per-batch partials -> one
+    (type, day) groupby); both rollup levels derive from that base
+    aggregate — a |types|-row groupby and an O(1) driver reduce — so
+    the subtotal levels are free at any scale."""
+    US_DAY = 86_400_000_000
+    ds = _read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // US_DAY) * US_DAY
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day_us": day,
+        }).groupby(["event_type", "day_us"], as_index=False).size()
+        g.columns = ["event_type", "day_us", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "day_us"]).aggregate(Sum("n", alias_name="n"))
+
+    def detail(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": t.column("day_us").cast(pa.int64()).cast(
+                pa.timestamp("us")),
+            "n": t.column("n").cast(pa.int64()),
+        })
+
+    def subtotal(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "day": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "n": t.column("n").cast(pa.int64()),
+        })
+
+    lvl1 = base.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+    total = int(base.aggregate(Sum("n", alias_name="n"))["n"])
+    tot_ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.nulls(1, pa.string()),
+        "day": pa.nulls(1, pa.timestamp("us")),
+        "n": pa.array([total], pa.int64()),
+    }))
+    return base.map_batches(detail, batch_format="pyarrow").union(
+        lvl1.map_batches(subtotal, batch_format="pyarrow"), tot_ds)
+
+
+def sql_events_rollup() -> str:
+    return """
+SELECT event_type,
+       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+       count(*)::BIGINT AS n
+FROM events GROUP BY ROLLUP(event_type, day)"""
+
+
 def q_part_brand_revenue(sf_dir: str):
     """Revenue by part brand (TPC-H Q14 family): lineitem x part on
     partkey — BOTH sides scale with SF (part is 1/30 of lineitem, far
@@ -6158,6 +6254,8 @@ def build_registry(transcript_sf: str = SF001):
         "part_brand_revenue": q_part_brand_revenue,
         "events_pivot_daily": q_events_pivot_daily,
         "events_debounce": q_events_debounce,
+        "orders_size_histogram": q_orders_size_histogram,
+        "events_rollup": q_events_rollup,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6313,15 +6411,18 @@ _WINDOW_ROTATION = [
     "events_quantiles", "doc_dedup_keep_first", "doc_token_stats",
     "doc_char_stats", "doc_quality", "doc_lang_id", "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
-    "events_quantiles_exact", "doc_idf", "doc_curation",
-    "events_sample_stratified", "events_window_anomaly", "ann_topk",
+    "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
+    # (events_sample_stratified / events_window_anomaly — witnessed in
+    # r1-r3 — yield their slots to never-witnessed round-5 operators;
+    # they stay oracle-gated in CHECKLOCAL)
     # fill block: first the four round-5 NEW oracle-backed operators
     # (never driver-witnessed — they did not exist before this round),
     # then r4-witnessed entries, oldest-witness first
     "events_window_distinct", "doc_cap_per_source",
     "doc_split_assign", "doc_split_group", "doc_ngram_novelty",
     "nation_revenue", "doc_len_filter_pct", "part_brand_revenue",
-    "events_pivot_daily", "events_debounce",
+    "events_pivot_daily", "events_debounce", "orders_size_histogram",
+    "events_rollup",
 ]
 
 
@@ -6351,6 +6452,8 @@ def _build_oracle(t01):
         "part_brand_revenue": sql_part_brand_revenue(),
         "events_pivot_daily": sql_events_pivot_daily(),
         "events_debounce": sql_events_debounce(),
+        "orders_size_histogram": sql_orders_size_histogram(),
+        "events_rollup": sql_events_rollup(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -1006,3 +1006,38 @@ def test_events_debounce_matches_oracle(ray_session):
     assert got == exp
     n = con.execute("SELECT count(*) FROM events").fetchone()[0]
     assert 0 < len(got) < n
+
+
+def test_orders_size_histogram_matches_oracle(ray_session):
+    """Two-level re-keyed aggregation: order-size distribution matches
+    the SQL nested-aggregate at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_orders_size_histogram,
+                                               sql_orders_size_histogram)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_orders_size_histogram(sf).to_pandas() \
+        .sort_values("n_items", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_orders_size_histogram()).df() \
+        .sort_values("n_items", ignore_index=True)
+    assert got["n_items"].astype(int).tolist() == exp["n_items"].tolist()
+    assert got["n_orders"].astype(int).tolist() == exp["n_orders"].tolist()
+    assert len(got) > 3  # a real distribution, not a point mass
+
+
+def test_events_rollup_matches_oracle(ray_session):
+    """ROLLUP(event_type, day): detail + per-type subtotal + grand total
+    rows all match DuckDB, including NULL padding, at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_events_rollup,
+                                               sql_events_rollup)
+
+    sf = "/root/testdata/sf0.001"
+    key = ["event_type", "day", "n"]
+    got = q_events_rollup(sf).to_pandas()
+    exp = _duckdb_views(sf).execute(sql_events_rollup()).df()
+    g = sorted(map(tuple, got[key].astype(str).itertuples(index=False)))
+    e = sorted(map(tuple, exp[key].astype(str).itertuples(index=False)))
+    assert g == e
+    # structural: exactly one grand total, one subtotal per type
+    assert int(got["day"].isna().sum()) == int(got["event_type"].nunique(
+        dropna=True)) + 1
+    assert int(got["event_type"].isna().sum()) == 1
