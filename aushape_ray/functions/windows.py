@@ -143,6 +143,46 @@ def debounce(ds: "ray.data.Dataset", min_gap_s: int = 60,
         per_partition, batch_format="pandas")
 
 
+def running_total(ds: "ray.data.Dataset", n_parts: int = 64) -> "ray.data.Dataset":
+    """Per-user running total — the SQL window function
+    SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING), row-per-event output.
+
+    Same coarse hash(user_id)-partition shape as sessionize/debounce:
+    every user's rows land whole in ONE partition (one exchange), and the
+    partition is processed in a single vectorized pass — sort by
+    (user, ts, event_id), one grouped cumsum — never a per-user Python
+    call.  Values go through integer cents (floor(v*100+0.5)) so the
+    running sums are order-independent ints, exact at any accumulation
+    depth < 2^53 and hash-equal to the SQL replica."""
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        from .joins import hash_part
+
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = np.asarray(batch.column("value"), np.float64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "part": pa.array(hash_part(uid, n_parts)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us", "event_id"],
+                           ignore_index=True)
+        run = df.groupby("user_id", sort=False)["cents"].cumsum()
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "running_cents": run.astype("int64")})
+
+    per_partition.__name__ = "running_total_partition"
+    return ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")
+
+
 def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
                      n_parts: int = 32,
                      order_col: str = "event_id") -> "ray.data.Dataset":

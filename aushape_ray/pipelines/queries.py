@@ -968,6 +968,149 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand"""
 
 
+def q_orders_monthly_growth(sf_dir: str):
+    """Window function OVER an aggregate (LAG): monthly revenue plus the
+    previous month's figure and the month-over-month delta.  The raw
+    table is touched once — per-batch partials keyed by calendar month
+    (numpy datetime64[M] truncation — identical to SQL date_trunc) —
+    and the LAG itself runs DRIVER-side over the reduced month axis,
+    which is bounded by the CALENDAR WINDOW (80 rows here), a constant
+    of the dataset's time span, not of SF: at 100 TB the aggregate is
+    still a few hundred rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)
+        month = d.astype("datetime64[M]")
+        price = np.asarray(t.column("o_totalprice"), np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        mu, mi = np.unique(month, return_inverse=True)
+        # float64 bincount weights exact: per-batch cent sums << 2^53
+        sums = np.bincount(mi, weights=cents.astype(np.float64))
+        return pa.table({
+            "month_us": pa.array(mu.astype("datetime64[us]").astype(
+                np.int64), pa.int64()),
+            "c": pa.array(sums.astype(np.int64)),
+        })
+
+    agg = _read_table(sf_dir, "orders",
+                      ["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow").groupby("month_us").aggregate(
+        Sum("c", alias_name="revenue_cents"))
+    rows = sorted(agg.take_all(), key=lambda r: r["month_us"])  # bounded
+    rev = [int(r["revenue_cents"]) for r in rows]
+    prev = [None] + rev[:-1]
+    return ray.data.from_arrow(pa.table({
+        "month": pa.array([r["month_us"] for r in rows],
+                          pa.int64()).cast(pa.timestamp("us")),
+        "revenue_cents": pa.array(rev, pa.int64()),
+        "prev_cents": pa.array(prev, pa.int64()),
+        "delta_cents": pa.array(
+            [None if p is None else r - p for r, p in zip(rev, prev)],
+            pa.int64()),
+    }))
+
+
+def sql_orders_monthly_growth() -> str:
+    return """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS revenue_cents
+  FROM orders GROUP BY 1)
+SELECT month, revenue_cents,
+       lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+       (revenue_cents - lag(revenue_cents) OVER (ORDER BY month))::BIGINT
+           AS delta_cents
+FROM m"""
+
+
+def q_lineitem_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — a table joined back to ITS OWN aggregate (the
+    decorrelated correlated subquery): total revenue of lineitems whose
+    quantity is below 20% of their part's average quantity.
+
+    lineitem is read once per side of the self-join: side 1 pre-counts
+    (n, sum_qty_cents) per partkey in map_batches so the aggregate
+    exchange moves one row per (batch, partkey); side 2 projects to
+    (partkey, qty_cents, price_cents).  The two meet in the partitioned
+    hash_join on partkey — the aggregate side is |part| rows, which
+    scales with SF, so no broadcast.  The below-average test is pure
+    integer math (5 * n * qty_cents < sum_qty_cents  <=>
+    qty < 0.2 * avg(qty)) — no float division on either engine, so the
+    filter is bit-exact vs the SQL replica.  The qualifying rows reduce
+    to per-task partials; the final exchange is one row per task."""
+    from ..functions.joins import hash_join
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        q = np.asarray(t.column("l_quantity"), np.float64)
+        qc = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        ku, ki = np.unique(pk, return_inverse=True)
+        n = np.bincount(ki)
+        s = np.bincount(ki, weights=qc.astype(np.float64))
+        return pa.table({
+            "l_partkey": pa.array(ku, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "sum_qty_cents": pa.array(s.astype(np.int64)),
+        })
+
+    avgs = _read_table(sf_dir, "lineitem",
+                       ["l_partkey", "l_quantity"]).map_batches(
+        qty_partial, batch_format="pyarrow").groupby("l_partkey").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"))
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        q = np.asarray(t.column("l_quantity"), np.float64)
+        p = np.asarray(t.column("l_extendedprice"), np.float64)
+        return pa.table({
+            "l_partkey": t.column("l_partkey").cast(pa.int64()),
+            "qty_cents": pa.array(np.floor(q * 100.0 + 0.5).astype(
+                np.int64)),
+            "price_cents": pa.array(np.floor(p * 100.0 + 0.5).astype(
+                np.int64)),
+        })
+
+    li = _read_table(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity",
+                      "l_extendedprice"]).map_batches(
+        li_proj, batch_format="pyarrow")
+    joined = hash_join(li, avgs, "l_partkey", "l_partkey", n_buckets=16)
+
+    def qual_partial(t: pa.Table) -> pa.Table:
+        qc = t.column("qty_cents").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("sum_qty_cents").to_numpy(zero_copy_only=False)
+        pc_ = t.column("price_cents").to_numpy(zero_copy_only=False)
+        keep = 5 * n * qc < s
+        return pa.table({
+            "n_qualifying": pa.array([int(keep.sum())], pa.int64()),
+            "sum_price_cents": pa.array([int(pc_[keep].sum())], pa.int64()),
+        })
+
+    return joined.map_batches(
+        qual_partial, batch_format="pyarrow").groupby(None).aggregate(
+        Sum("n_qualifying", alias_name="n_qualifying"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"))
+
+
+def sql_lineitem_small_qty_revenue() -> str:
+    return """
+WITH q AS (
+  SELECT l_partkey, count(*)::BIGINT AS n,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+             AS sum_qty_cents
+  FROM lineitem GROUP BY l_partkey)
+SELECT count(*)::BIGINT AS n_qualifying,
+       sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS sum_price_cents
+FROM lineitem l JOIN q ON l.l_partkey = q.l_partkey
+WHERE 5 * q.n * CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+      < q.sum_qty_cents"""
+
+
 def q_nation_revenue(sf_dir: str):
     """TPC-H Q5 shape: 1996 revenue from LOCAL suppliers (supplier and
     customer in the same nation) per nation of one region — the
@@ -1394,6 +1537,88 @@ SELECT user_id,
                      THEN 1 ELSE 0 END))::BIGINT AS n_sessions,
        count(*)::BIGINT AS n_events
 FROM o GROUP BY user_id"""
+
+
+def q_events_running_total(sf_dir: str):
+    """Row-per-event window function: each event's per-user running
+    total, SUM OVER (PARTITION BY user ORDER BY ts, event_id) — the
+    canonical cumulative metric (lifetime spend so far at each event).
+    functions/windows.running_total: one coarse user-hash exchange, one
+    vectorized sort+grouped-cumsum pass per partition, integer cents."""
+    from ..functions.windows import running_total
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "value"])
+    return running_total(ds).map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "running_cents": t.column("running_cents").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_events_running_total() -> str:
+    return """
+SELECT event_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+FROM events"""
+
+
+def q_events_cooccur_types(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, the number of DISTINCT users that emitted both — the
+    self-join-on-distinct shape (feature co-occurrence / basket
+    analysis).
+
+    Never an all-to-all self-join of the raw table: each batch first
+    reduces to its distinct (user, type) rows, then ONE coarse
+    user-hash exchange co-locates each user's rows, and the pair space
+    is generated per-partition by a pandas self-merge over the deduped
+    frame — per user that is C(k,2) with k <= |event types| (a small
+    constant), so the emitted volume is bounded by users x C(T,2).  The
+    partition pre-counts pairs, and the closing groupby moves <= C(T,2)
+    rows per partition."""
+    from ..functions.joins import hash_part
+
+    n_parts = 32
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id", "event_type"]).group_by(
+            ["user_id", "event_type"]).aggregate([])
+        uid = g.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return g.append_column("part",
+                               pa.array(hash_part(uid, n_parts)))
+
+    def pairs_partial(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "event_type"])
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"],
+                        as_index=False).size()
+        out.columns = ["type_a", "type_b", "n_users"]
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    pairs_partial.__name__ = "cooccur_partition"
+    ds = _read_table(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(
+        distinct_partial, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        pairs_partial, batch_format="pandas")
+    return partials.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+
+def sql_events_cooccur_types() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2"""
 
 
 # --------------------------------------------------------------------------
@@ -6256,6 +6481,10 @@ def build_registry(transcript_sf: str = SF001):
         "events_debounce": q_events_debounce,
         "orders_size_histogram": q_orders_size_histogram,
         "events_rollup": q_events_rollup,
+        "orders_monthly_growth": q_orders_monthly_growth,
+        "lineitem_small_qty_revenue": q_lineitem_small_qty_revenue,
+        "events_running_total": q_events_running_total,
+        "events_cooccur_types": q_events_cooccur_types,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6402,9 +6631,14 @@ _WINDOW_ROTATION = [
     "t_sink_counts", "t_event_envelope", "t_turn_kind_counts",
     "t_uid_interp", "t_syscall_interp", "t_proctitle_decode",
     "t_path_names", "t_node_counts", "t_execve_argv",
-    # round-5 focus: the 31 oracle-backed queries outside the r4 window
-    "events_tumbling", "events_type_distinct", "events_props_stats",
-    "t_norm", "lineitem_top_revenue", "events_sessionize",
+    # round-5 focus: oracle-backed queries outside the r4 window.
+    # (events_tumbling / events_type_distinct / events_props_stats /
+    # events_sessionize — witnessed in r1+r2+r3, the best-covered of the
+    # block — yield their slots to the four operators added after the
+    # final gate refresh, which would otherwise never be witnessed:
+    # orders_monthly_growth, lineitem_small_qty_revenue,
+    # events_running_total, events_cooccur_types.)
+    "t_norm", "lineitem_top_revenue",
     "events_sliding", "events_asof_prev_error", "events_range_join",
     "events_funnel", "events_hot_users", "events_latest_by_user",
     "t_kind_bigrams", "t_field_histogram", "customers_no_orders",
@@ -6423,6 +6657,8 @@ _WINDOW_ROTATION = [
     "nation_revenue", "doc_len_filter_pct", "part_brand_revenue",
     "events_pivot_daily", "events_debounce", "orders_size_histogram",
     "events_rollup",
+    "orders_monthly_growth", "lineitem_small_qty_revenue",
+    "events_running_total", "events_cooccur_types",
 ]
 
 
@@ -6454,6 +6690,10 @@ def _build_oracle(t01):
         "events_debounce": sql_events_debounce(),
         "orders_size_histogram": sql_orders_size_histogram(),
         "events_rollup": sql_events_rollup(),
+        "orders_monthly_growth": sql_orders_monthly_growth(),
+        "lineitem_small_qty_revenue": sql_lineitem_small_qty_revenue(),
+        "events_running_total": sql_events_running_total(),
+        "events_cooccur_types": sql_events_cooccur_types(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -1041,3 +1041,87 @@ def test_events_rollup_matches_oracle(ray_session):
     assert int(got["day"].isna().sum()) == int(got["event_type"].nunique(
         dropna=True)) + 1
     assert int(got["event_type"].isna().sum()) == 1
+
+
+def test_orders_monthly_growth_matches_oracle(ray_session):
+    """LAG over an aggregate: per-month revenue, previous month and the
+    delta (including the NULL first row) match DuckDB at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_orders_monthly_growth,
+                                               sql_orders_monthly_growth)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_orders_monthly_growth(sf).to_pandas() \
+        .sort_values("month", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_orders_monthly_growth()).df() \
+        .sort_values("month", ignore_index=True)
+    assert got["month"].tolist() == exp["month"].tolist()
+    for c in ("revenue_cents", "prev_cents", "delta_cents"):
+        g, e = got[c].astype("Int64"), exp[c].astype("Int64")
+        assert ((g.isna() & e.isna()) | (g == e)).all(), c
+    # the window is real: exactly one NULL lag row, a multi-month axis
+    assert int(got["prev_cents"].isna().sum()) == 1
+    assert len(got) > 12
+
+
+def test_lineitem_small_qty_revenue_matches_oracle(ray_session):
+    """TPC-H Q17 shape (join back to own aggregate): the integer-domain
+    below-average filter and both totals match DuckDB at sf0.001, and
+    the filter is non-trivial in both directions."""
+    from aushape_ray.pipelines.queries import (
+        q_lineitem_small_qty_revenue, sql_lineitem_small_qty_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_lineitem_small_qty_revenue(sf).to_pandas()
+    exp = _duckdb_views(sf).execute(sql_lineitem_small_qty_revenue()).df()
+    assert len(got) == 1
+    n = int(got["n_qualifying"].iloc[0])
+    assert n == int(exp["n_qualifying"].iloc[0])
+    assert (int(got["sum_price_cents"].iloc[0])
+            == int(exp["sum_price_cents"].iloc[0]))
+    total = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM lineitem").fetchone()[0]
+    assert 0 < n < total
+
+
+def test_events_running_total_matches_oracle(ray_session):
+    """Row-per-event window function SUM OVER (PARTITION BY user ORDER
+    BY ts, event_id): every running value matches the SQL window at
+    sf0.001, and the totals actually accumulate."""
+    from aushape_ray.pipelines.queries import (q_events_running_total,
+                                               sql_events_running_total)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_running_total(sf).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_running_total()).df() \
+        .sort_values("event_id", ignore_index=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert (got["running_cents"].astype(int).tolist()
+            == exp["running_cents"].tolist())
+    n_events = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM events").fetchone()[0]
+    assert len(got) == n_events  # row-per-event output
+    assert got["running_cents"].max() > got["running_cents"].min()
+
+
+def test_events_cooccur_types_matches_oracle(ray_session):
+    """Distinct-pair self-join (market basket): per-pair distinct-user
+    counts match the SQL self-join at sf0.001; pair orientation is
+    canonical (type_a < type_b) and counts are bounded by the user
+    universe."""
+    from aushape_ray.pipelines.queries import (q_events_cooccur_types,
+                                               sql_events_cooccur_types)
+
+    sf = "/root/testdata/sf0.001"
+    key = ["type_a", "type_b"]
+    got = q_events_cooccur_types(sf).to_pandas() \
+        .sort_values(key, ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_cooccur_types()).df() \
+        .sort_values(key, ignore_index=True)
+    assert got[key].values.tolist() == exp[key].values.tolist()
+    assert got["n_users"].astype(int).tolist() == exp["n_users"].tolist()
+    assert (got["type_a"] < got["type_b"]).all()
+    n_users = _duckdb_views(sf).execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert got["n_users"].max() <= n_users
+    assert len(got) >= 3
