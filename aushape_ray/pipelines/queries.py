@@ -1621,6 +1621,105 @@ FROM d a JOIN d b ON a.user_id = b.user_id
 GROUP BY 1, 2"""
 
 
+def q_events_user_churn(sf_dir: str):
+    """Daily active / new / churned users — the temporal set-difference
+    (this day's user set EXCEPT yesterday's, both directions) every
+    product-telemetry pipeline reports.  n_new counts users active
+    today with no activity yesterday; n_churned counts users active
+    YESTERDAY with none today (booked on the day they went missing, so
+    a churn row can exist past the last active day).
+
+    Never a day-by-day self-join: each batch reduces to its distinct
+    (user, day) rows; ONE coarse user-hash exchange co-locates each
+    user's day set; a single vectorized pass over the sorted partition
+    (consecutive-day run detection — same kernel family as t_conv_gaps)
+    classifies every row and pre-counts per day, so the closing groupby
+    moves <= days x 3 counters per partition."""
+    from ..functions.joins import hash_part
+
+    US_DAY = 86_400_000_000
+    n_parts = 32
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t.column("ts").cast(pa.int64()),
+                        pa.scalar(US_DAY, pa.int64()))
+        g = pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "day": day,
+        }).group_by(["user_id", "day"]).aggregate([])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("part", pa.array(hash_part(uid, n_parts)))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], ignore_index=True)
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        cont = np.zeros(len(d), bool)  # row i continues row i-1's run
+        if len(d) > 1:
+            cont[1:] = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        new = ~cont
+        ends_run = np.ones(len(d), bool)  # no activity on day + 1
+        if len(d) > 1:
+            ends_run[:-1] = ~cont[1:]
+        active = pd.DataFrame({
+            "day": d, "n_active": 1, "n_new": new.astype(np.int64),
+            "n_churned": 0})
+        churn = pd.DataFrame({
+            "day": d[ends_run] + 1, "n_active": 0, "n_new": 0,
+            "n_churned": 1})
+        out = pd.concat([active, churn]).groupby(
+            "day", as_index=False).sum()
+        return out.astype({"day": "int64", "n_active": "int64",
+                           "n_new": "int64", "n_churned": "int64"})
+
+    per_partition.__name__ = "churn_partition"
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+    agg = ds.map_batches(
+        distinct_partial, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas").groupby("day").aggregate(
+        Sum("n_active", alias_name="n_active"),
+        Sum("n_new", alias_name="n_new"),
+        Sum("n_churned", alias_name="n_churned"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.multiply(t.column("day").cast(pa.int64()),
+                               pa.scalar(US_DAY, pa.int64())).cast(
+                pa.timestamp("us")),
+            "n_active": t.column("n_active").cast(pa.int64()),
+            "n_new": t.column("n_new").cast(pa.int64()),
+            "n_churned": t.column("n_churned").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_events_user_churn() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 86400000000)::BIGINT AS day
+           FROM events),
+an AS (
+  SELECT cur.day, count(*)::BIGINT AS n_active,
+         (count(*) FILTER (prev.user_id IS NULL))::BIGINT AS n_new
+  FROM d cur LEFT JOIN d prev
+    ON prev.user_id = cur.user_id AND prev.day = cur.day - 1
+  GROUP BY cur.day),
+c AS (
+  SELECT prev.day + 1 AS day, count(*)::BIGINT AS n_churned
+  FROM d prev LEFT JOIN d cur
+    ON cur.user_id = prev.user_id AND cur.day = prev.day + 1
+  WHERE cur.user_id IS NULL
+  GROUP BY prev.day + 1)
+SELECT make_timestamp(coalesce(an.day, c.day) * 86400000000) AS day,
+       coalesce(n_active, 0)::BIGINT AS n_active,
+       coalesce(n_new, 0)::BIGINT AS n_new,
+       coalesce(n_churned, 0)::BIGINT AS n_churned
+FROM an FULL OUTER JOIN c ON an.day = c.day"""
+
+
 # --------------------------------------------------------------------------
 # documents: dedup + text analysis
 # --------------------------------------------------------------------------
@@ -6485,6 +6584,7 @@ def build_registry(transcript_sf: str = SF001):
         "lineitem_small_qty_revenue": q_lineitem_small_qty_revenue,
         "events_running_total": q_events_running_total,
         "events_cooccur_types": q_events_cooccur_types,
+        "events_user_churn": q_events_user_churn,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6637,11 +6737,12 @@ _WINDOW_ROTATION = [
     # block — yield their slots to the four operators added after the
     # final gate refresh, which would otherwise never be witnessed:
     # orders_monthly_growth, lineitem_small_qty_revenue,
-    # events_running_total, events_cooccur_types.)
+    # events_running_total, events_cooccur_types; customers_no_orders
+    # — also r1+r2+r3-witnessed — yields to events_user_churn.)
     "t_norm", "lineitem_top_revenue",
     "events_sliding", "events_asof_prev_error", "events_range_join",
     "events_funnel", "events_hot_users", "events_latest_by_user",
-    "t_kind_bigrams", "t_field_histogram", "customers_no_orders",
+    "t_kind_bigrams", "t_field_histogram",
     "events_quantiles", "doc_dedup_keep_first", "doc_token_stats",
     "doc_char_stats", "doc_quality", "doc_lang_id", "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
@@ -6658,7 +6759,7 @@ _WINDOW_ROTATION = [
     "events_pivot_daily", "events_debounce", "orders_size_histogram",
     "events_rollup",
     "orders_monthly_growth", "lineitem_small_qty_revenue",
-    "events_running_total", "events_cooccur_types",
+    "events_running_total", "events_cooccur_types", "events_user_churn",
 ]
 
 
@@ -6694,6 +6795,7 @@ def _build_oracle(t01):
         "lineitem_small_qty_revenue": sql_lineitem_small_qty_revenue(),
         "events_running_total": sql_events_running_total(),
         "events_cooccur_types": sql_events_cooccur_types(),
+        "events_user_churn": sql_events_user_churn(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

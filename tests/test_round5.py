@@ -1125,3 +1125,27 @@ def test_events_cooccur_types_matches_oracle(ray_session):
         "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert got["n_users"].max() <= n_users
     assert len(got) >= 3
+
+
+def test_events_user_churn_matches_oracle(ray_session):
+    """Temporal set-difference (daily active/new/churned users): every
+    day's three counters match the SQL self-join replica at sf0.001,
+    including the trailing churn-only day past the last active day."""
+    from aushape_ray.pipelines.queries import (q_events_user_churn,
+                                               sql_events_user_churn)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_user_churn(sf).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_user_churn()).df() \
+        .sort_values("day", ignore_index=True)
+    assert got["day"].tolist() == exp["day"].tolist()
+    for c in ("n_active", "n_new", "n_churned"):
+        assert got[c].astype(int).tolist() == exp[c].tolist(), c
+    # invariants of the definition: day 1 is all-new; every activity run
+    # starts new and ends churned, so the totals balance; the final row
+    # is the churn-only day after the corpus ends
+    assert int(got.loc[0, "n_new"]) == int(got.loc[0, "n_active"])
+    assert int(got["n_new"].sum()) == int(got["n_churned"].sum())
+    assert int(got.iloc[-1]["n_active"]) == 0
+    assert int(got.iloc[-1]["n_churned"]) > 0
