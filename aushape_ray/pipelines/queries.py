@@ -1621,6 +1621,62 @@ FROM d a JOIN d b ON a.user_id = b.user_id
 GROUP BY 1, 2"""
 
 
+def q_events_gap_median(sf_dir: str):
+    """Per-user EXACT median inter-event gap (with gap count) — a
+    derived-value order statistic: the windowed diff (LAG) feeds a
+    per-group exact median, no sketch.  Because the coarse user-hash
+    exchange lands every user's rows whole in one partition, BOTH steps
+    run in the same single vectorized pass (sort, diff, grouped
+    median) — one exchange total, and the output is one row per user
+    with >= 2 events.  The gap multiset depends only on each user's
+    sorted timestamp multiset, so any ts-consistent tie order yields
+    identical medians on both engines; medians of integer microsecond
+    gaps are .0/.5-representable doubles, hence bit-exact vs DuckDB's
+    quantile_cont."""
+    from ..functions.joins import hash_part
+
+    n_parts = 64
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "part": pa.array(hash_part(uid, n_parts)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us", "event_id"],
+                           ignore_index=True)
+        same = df["user_id"].eq(df["user_id"].shift())
+        d = pd.DataFrame({"user_id": df["user_id"],
+                          "gap": df["ts_us"].diff()})[same]
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), median_gap_us=("gap", "median"))
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        return out
+
+    per_partition.__name__ = "gap_median_partition"
+    ds = _read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")
+
+
+def sql_events_gap_median() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT user_id, count(gap)::BIGINT AS n_gaps,
+       median(gap) AS median_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+
+
 def q_events_user_churn(sf_dir: str):
     """Daily active / new / churned users — the temporal set-difference
     (this day's user set EXCEPT yesterday's, both directions) every
@@ -6585,6 +6641,7 @@ def build_registry(transcript_sf: str = SF001):
         "events_running_total": q_events_running_total,
         "events_cooccur_types": q_events_cooccur_types,
         "events_user_churn": q_events_user_churn,
+        "events_gap_median": q_events_gap_median,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -6738,12 +6795,13 @@ _WINDOW_ROTATION = [
     # final gate refresh, which would otherwise never be witnessed:
     # orders_monthly_growth, lineitem_small_qty_revenue,
     # events_running_total, events_cooccur_types; customers_no_orders
-    # — also r1+r2+r3-witnessed — yields to events_user_churn.)
+    # and events_quantiles — also r1+r2+r3-witnessed — yield to
+    # events_user_churn and events_gap_median.)
     "t_norm", "lineitem_top_revenue",
     "events_sliding", "events_asof_prev_error", "events_range_join",
     "events_funnel", "events_hot_users", "events_latest_by_user",
     "t_kind_bigrams", "t_field_histogram",
-    "events_quantiles", "doc_dedup_keep_first", "doc_token_stats",
+    "doc_dedup_keep_first", "doc_token_stats",
     "doc_char_stats", "doc_quality", "doc_lang_id", "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
     "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
@@ -6760,6 +6818,7 @@ _WINDOW_ROTATION = [
     "events_rollup",
     "orders_monthly_growth", "lineitem_small_qty_revenue",
     "events_running_total", "events_cooccur_types", "events_user_churn",
+    "events_gap_median",
 ]
 
 
@@ -6796,6 +6855,7 @@ def _build_oracle(t01):
         "events_running_total": sql_events_running_total(),
         "events_cooccur_types": sql_events_cooccur_types(),
         "events_user_churn": sql_events_user_churn(),
+        "events_gap_median": sql_events_gap_median(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -1149,3 +1149,29 @@ def test_events_user_churn_matches_oracle(ray_session):
     assert int(got["n_new"].sum()) == int(got["n_churned"].sum())
     assert int(got.iloc[-1]["n_active"]) == 0
     assert int(got.iloc[-1]["n_churned"]) > 0
+
+
+def test_events_gap_median_matches_oracle(ray_session):
+    """Derived-value order statistic: per-user exact median inter-event
+    gap is bit-identical to DuckDB's quantile_cont at sf0.001 (integer
+    microsecond gaps make every median .0/.5-representable)."""
+    import numpy as np
+
+    from aushape_ray.pipelines.queries import (q_events_gap_median,
+                                               sql_events_gap_median)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_gap_median(sf).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_gap_median()).df() \
+        .sort_values("user_id", ignore_index=True)
+    assert got["user_id"].astype(int).tolist() == exp["user_id"].tolist()
+    assert got["n_gaps"].astype(int).tolist() == exp["n_gaps"].tolist()
+    assert np.array_equal(got["median_gap_us"].to_numpy(np.float64),
+                          exp["median_gap_us"].to_numpy(np.float64))
+    # every user with >= 2 events appears; a median is a real gap scale
+    n_users = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM (SELECT user_id FROM events "
+        "GROUP BY user_id HAVING count(*) >= 2)").fetchone()[0]
+    assert len(got) == n_users
+    assert (got["median_gap_us"] > 0).all()
