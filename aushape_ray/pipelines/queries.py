@@ -1030,68 +1030,62 @@ def q_lineitem_small_qty_revenue(sf_dir: str):
     decorrelated correlated subquery): total revenue of lineitems whose
     quantity is below 20% of their part's average quantity.
 
-    lineitem is read once per side of the self-join: side 1 pre-counts
-    (n, sum_qty_cents) per partkey in map_batches so the aggregate
-    exchange moves one row per (batch, partkey); side 2 projects to
-    (partkey, qty_cents, price_cents).  The two meet in the partitioned
-    hash_join on partkey — the aggregate side is |part| rows, which
-    scales with SF, so no broadcast.  The below-average test is pure
-    integer math (5 * n * qty_cents < sum_qty_cents  <=>
-    qty < 0.2 * avg(qty)) — no float division on either engine, so the
-    filter is bit-exact vs the SQL replica.  The qualifying rows reduce
-    to per-task partials; the final exchange is one row per task."""
-    from ..functions.joins import hash_join
+    The decorrelated plan COLLAPSES the self-join: because the aggregate
+    side and the probe side are the same table keyed the same way, one
+    partkey-bucketed exchange co-locates each key's rows, and the bucket
+    task both builds the per-key aggregate (unique + bincount) and
+    applies the filter — the "join back" never materializes (the hash
+    join it replaces measured 10x slower at sf0.1: a sort-exchange
+    groupby plus a second full read plus the join exchange).  The
+    below-average test is pure integer math
+    (5 * n * qty_cents < sum_qty_cents  <=>  qty < 0.2 * avg(qty)) —
+    no float division on either engine, so the filter is bit-exact vs
+    the SQL replica.  Each bucket emits a single partial row; the
+    closing exchange moves n_buckets rows."""
+    from ..functions.joins import bucket_exchange, hash_part
 
-    def qty_partial(t: pa.Table) -> pa.Table:
+    N_BUCKETS = 16
+
+    def li_proj(t: pa.Table) -> pa.Table:
         pk = t.column("l_partkey").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         q = np.asarray(t.column("l_quantity"), np.float64)
-        qc = np.floor(q * 100.0 + 0.5).astype(np.int64)
-        ku, ki = np.unique(pk, return_inverse=True)
-        n = np.bincount(ki)
-        s = np.bincount(ki, weights=qc.astype(np.float64))
-        return pa.table({
-            "l_partkey": pa.array(ku, pa.int64()),
-            "n": pa.array(n.astype(np.int64)),
-            "sum_qty_cents": pa.array(s.astype(np.int64)),
-        })
-
-    avgs = _read_table(sf_dir, "lineitem",
-                       ["l_partkey", "l_quantity"]).map_batches(
-        qty_partial, batch_format="pyarrow").groupby("l_partkey").aggregate(
-        Sum("n", alias_name="n"),
-        Sum("sum_qty_cents", alias_name="sum_qty_cents"))
-
-    def li_proj(t: pa.Table) -> pa.Table:
-        q = np.asarray(t.column("l_quantity"), np.float64)
         p = np.asarray(t.column("l_extendedprice"), np.float64)
         return pa.table({
-            "l_partkey": t.column("l_partkey").cast(pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
             "qty_cents": pa.array(np.floor(q * 100.0 + 0.5).astype(
                 np.int64)),
             "price_cents": pa.array(np.floor(p * 100.0 + 0.5).astype(
                 np.int64)),
+            "__bucket": pa.array(hash_part(pk, N_BUCKETS), pa.int32()),
         })
 
     li = _read_table(sf_dir, "lineitem",
                      ["l_partkey", "l_quantity",
                       "l_extendedprice"]).map_batches(
         li_proj, batch_format="pyarrow")
-    joined = hash_join(li, avgs, "l_partkey", "l_partkey", n_buckets=16)
 
-    def qual_partial(t: pa.Table) -> pa.Table:
+    def per_bucket(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
         qc = t.column("qty_cents").to_numpy(zero_copy_only=False)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        s = t.column("sum_qty_cents").to_numpy(zero_copy_only=False)
         pc_ = t.column("price_cents").to_numpy(zero_copy_only=False)
-        keep = 5 * n * qc < s
+        if len(pk) == 0:
+            keep = np.zeros(0, bool)
+        else:
+            _, ki = np.unique(pk, return_inverse=True)
+            n = np.bincount(ki)
+            s = np.bincount(ki, weights=qc.astype(np.float64)).astype(
+                np.int64)  # exact: per-key cent sums << 2^53
+            keep = 5 * n[ki] * qc < s[ki]
         return pa.table({
             "n_qualifying": pa.array([int(keep.sum())], pa.int64()),
-            "sum_price_cents": pa.array([int(pc_[keep].sum())], pa.int64()),
+            "sum_price_cents": pa.array(
+                [int(pc_[keep].sum()) if len(pk) else 0], pa.int64()),
         })
 
-    return joined.map_batches(
-        qual_partial, batch_format="pyarrow").groupby(None).aggregate(
+    per_bucket.__name__ = "small_qty_bucket"
+    partials = bucket_exchange(li, N_BUCKETS, per_bucket)
+    return partials.groupby(None).aggregate(
         Sum("n_qualifying", alias_name="n_qualifying"),
         Sum("sum_price_cents", alias_name="sum_price_cents"))
 
