@@ -825,33 +825,48 @@ GROUP BY o.o_orderpriority"""
 def q_orders_size_histogram(sf_dir: str):
     """Aggregate-of-aggregate (two-level re-key): the distribution of
     order SIZES — count lineitems per order, then count orders per
-    size.  Level 1 pre-counts per batch so the orderkey exchange moves
-    partial counts, not rows; level 2 re-keys the (orderkey, n_items)
-    aggregate by its VALUE — the second exchange is |distinct sizes|
-    buckets of partial histograms, a few dozen rows total at any SF."""
+    size.  Level 1 pre-counts per batch so only (orderkey, n) partials
+    leave each task, and the orderkey exchange is a raw bucketed one
+    (the key is never needed again, so the sort exchange's fixed
+    sampling cost bought nothing — measured 5.5s -> ~1s at sf0.1):
+    each bucket task merges its partials by key and immediately
+    re-keys to its LOCAL size histogram, so level 2's groupby moves
+    |distinct sizes| rows per bucket — a few dozen total at any SF."""
+    from ..functions.joins import bucket_exchange, hash_part
+
+    N_BUCKETS = 16
     li = _read_table(sf_dir, "lineitem", ["l_orderkey"])
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column("l_orderkey").combine_chunks()
         vc = v.value_counts()
+        keys = vc.field("values").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         return pa.table({
-            "l_orderkey": vc.field("values"),
+            "l_orderkey": pa.array(keys, pa.int64()),
             "n": vc.field("counts").cast(pa.int64()),
+            "__bucket": pa.array(hash_part(keys, N_BUCKETS), pa.int32()),
         })
 
-    sizes = li.map_batches(partial, batch_format="pyarrow").groupby(
-        "l_orderkey").aggregate(Sum("n", alias_name="n_items"))
+    def bucket_hist(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"n_items": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        _, ki = np.unique(k, return_inverse=True)
+        per_order = np.bincount(ki, weights=n.astype(np.float64)).astype(
+            np.int64)  # exact: per-order counts << 2^53
+        sizes, counts = np.unique(per_order, return_counts=True)
+        return pa.table({"n_items": pa.array(sizes, pa.int64()),
+                         "c": pa.array(counts.astype(np.int64))})
 
-    def hist_partial(t: pa.Table) -> pa.Table:
-        v = t.column("n_items").cast(pa.int64()).combine_chunks()
-        vc = v.value_counts()
-        return pa.table({
-            "n_items": vc.field("values"),
-            "c": vc.field("counts").cast(pa.int64()),
-        })
-
-    return sizes.map_batches(hist_partial, batch_format="pyarrow").groupby(
-        "n_items").aggregate(Sum("c", alias_name="n_orders"))
+    bucket_hist.__name__ = "order_size_bucket"
+    partials = bucket_exchange(
+        li.map_batches(partial, batch_format="pyarrow"),
+        N_BUCKETS, bucket_hist)
+    return partials.groupby("n_items").aggregate(
+        Sum("c", alias_name="n_orders"))
 
 
 def sql_orders_size_histogram() -> str:
