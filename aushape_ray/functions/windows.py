@@ -289,25 +289,13 @@ def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
         Sum("n_late", alias_name="n_late"))
 
 
-def global_rank(ds: "ray.data.Dataset", value_col: str, id_col: str,
-                n_parts: int = 32) -> "ray.data.Dataset":
-    """EXACT global dense ordering: rank of every row under
-    (value_col, id_col) ascending — row_number semantics with a
-    deterministic tie-break, WITHOUT a full sort exchange.
-
-    Distributed shape (prefix scan with carry, same family as
-    late_event_stats / packing.chunk_plan): rows range-partition by
-    value_col VALUE (order-preserving); pass 1 sends per-range COUNTS to
-    the driver (P ints), which exclusive-cumsums them into per-range
-    rank carries; pass 2 sorts only WITHIN each range and adds the
-    carry.  The exchange ships each row once; the driver holds P ints —
-    vs Ray's sort exchange, which samples, range-splits, and merges the
-    same rows with a ~2-3s fixed cost at any size.
-
-    Skew note: value-range partitioning assumes value_col is roughly
-    uniform over its min/max span.  A skewed distribution needs sampled
-    range bounds (what Ray's sort exchange does) — stated, not hidden.
-    Returns (id_col, rank) with rank 0-based."""
+def _range_partition_with_carry(ds: "ray.data.Dataset", value_col: str,
+                                id_col: str, n_parts: int):
+    """Shared scaffold of the exact global-order family (global_rank /
+    global_ntile): range-partition rows by value (order-preserving),
+    send per-range COUNTS to the driver (P ints), exclusive-cumsum them
+    into per-range rank carries.  Returns (parted, carry, n_total) where
+    parted is a materialized Dataset of (id_col, value_col, part)."""
     import ray  # noqa: F401
 
     lohi = ds.map_batches(
@@ -346,6 +334,66 @@ def global_rank(ds: "ray.data.Dataset", value_col: str, id_col: str,
     for r in counts:
         per_range[r["part"]] += r["c"]
     carry = np.concatenate([[0], np.cumsum(per_range)[:-1]])
+    return parted, carry, int(per_range.sum())
+
+
+def global_ntile(ds: "ray.data.Dataset", value_col: str, id_col: str,
+                 k: int, n_parts: int = 32) -> "ray.data.Dataset":
+    """SQL NTILE(k) OVER (ORDER BY value_col, id_col) — every row's
+    equal-frequency bucket (1-based), standard split: with n rows the
+    first n % k tiles hold ceil(n/k) rows, the rest floor(n/k).
+
+    Same prefix-scan-with-carry shape as global_rank (one exchange, the
+    driver holds P ints); the rank→tile map is pure arithmetic on the
+    carried global rank, so no second pass is needed.  Returns
+    (id_col, value_col, tile) so downstream per-tile aggregates don't
+    have to join the value back."""
+    parted, carry, n = _range_partition_with_carry(
+        ds, value_col, id_col, n_parts)
+    big = n % k
+    size_big = n // k + 1
+    size_small = max(n // k, 1)  # n < k ⇒ every row sits in a big tile
+    cut = big * size_big
+
+    def tile_range(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        i = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        rank = np.empty(len(v), np.int64)
+        rank[order] = carry[p] + np.arange(len(v))
+        tile = np.where(rank < cut, rank // size_big + 1,
+                        big + (rank - cut) // size_small + 1)
+        return pa.table({id_col: pa.array(i, pa.int64()),
+                         value_col: pa.array(v, pa.int64()),
+                         "tile": pa.array(tile, pa.int64())})
+
+    tile_range.__name__ = "ntile_range"
+    return parted.groupby("part", num_partitions=n_parts).map_groups(
+        tile_range, batch_format="pyarrow")
+
+
+def global_rank(ds: "ray.data.Dataset", value_col: str, id_col: str,
+                n_parts: int = 32) -> "ray.data.Dataset":
+    """EXACT global dense ordering: rank of every row under
+    (value_col, id_col) ascending — row_number semantics with a
+    deterministic tie-break, WITHOUT a full sort exchange.
+
+    Distributed shape (prefix scan with carry, same family as
+    late_event_stats / packing.chunk_plan): rows range-partition by
+    value_col VALUE (order-preserving); pass 1 sends per-range COUNTS to
+    the driver (P ints), which exclusive-cumsums them into per-range
+    rank carries; pass 2 sorts only WITHIN each range and adds the
+    carry.  The exchange ships each row once; the driver holds P ints —
+    vs Ray's sort exchange, which samples, range-splits, and merges the
+    same rows with a ~2-3s fixed cost at any size.
+
+    Skew note: value-range partitioning assumes value_col is roughly
+    uniform over its min/max span.  A skewed distribution needs sampled
+    range bounds (what Ray's sort exchange does) — stated, not hidden.
+    Returns (id_col, rank) with rank 0-based."""
+    parted, carry, _n = _range_partition_with_carry(
+        ds, value_col, id_col, n_parts)
 
     def rank_range(g: pa.Table) -> pa.Table:
         p = int(g.column("part")[0].as_py())

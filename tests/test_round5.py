@@ -4,6 +4,7 @@ kcenter_select edge cases (ADVICE r4)."""
 import struct
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1175,3 +1176,148 @@ def test_events_gap_median_matches_oracle(ray_session):
         "GROUP BY user_id HAVING count(*) >= 2)").fetchone()[0]
     assert len(got) == n_users
     assert (got["median_gap_us"] > 0).all()
+
+
+def test_orders_priority_returns_matches_oracle(ray_session):
+    """EXISTS semi-join (Q4 shape): per-priority counts of orders with a
+    returned lineitem match the SQL EXISTS at sf0.001, and the semi-join
+    never multiplies rows (each count is bounded by the order count)."""
+    from aushape_ray.pipelines.queries import (q_orders_priority_returns,
+                                               sql_orders_priority_returns)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_orders_priority_returns(sf).to_pandas() \
+        .sort_values("o_orderpriority", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_orders_priority_returns()).df() \
+        .sort_values("o_orderpriority", ignore_index=True)
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["n_orders"].astype(int).tolist() == exp["n_orders"].tolist()
+    n_orders = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM orders").fetchone()[0]
+    assert 0 < got["n_orders"].sum() <= n_orders
+
+
+def test_events_cube_matches_oracle(ray_session):
+    """CUBE grouping sets: all four levels (detail, per-type, per-day,
+    grand total) match DuckDB's GROUP BY CUBE at sf0.001, and the level
+    row counts obey the CUBE arithmetic."""
+    from aushape_ray.pipelines.queries import q_events_cube, sql_events_cube
+
+    sf = "/root/testdata/sf0.001"
+    key = ["event_type", "day", "n"]
+    got = q_events_cube(sf).to_pandas().sort_values(
+        key, ignore_index=True, na_position="first")
+    exp = _duckdb_views(sf).execute(sql_events_cube()).df().sort_values(
+        key, ignore_index=True, na_position="first")
+    assert len(got) == len(exp)
+    assert got["n"].astype(int).tolist() == exp["n"].tolist()
+    assert got["event_type"].fillna("~").tolist() == \
+        exp["event_type"].fillna("~").tolist()
+    assert got["day"].fillna(pd.Timestamp(0)).tolist() == \
+        exp["day"].fillna(pd.Timestamp(0)).tolist()
+    # level arithmetic: detail + |types| + |days| + 1
+    n_types = got["day"].isna() & got["event_type"].notna()
+    n_days = got["event_type"].isna() & got["day"].notna()
+    both_null = got["event_type"].isna() & got["day"].isna()
+    assert both_null.sum() == 1
+    assert len(got) == (len(got) - n_types.sum() - n_days.sum() - 1
+                        + n_types.sum() + n_days.sum() + 1)
+    # every level sums to the same grand total
+    total = int(got.loc[both_null, "n"].iloc[0])
+    assert int(got.loc[n_types, "n"].sum()) == total
+    assert int(got.loc[n_days, "n"].sum()) == total
+
+
+def test_events_onboarding_paths_matches_oracle(ray_session):
+    """Ordered string aggregation: first-8-event path signatures and
+    their user counts match the SQL string_agg(... ORDER BY) replica at
+    sf0.001; user totals conserve."""
+    from aushape_ray.pipelines.queries import (q_events_onboarding_paths,
+                                               sql_events_onboarding_paths)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_onboarding_paths(sf).to_pandas() \
+        .sort_values("path", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_onboarding_paths()).df() \
+        .sort_values("path", ignore_index=True)
+    assert got["path"].tolist() == exp["path"].tolist()
+    assert got["n_users"].astype(int).tolist() == exp["n_users"].tolist()
+    n_users = _duckdb_views(sf).execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(got["n_users"].sum()) == n_users
+    # paths are at most 8 segments
+    assert got["path"].str.count(">").max() <= 7
+
+
+def test_customer_balance_deciles_matches_oracle(ray_session):
+    """Global NTILE(10): per-decile count/min/max/sum match DuckDB's
+    ntile window at sf0.001; deciles partition the customer set with the
+    standard big-buckets-first split."""
+    from aushape_ray.pipelines.queries import (q_customer_balance_deciles,
+                                               sql_customer_balance_deciles)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_customer_balance_deciles(sf).to_pandas() \
+        .sort_values("decile", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_customer_balance_deciles()).df() \
+        .sort_values("decile", ignore_index=True)
+    for c in ("decile", "n_customers", "min_cents", "max_cents",
+              "sum_cents"):
+        assert got[c].astype(int).tolist() == exp[c].tolist(), c
+    n = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM customer").fetchone()[0]
+    sizes = got.sort_values("decile")["n_customers"].astype(int).tolist()
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # big buckets first
+    # equal-frequency bins are value-ordered
+    assert (got.sort_values("decile")["min_cents"].astype(int).diff()
+            .dropna() >= 0).all()
+
+
+def test_customers_idle_rich_matches_oracle(ray_session):
+    """Scalar-subquery + predicated anti-join (Q22 shape): per-segment
+    counts and cent sums match DuckDB at sf0.001, and the integer
+    cross-multiplication threshold keeps boundary handling exact."""
+    from aushape_ray.pipelines.queries import (q_customers_idle_rich,
+                                               sql_customers_idle_rich)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_customers_idle_rich(sf).to_pandas() \
+        .sort_values("c_mktsegment", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_customers_idle_rich()).df() \
+        .sort_values("c_mktsegment", ignore_index=True)
+    assert got["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
+    assert got["n_customers"].astype(int).tolist() == \
+        exp["n_customers"].tolist()
+    assert got["sum_cents"].astype(int).tolist() == exp["sum_cents"].tolist()
+    assert len(got) >= 1  # the predicate keeps a real population
+    # every selected customer is above the positive-balance average
+    avg_pos = _duckdb_views(sf).execute(
+        "SELECT avg(CAST(floor(c_acctbal*100+0.5) AS BIGINT)) FROM customer "
+        "WHERE floor(c_acctbal*100+0.5) > 0").fetchone()[0]
+    assert (got["sum_cents"] / got["n_customers"] > avg_pos).all()
+
+
+def test_global_ntile_small_n_edge_cases(ray_session):
+    """NTILE degenerate splits: n < k gives each row its own tile 1..n;
+    n == k gives exactly one row per tile; uneven n puts the larger
+    buckets first — all matching the standard SQL split."""
+    import pyarrow as pa
+    import ray
+
+    from aushape_ray.functions.windows import global_ntile
+
+    def tiles_for(n, k):
+        ds = ray.data.from_arrow(pa.table({
+            "id": pa.array(list(range(n)), pa.int64()),
+            "v": pa.array([i * 7 % n for i in range(n)], pa.int64()),
+        }))
+        out = global_ntile(ds, "v", "id", k=k, n_parts=4).to_pandas()
+        out = out.sort_values(["v", "id"], ignore_index=True)
+        return out["tile"].astype(int).tolist()
+
+    assert tiles_for(3, 10) == [1, 2, 3]
+    assert tiles_for(5, 5) == [1, 2, 3, 4, 5]
+    # n=7, k=3: sizes 3,2,2
+    assert tiles_for(7, 3) == [1, 1, 1, 2, 2, 3, 3]
