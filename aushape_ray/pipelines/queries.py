@@ -1002,6 +1002,49 @@ SELECT event_type,
 FROM events GROUP BY CUBE(event_type, day)"""
 
 
+def q_events_type_share(sf_dir: str):
+    """Percent-of-total window (SQL ratio_to_report / n OVER ()): each
+    event type's share of total event value, in exact integer BASIS
+    POINTS (cents * 10000 // total) so the division is floor-integer on
+    both engines — no float ratio can drift.  Scale shape: one partial
+    pass reduces the raw events to |types| cent sums; the grand total is
+    an O(|types|) driver reduce broadcast back into a map over the tiny
+    aggregate — the window-over-total never touches the raw rows
+    twice."""
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "cents": _cents(t.column("value")).to_numpy(
+                zero_copy_only=False),
+        }).groupby("event_type", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("cents", alias_name="cents"))
+    rows = base.take_all()  # |types| rows — a driver-sized aggregate
+    total = sum(int(r["cents"]) for r in rows)
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows],
+                               pa.string()),
+        "cents": pa.array([int(r["cents"]) for r in rows], pa.int64()),
+        "share_bp": pa.array([int(r["cents"]) * 10000 // total
+                              for r in rows], pa.int64()),
+    })
+
+
+def sql_events_type_share() -> str:
+    return """
+WITH b AS (
+  SELECT event_type,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY event_type)
+SELECT event_type, cents::BIGINT AS cents,
+       (cents * 10000 // (SELECT sum(cents) FROM b))::BIGINT AS share_bp
+FROM b"""
+
+
 def q_part_brand_revenue(sf_dir: str):
     """Revenue by part brand (TPC-H Q14 family): lineitem x part on
     partkey — BOTH sides scale with SF (part is 1/30 of lineitem, far
@@ -4064,6 +4107,68 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= {SIM_THRESHOLD}"""
 
 
+def q_emb_dim_minmax(sf_dir: str):
+    """LIST-column UNNEST aggregation (per-dimension feature profiling —
+    the normalization-stats pass before quantization or whitening):
+    min / max / positive-count of every embedding dimension.  The Ray
+    side never unnests: each batch stacks its list<float> column into
+    one (n, d) matrix and emits a SINGLE d-row partial (columnwise
+    np.min/np.max/positive-count), so the exchange carries
+    d * n_batches rows instead of n * d unnested values — at 100 TB the
+    unnest the SQL describes would be a 64x row blowup shipped through
+    a shuffle.  min/max are exact float SELECTIONS (no accumulation
+    order), and float32 -> float64 widening is exact on both engines,
+    so the oracle hash-matches bit-for-bit; means/variances would need
+    the compensated-partial treatment (see emb_quantize_int8) and are
+    deliberately out of scope here."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_table(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.stack(t.column("embedding").to_numpy(
+            zero_copy_only=False))
+        d = mat.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "vmin": pa.array(mat.min(axis=0).astype(np.float64),
+                             pa.float64()),
+            "vmax": pa.array(mat.max(axis=0).astype(np.float64),
+                             pa.float64()),
+            "n": pa.array(np.full(d, mat.shape[0], np.int64), pa.int64()),
+            "n_pos": pa.array((mat > 0).sum(axis=0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    partial.__name__ = "dim_minmax_partial"
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "dim").aggregate(
+        Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+        Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "dim": t.column("dim").cast(pa.int64()),
+            "vmin": t.column("vmin").cast(pa.float64()),
+            "vmax": t.column("vmax").cast(pa.float64()),
+            "n": t.column("n").cast(pa.int64()),
+            "n_pos": t.column("n_pos").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_emb_dim_minmax() -> str:
+    return """
+WITH u AS (
+  SELECT unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT dim::BIGINT AS dim,
+       CAST(min(val) AS DOUBLE) AS vmin,
+       CAST(max(val) AS DOUBLE) AS vmax,
+       count(*)::BIGINT AS n,
+       count(*) FILTER (val > 0)::BIGINT AS n_pos
+FROM u GROUP BY dim"""
+
+
 def q_doc_jaccard_pairs(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs, lossless and uncapped: prefix
     filtering (functions/dedup.jaccard_pairs_prefix, the AllPairs/PPJoin
@@ -7009,6 +7114,8 @@ def build_registry(transcript_sf: str = SF001):
         "events_onboarding_paths": q_events_onboarding_paths,
         "customer_balance_deciles": q_customer_balance_deciles,
         "customers_idle_rich": q_customers_idle_rich,
+        "emb_dim_minmax": q_emb_dim_minmax,
+        "events_type_share": q_events_type_share,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7165,19 +7272,21 @@ _WINDOW_ROTATION = [
     # and events_quantiles — also r1+r2+r3-witnessed — yield to
     # events_user_churn and events_gap_median.)
     # (lineitem_top_revenue / events_sliding / events_asof_prev_error /
-    # doc_dedup_keep_first / doc_token_stats — witnessed in r1+r2+r3, the
-    # most-covered of this block — yield their slots to the five
-    # fifth-session operators, which would otherwise never be witnessed:
-    # orders_priority_returns, events_cube, events_onboarding_paths,
-    # customer_balance_deciles, customers_idle_rich; all five displaced
-    # entries remain in CHECKLOCAL + pytest.)
+    # doc_dedup_keep_first / doc_token_stats / doc_char_stats /
+    # doc_lang_id — witnessed in r1+r2+r3, the most-covered of this
+    # block — yield their slots to the seven fifth-session operators,
+    # which would otherwise never be witnessed: orders_priority_returns,
+    # events_cube, events_onboarding_paths, customer_balance_deciles,
+    # customers_idle_rich, emb_dim_minmax, events_type_share; all
+    # displaced entries remain in CHECKLOCAL + pytest.)
     "t_norm",
     "orders_priority_returns", "events_cube", "events_onboarding_paths",
     "customer_balance_deciles", "customers_idle_rich",
+    "emb_dim_minmax", "events_type_share",
     "events_range_join",
     "events_funnel", "events_hot_users", "events_latest_by_user",
     "t_kind_bigrams", "t_field_histogram",
-    "doc_char_stats", "doc_quality", "doc_lang_id", "doc_sample",
+    "doc_quality", "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
     "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
     # (events_sample_stratified / events_window_anomaly — witnessed in
@@ -7236,6 +7345,8 @@ def _build_oracle(t01):
         "events_onboarding_paths": sql_events_onboarding_paths(),
         "customer_balance_deciles": sql_customer_balance_deciles(),
         "customers_idle_rich": sql_customers_idle_rich(),
+        "emb_dim_minmax": sql_emb_dim_minmax(),
+        "events_type_share": sql_events_type_share(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

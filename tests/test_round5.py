@@ -1321,3 +1321,46 @@ def test_global_ntile_small_n_edge_cases(ray_session):
     assert tiles_for(5, 5) == [1, 2, 3, 4, 5]
     # n=7, k=3: sizes 3,2,2
     assert tiles_for(7, 3) == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_emb_dim_minmax_matches_oracle(ray_session):
+    """LIST UNNEST aggregation: per-dimension min/max/count match the
+    SQL unnest replica at sf0.001 bit-for-bit (min/max are exact float
+    selections; float32->float64 widening is exact)."""
+    from aushape_ray.pipelines.queries import (q_emb_dim_minmax,
+                                               sql_emb_dim_minmax)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_emb_dim_minmax(sf).to_pandas().sort_values(
+        "dim", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_emb_dim_minmax()).df().sort_values(
+        "dim", ignore_index=True)
+    assert got["dim"].astype(int).tolist() == exp["dim"].tolist()
+    assert np.array_equal(got["vmin"].to_numpy(np.float64),
+                          exp["vmin"].to_numpy(np.float64))
+    assert np.array_equal(got["vmax"].to_numpy(np.float64),
+                          exp["vmax"].to_numpy(np.float64))
+    assert got["n"].astype(int).tolist() == exp["n"].tolist()
+    assert got["n_pos"].astype(int).tolist() == exp["n_pos"].tolist()
+    n_vecs = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM embeddings").fetchone()[0]
+    assert (got["n"] == n_vecs).all()
+    assert (got["vmin"] <= got["vmax"]).all()
+
+
+def test_events_type_share_matches_oracle(ray_session):
+    """Percent-of-total in integer basis points: exact floor division on
+    both engines; shares sum to <= 10000 with bounded rounding loss."""
+    from aushape_ray.pipelines.queries import (q_events_type_share,
+                                               sql_events_type_share)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_type_share(sf).to_pandas().sort_values(
+        "event_type", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_type_share()).df() \
+        .sort_values("event_type", ignore_index=True)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["cents"].astype(int).tolist() == exp["cents"].tolist()
+    assert got["share_bp"].astype(int).tolist() == exp["share_bp"].tolist()
+    s = int(got["share_bp"].sum())
+    assert 10000 - len(got) < s <= 10000  # floor rounding loses < 1bp/type
