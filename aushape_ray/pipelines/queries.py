@@ -1794,6 +1794,90 @@ FROM d a JOIN d b ON a.user_id = b.user_id
 GROUP BY 1, 2"""
 
 
+def q_events_followup_pairs(sf_dir: str):
+    """Temporal BAND self-join ("B follows A within 6 h, same user"):
+    for every ordered type pair, the number of event pairs where the
+    same user has a type_b event strictly after a type_a event and
+    within the window — the behavioral-sequence mining shape (as-of
+    gives only the nearest predecessor; this counts ALL followers in
+    the band).  Scale shape: the coarse user-hash exchange lands each
+    user whole in one partition; inside, a composite key
+    (partition-local dense user index × padded span + ts) makes one
+    np.searchsorted pair per partition resolve every band — start
+    bound side='right' on the key itself implements SQL's strict
+    b.ts > a.ts including duplicate-timestamp ties — and the pair
+    expansion is np.repeat arithmetic, no per-user Python.  Emitted
+    rows are per-partition (type_a, type_b) PARTIALS, so the closing
+    groupby moves <= |types|² rows per partition; the pair count
+    itself is data-bounded (band pairs, never the n² cross join the
+    SQL notation suggests)."""
+    from ..functions.joins import hash_part
+
+    W_US = 21_600 * 1_000_000  # 6 h
+    N_PARTS = 64
+    ds = _read_table(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "part": pa.array(hash_part(uid, N_PARTS)),
+        })
+
+    proj.__name__ = "followup_proj"
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us"], ignore_index=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        _, ulocal = np.unique(uid, return_inverse=True)
+        t0 = ts.min() if len(ts) else 0
+        span = (ts.max() - t0 + W_US + 2) if len(ts) else 1
+        key = ulocal.astype(np.int64) * span + (ts - t0)
+        lo = np.searchsorted(key, key, side="right")
+        hi = np.searchsorted(key, key + W_US, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"type_a": [], "type_b": [],
+                                 "n_pairs": []})
+        a_idx = np.repeat(np.arange(len(key)), cnt)
+        starts = np.cumsum(cnt) - cnt
+        b_idx = (np.arange(total) - np.repeat(starts, cnt)
+                 + np.repeat(lo, cnt))
+        out = pd.DataFrame({"type_a": et[a_idx], "type_b": et[b_idx]}) \
+            .groupby(["type_a", "type_b"], as_index=False).size()
+        out.columns = ["type_a", "type_b", "n_pairs"]
+        return out
+
+    per_partition.__name__ = "followup_pairs_partition"
+    partials = ds.map_batches(proj, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        per_partition, batch_format="pandas")
+    return partials.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")).map_batches(
+        lambda t: pa.table({
+            "type_a": t.column("type_a"),
+            "type_b": t.column("type_b"),
+            "n_pairs": t.column("n_pairs").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_events_followup_pairs() -> str:
+    return """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+GROUP BY 1, 2"""
+
+
 def q_events_onboarding_paths(sf_dir: str):
     """ORDERED string aggregation (product-analytics path analysis):
     each user's first-8 event types in (ts, event_id) arrival order
@@ -7116,6 +7200,7 @@ def build_registry(transcript_sf: str = SF001):
         "customers_idle_rich": q_customers_idle_rich,
         "emb_dim_minmax": q_emb_dim_minmax,
         "events_type_share": q_events_type_share,
+        "events_followup_pairs": q_events_followup_pairs,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7273,20 +7358,22 @@ _WINDOW_ROTATION = [
     # events_user_churn and events_gap_median.)
     # (lineitem_top_revenue / events_sliding / events_asof_prev_error /
     # doc_dedup_keep_first / doc_token_stats / doc_char_stats /
-    # doc_lang_id — witnessed in r1+r2+r3, the most-covered of this
-    # block — yield their slots to the seven fifth-session operators,
-    # which would otherwise never be witnessed: orders_priority_returns,
-    # events_cube, events_onboarding_paths, customer_balance_deciles,
-    # customers_idle_rich, emb_dim_minmax, events_type_share; all
-    # displaced entries remain in CHECKLOCAL + pytest.)
+    # doc_lang_id / doc_quality — witnessed in r1+r2+r3, the
+    # most-covered of this block — yield their slots to the eight
+    # fifth-session operators, which would otherwise never be
+    # witnessed: orders_priority_returns, events_cube,
+    # events_onboarding_paths, customer_balance_deciles,
+    # customers_idle_rich, emb_dim_minmax, events_type_share,
+    # events_followup_pairs; all displaced entries remain in
+    # CHECKLOCAL + pytest.)
     "t_norm",
     "orders_priority_returns", "events_cube", "events_onboarding_paths",
     "customer_balance_deciles", "customers_idle_rich",
-    "emb_dim_minmax", "events_type_share",
+    "emb_dim_minmax", "events_type_share", "events_followup_pairs",
     "events_range_join",
     "events_funnel", "events_hot_users", "events_latest_by_user",
     "t_kind_bigrams", "t_field_histogram",
-    "doc_quality", "doc_sample",
+    "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
     "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
     # (events_sample_stratified / events_window_anomaly — witnessed in
@@ -7347,6 +7434,7 @@ def _build_oracle(t01):
         "customers_idle_rich": sql_customers_idle_rich(),
         "emb_dim_minmax": sql_emb_dim_minmax(),
         "events_type_share": sql_events_type_share(),
+        "events_followup_pairs": sql_events_followup_pairs(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -1364,3 +1364,60 @@ def test_events_type_share_matches_oracle(ray_session):
     assert got["share_bp"].astype(int).tolist() == exp["share_bp"].tolist()
     s = int(got["share_bp"].sum())
     assert 10000 - len(got) < s <= 10000  # floor rounding loses < 1bp/type
+
+
+def test_events_followup_pairs_matches_oracle(ray_session):
+    """Temporal band self-join: per-type-pair follower counts within 6 h
+    match the SQL band join at sf0.001, including strict b.ts > a.ts on
+    duplicate timestamps."""
+    from aushape_ray.pipelines.queries import (q_events_followup_pairs,
+                                               sql_events_followup_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    key = ["type_a", "type_b"]
+    got = q_events_followup_pairs(sf).to_pandas() \
+        .sort_values(key, ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_followup_pairs()).df() \
+        .sort_values(key, ignore_index=True)
+    assert got[key].values.tolist() == exp[key].values.tolist()
+    assert got["n_pairs"].astype(int).tolist() == exp["n_pairs"].tolist()
+    assert int(got["n_pairs"].sum()) > 0
+
+
+def test_followup_pairs_strictness_and_band_edges(ray_session):
+    """Constructed corpus pins the band semantics: equal timestamps never
+    pair (strict >), the exact 6 h boundary pairs (<=), one past it does
+    not, and users never cross."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_events_followup_pairs
+
+    W = 21_600 * 1_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: tie pair (never counts), boundary pair (counts),
+        # past-boundary pair (does not)
+        (1, base, "A"), (1, base, "B"),            # tie
+        (1, base + W, "C"),                        # exactly 6h after base
+        (1, base + 2 * W + 1, "D"),                # past every band
+        # user 2: would pair with user 1's events if users leaked
+        (2, base + 1, "E"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = q_events_followup_pairs(d).to_pandas()
+    pairs = {(r.type_a, r.type_b): int(r.n_pairs)
+             for r in got.itertuples()}
+    # A->C and B->C are exactly at the boundary: counted
+    assert pairs == {("A", "C"): 1, ("B", "C"): 1}
