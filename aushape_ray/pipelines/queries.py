@@ -1045,6 +1045,137 @@ SELECT event_type, cents::BIGINT AS cents,
 FROM b"""
 
 
+def q_events_daily_dense(sf_dir: str):
+    """Time-series DENSIFICATION (gap filling): the full
+    (day × event_type) grid over the corpus span, zero-filled where no
+    events occurred — the generate_series + cross join + left-join-
+    coalesce shape every dashboard query needs (sparse aggregates lie
+    about quiet days).  Scale shape: the raw events reduce to ONE
+    (type, day) base aggregate; the grid is calendar × |types| bounded —
+    it grows with the time span and type cardinality, never the data
+    volume — so densifying on the driver from the base aggregate is
+    O(days × types) at ANY SF (same argument as
+    q_orders_monthly_growth's month axis)."""
+    US_DAY = 86_400_000_000
+    ds = _read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "day_us": (ts // US_DAY) * US_DAY,
+        }).groupby(["event_type", "day_us"], as_index=False).size()
+        g.columns = ["event_type", "day_us", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    base = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "day_us"]).aggregate(Sum("n", alias_name="n"))
+    rows = base.take_all()  # |days × types| — calendar-bounded
+    days = np.arange(min(r["day_us"] for r in rows),
+                     max(r["day_us"] for r in rows) + 1, US_DAY)
+    types = sorted({r["event_type"] for r in rows})
+    n = {(r["event_type"], r["day_us"]): int(r["n"]) for r in rows}
+    return pa.table({
+        "event_type": pa.array([t for t in types for _ in days],
+                               pa.string()),
+        "day": pa.array([d for _ in types for d in days],
+                        pa.int64()).cast(pa.timestamp("us")),
+        "n": pa.array([n.get((t, d), 0) for t in types for d in days],
+                      pa.int64()),
+    })
+
+
+def sql_events_daily_dense() -> str:
+    return """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, d.day_us
+  FROM (SELECT DISTINCT event_type FROM b) t
+  CROSS JOIN (SELECT unnest(range((SELECT min(day_us) FROM b),
+                                  (SELECT max(day_us) FROM b) + 1,
+                                  86400000000)) AS day_us) d)
+SELECT g.event_type, make_timestamp(g.day_us) AS day,
+       coalesce(b.n, 0)::BIGINT AS n
+FROM grid g LEFT JOIN b USING (event_type, day_us)"""
+
+
+def q_events_first_touch(sf_dir: str):
+    """First-touch attribution (grouped FIRST_VALUE re-aggregated): each
+    user's FIRST event type — argmin over (ts, event_id), the window
+    first_value — becomes the attribution key for that user's TOTAL
+    value; output is per-first-type user counts and attributed cents.
+    The coarse user-hash exchange lands each user whole; one vectorized
+    pass per partition (sort, run bounds, take first row + grouped
+    cents sum) emits per-type partials, so the closing groupby moves
+    <= |types| rows per partition."""
+    from ..functions.joins import hash_part
+
+    N_PARTS = 64
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "ts", "user_id", "value"]
+                     + ["event_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "cents": _cents(t.column("value")),
+            "part": pa.array(hash_part(uid, N_PARTS)),
+        })
+
+    proj.__name__ = "first_touch_proj"
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us", "event_id"],
+                           ignore_index=True)
+        gb = df.groupby("user_id", sort=False)
+        first_type = gb["event_type"].first()
+        cents = gb["cents"].sum()
+        out = pd.DataFrame({"first_type": first_type, "cents": cents}) \
+            .groupby("first_type", as_index=False).agg(
+            n_users=("cents", "size"), total_cents=("cents", "sum"))
+        return out
+
+    per_partition.__name__ = "first_touch_partition"
+    partials = ds.map_batches(proj, batch_format="pyarrow").groupby(
+        "part", num_partitions=N_PARTS).map_groups(
+        per_partition, batch_format="pandas")
+    return partials.groupby("first_type").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("total_cents", alias_name="total_cents")).map_batches(
+        lambda t: pa.table({
+            "first_type": t.column("first_type"),
+            "n_users": t.column("n_users").cast(pa.int64()),
+            "total_cents": t.column("total_cents").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_events_first_touch() -> str:
+    return """
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         sum(cents) AS cents
+  FROM r GROUP BY user_id)
+SELECT first_type, count(*)::BIGINT AS n_users,
+       sum(cents)::BIGINT AS total_cents
+FROM u GROUP BY first_type"""
+
+
 def q_part_brand_revenue(sf_dir: str):
     """Revenue by part brand (TPC-H Q14 family): lineitem x part on
     partkey — BOTH sides scale with SF (part is 1/30 of lineitem, far
@@ -7201,6 +7332,8 @@ def build_registry(transcript_sf: str = SF001):
         "emb_dim_minmax": q_emb_dim_minmax,
         "events_type_share": q_events_type_share,
         "events_followup_pairs": q_events_followup_pairs,
+        "events_daily_dense": q_events_daily_dense,
+        "events_first_touch": q_events_first_touch,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7364,14 +7497,16 @@ _WINDOW_ROTATION = [
     # witnessed: orders_priority_returns, events_cube,
     # events_onboarding_paths, customer_balance_deciles,
     # customers_idle_rich, emb_dim_minmax, events_type_share,
-    # events_followup_pairs; all displaced entries remain in
-    # CHECKLOCAL + pytest.)
+    # events_followup_pairs; events_hot_users / events_latest_by_user,
+    # twice-witnessed, yield to events_daily_dense / events_first_touch;
+    # all displaced entries remain in CHECKLOCAL + pytest.)
     "t_norm",
     "orders_priority_returns", "events_cube", "events_onboarding_paths",
     "customer_balance_deciles", "customers_idle_rich",
     "emb_dim_minmax", "events_type_share", "events_followup_pairs",
+    "events_daily_dense", "events_first_touch",
     "events_range_join",
-    "events_funnel", "events_hot_users", "events_latest_by_user",
+    "events_funnel",
     "t_kind_bigrams", "t_field_histogram",
     "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
@@ -7435,6 +7570,8 @@ def _build_oracle(t01):
         "emb_dim_minmax": sql_emb_dim_minmax(),
         "events_type_share": sql_events_type_share(),
         "events_followup_pairs": sql_events_followup_pairs(),
+        "events_daily_dense": sql_events_daily_dense(),
+        "events_first_touch": sql_events_first_touch(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

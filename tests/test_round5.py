@@ -1421,3 +1421,51 @@ def test_followup_pairs_strictness_and_band_edges(ray_session):
              for r in got.itertuples()}
     # A->C and B->C are exactly at the boundary: counted
     assert pairs == {("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_events_daily_dense_matches_oracle(ray_session):
+    """Densification: the zero-filled (day x type) grid matches the SQL
+    generate_series replica at sf0.001, covers the full span for every
+    type, and contains at least one genuinely zero-filled cell iff the
+    SQL does."""
+    from aushape_ray.pipelines.queries import (q_events_daily_dense,
+                                               sql_events_daily_dense)
+
+    sf = "/root/testdata/sf0.001"
+    key = ["event_type", "day"]
+    got = q_events_daily_dense(sf).to_pandas().sort_values(
+        key, ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_daily_dense()).df() \
+        .sort_values(key, ignore_index=True)
+    assert got[key].values.tolist() == exp[key].values.tolist()
+    assert got["n"].astype(int).tolist() == exp["n"].tolist()
+    # perfect grid: every type has the same number of days
+    sizes = got.groupby("event_type").size()
+    assert sizes.nunique() == 1
+    n_days = int(sizes.iloc[0])
+    span_days = (got["day"].max() - got["day"].min()).days + 1
+    assert n_days == span_days
+
+
+def test_events_first_touch_matches_oracle(ray_session):
+    """First-touch attribution: per-first-type user counts and attributed
+    cents match the SQL first_value replica at sf0.001; users and total
+    cents conserve across attribution keys."""
+    from aushape_ray.pipelines.queries import (q_events_first_touch,
+                                               sql_events_first_touch)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_first_touch(sf).to_pandas().sort_values(
+        "first_type", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_first_touch()).df() \
+        .sort_values("first_type", ignore_index=True)
+    assert got["first_type"].tolist() == exp["first_type"].tolist()
+    assert got["n_users"].astype(int).tolist() == exp["n_users"].tolist()
+    assert got["total_cents"].astype(int).tolist() == \
+        exp["total_cents"].tolist()
+    con = _duckdb_views(sf)
+    assert int(got["n_users"].sum()) == con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(got["total_cents"].sum()) == con.execute(
+        "SELECT sum(CAST(floor(value*100+0.5) AS BIGINT)) FROM events"
+    ).fetchone()[0]
