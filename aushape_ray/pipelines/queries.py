@@ -3445,21 +3445,24 @@ FROM g JOIN dfq USING (gram) GROUP BY 1"""
 
 def q_doc_top_tokens(sf_dir: str):
     """Vocabulary building: global top-30 tokens by occurrence count —
-    per-batch Counter partials, tiny (token, n) shuffle, deterministic
-    (n desc, token) tie-break."""
+    per-batch partials, tiny (token, n) shuffle, deterministic
+    (n desc, token) tie-break.  The partial is pure Arrow kernels:
+    [a-z]+ runs == split on [^a-z]+ with empties dropped (identical
+    multiset to re.findall, parity-pytest-pinned), then one
+    value_counts over the flattened token array — no Python loop over
+    documents."""
     ds = _read_table(sf_dir, "documents", ["text"])
-    import re
-
-    rx = re.compile(r"[a-z]+")
 
     def partial(b: pa.Table) -> pa.Table:
-        import collections
-
-        c = collections.Counter()
-        for t in b.column("text").to_pylist():
-            c.update(rx.findall(t or ""))
-        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        text = b.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(text.combine_chunks(), "[^a-z]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     counts = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "token").aggregate(Sum("n", alias_name="n"))

@@ -1469,3 +1469,28 @@ def test_events_first_touch_matches_oracle(ray_session):
     assert int(got["total_cents"].sum()) == con.execute(
         "SELECT sum(CAST(floor(value*100+0.5) AS BIGINT)) FROM events"
     ).fetchone()[0]
+
+
+def test_top_tokens_arrow_partial_matches_findall():
+    """The Arrow split-on-[^a-z]+ partial produces the exact re.findall
+    token multiset, including nulls, empty strings, unicode, and
+    uppercase-only documents."""
+    import collections
+    import re
+
+    texts = ["Hello World", "", None, "abc  def\tabc", "ÄÖÜ niño déjà",
+             "UPPERCASE ONLY", "a", "1a2b3c", "mixedCASEtok"]
+    rx = re.compile(r"[a-z]+")
+    want = collections.Counter()
+    for t in texts:
+        want.update(rx.findall(t or ""))
+
+    text = pa.chunked_array([pa.array(texts, pa.string())])
+    if text.null_count:
+        text = text.fill_null("")
+    import pyarrow.compute as pc
+    toks = pc.list_flatten(
+        pc.split_pattern_regex(text.combine_chunks(), "[^a-z]+"))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    got = collections.Counter(toks.to_pylist())
+    assert got == want
