@@ -197,7 +197,8 @@ def all_pairs_cosine(ds: "ray.data.Dataset", threshold: float,
 
 
 def knn_graph(ds: "ray.data.Dataset", k: int = 5,
-              n_blocks: int = 4) -> "ray.data.Dataset":
+              n_blocks: int = 4,
+              label_col: "str | None" = None) -> "ray.data.Dataset":
     """EXACT k-nearest-neighbor graph (cosine), distributed — the
     building block under SemDeDup exemplars, graph-based dedup and
     curriculum mining.  Same block-pair (theta-join) exchange as
@@ -211,6 +212,15 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
     is deterministic and matches the SQL row_number() oracle.  Returns
     (node, rank, neighbor_id) with rank 1..k; sims never leave the
     merge (float columns would be hash-unstable across engines).
+
+    label_col: when set, neighbors sharing the node's label are
+    EXCLUDED — the k nearest DIFFERENT-label vectors, i.e. hard-negative
+    mining for contrastive training (in-batch negatives are easy; the
+    near-but-wrong ones carry the gradient signal).  Masking happens
+    inside the fused matmul chunk (same-label sims -> -inf, dropped
+    before anything leaves the task), so the exchange posture is
+    unchanged; nodes with fewer than k different-label peers in a block
+    pair simply emit fewer partials.
     """
     B = n_blocks
 
@@ -233,14 +243,17 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
 
     CHUNK = 512  # rows per fused matmul+select slice
 
-    def _block_topk(src_ids, src_mat, cand_ids, cand_mat, diagonal):
+    def _block_topk(src_ids, src_mat, cand_ids, cand_mat, diagonal,
+                    src_lab=None, cand_lab=None):
         """Per-source top-k among the candidate side, row-chunked: the
         sim matrix never materializes beyond CHUNK x m (numpy's
         argpartition over one huge 2-D array is also ~15x slower than
         the same work in cache-sized slices — measured 8.8s vs 0.54s at
         6250^2).  On the diagonal the self column is -inf'd and kk
         capped at m-1 so a self edge can never be emitted, even when the
-        block has <= k members."""
+        block has <= k members.  With labels, same-label columns are
+        -inf'd per chunk (self included, since self shares its own
+        label) and the masked entries are dropped before returning."""
         m = len(cand_ids)
         kk = min(k, m - 1 if diagonal else m)
         if kk <= 0:
@@ -250,6 +263,8 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
         for i0 in range(0, len(src_ids), CHUNK):
             sm = src_mat[i0:i0 + CHUNK] @ cand_mat.T
             c = sm.shape[0]
+            if src_lab is not None:
+                sm[np.equal.outer(src_lab[i0:i0 + c], cand_lab)] = -np.inf
             if diagonal:
                 sm[np.arange(c), i0 + np.arange(c)] = -np.inf
             if kk < m:
@@ -259,8 +274,13 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
             nodes_l.append(np.repeat(src_ids[i0:i0 + c], idx.shape[1]))
             sims_l.append(np.take_along_axis(sm, idx, axis=1).ravel())
             nbrs_l.append(cand_ids[idx.ravel()])
-        return (np.concatenate(nodes_l), np.concatenate(sims_l),
-                np.concatenate(nbrs_l))
+        nodes = np.concatenate(nodes_l)
+        sv = np.concatenate(sims_l)
+        nbrs = np.concatenate(nbrs_l)
+        if src_lab is not None:
+            live = sv > -np.inf  # masked same-label picks never emit
+            nodes, sv, nbrs = nodes[live], sv[live], nbrs[live]
+        return nodes, sv, nbrs
 
     def pair_block(g: "pd.DataFrame") -> "pd.DataFrame":
         pk = int(g["pk"].iloc[0])
@@ -270,18 +290,25 @@ def knn_graph(ds: "ray.data.Dataset", k: int = 5,
         empty = pd.DataFrame({"node": np.array([], np.int64),
                               "sim": np.array([], np.float64),
                               "neighbor_id": np.array([], np.int64)})
+        lab = (g[label_col].to_numpy(np.int64)
+               if label_col is not None else None)
         if diagonal:
             mat = _normalize(np.stack(g["embedding"].to_numpy())
                              .astype(np.float64))
-            nodes, sv, nbrs = _block_topk(ids, mat, ids, mat, True)
+            nodes, sv, nbrs = _block_topk(ids, mat, ids, mat, True,
+                                          lab, lab)
         else:
             a = side == 0
             if not a.any() or a.all():
                 return empty  # one side of the block pair is empty
             mat = _normalize(np.stack(g["embedding"].to_numpy())
                              .astype(np.float64))
-            n0, s0, c0 = _block_topk(ids[a], mat[a], ids[~a], mat[~a], False)
-            n1, s1, c1 = _block_topk(ids[~a], mat[~a], ids[a], mat[a], False)
+            la = lab[a] if lab is not None else None
+            lb = lab[~a] if lab is not None else None
+            n0, s0, c0 = _block_topk(ids[a], mat[a], ids[~a], mat[~a],
+                                     False, la, lb)
+            n1, s1, c1 = _block_topk(ids[~a], mat[~a], ids[a], mat[a],
+                                     False, lb, la)
             nodes = np.concatenate([n0, n1])
             sv = np.concatenate([s0, s1])
             nbrs = np.concatenate([c0, c1])

@@ -5987,6 +5987,36 @@ r AS (SELECT node, nid,
 SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 5"""
 
 
+def q_emb_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: each vector's
+    top-3 most-similar vectors with a DIFFERENT label — in-batch random
+    negatives are easy, the near-but-wrong ones carry the gradient
+    signal (the DPR/SimCSE curation step).  Same exact block-pair
+    partial-top-k exchange as q_emb_knn_graph (functions/ann.knn_graph
+    with label_col): the same-label mask is applied inside the fused
+    matmul chunk, so masked sims never leave the task and the merge
+    shuffle still carries O(n·k·B) integer rows."""
+    from ..functions.ann import knn_graph
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding",
+                                            "label"])
+    return knn_graph(ds, k=3, n_blocks=4, label_col="label")
+
+
+def sql_emb_hard_negatives() -> str:
+    return """
+WITH s AS (
+  SELECT a.vec_id AS node, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+r AS (SELECT node, nid,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY sim DESC, nid) AS rk
+      FROM s)
+SELECT node, rk::BIGINT AS rank, nid AS neighbor_id FROM r WHERE rk <= 3"""
+
+
 def _template_column(text_col) -> "pa.Array":
     """Structural template of each text (the Drain-family mask): keep
     only key=value tokens, preserve the literal `type=` discriminator,
@@ -7337,6 +7367,7 @@ def build_registry(transcript_sf: str = SF001):
         "events_followup_pairs": q_events_followup_pairs,
         "events_daily_dense": q_events_daily_dense,
         "events_first_touch": q_events_first_touch,
+        "emb_hard_negatives": q_emb_hard_negatives,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7500,15 +7531,15 @@ _WINDOW_ROTATION = [
     # witnessed: orders_priority_returns, events_cube,
     # events_onboarding_paths, customer_balance_deciles,
     # customers_idle_rich, emb_dim_minmax, events_type_share,
-    # events_followup_pairs; events_hot_users / events_latest_by_user,
-    # twice-witnessed, yield to events_daily_dense / events_first_touch;
-    # all displaced entries remain in CHECKLOCAL + pytest.)
+    # events_followup_pairs; events_hot_users / events_latest_by_user /
+    # events_range_join, twice-witnessed, yield to events_daily_dense /
+    # events_first_touch / emb_hard_negatives; all displaced entries
+    # remain in CHECKLOCAL + pytest.)
     "t_norm",
     "orders_priority_returns", "events_cube", "events_onboarding_paths",
     "customer_balance_deciles", "customers_idle_rich",
     "emb_dim_minmax", "events_type_share", "events_followup_pairs",
-    "events_daily_dense", "events_first_touch",
-    "events_range_join",
+    "events_daily_dense", "events_first_touch", "emb_hard_negatives",
     "events_funnel",
     "t_kind_bigrams", "t_field_histogram",
     "doc_sample",
@@ -7575,6 +7606,7 @@ def _build_oracle(t01):
         "events_followup_pairs": sql_events_followup_pairs(),
         "events_daily_dense": sql_events_daily_dense(),
         "events_first_touch": sql_events_first_touch(),
+        "emb_hard_negatives": sql_emb_hard_negatives(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

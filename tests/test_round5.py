@@ -1494,3 +1494,64 @@ def test_top_tokens_arrow_partial_matches_findall():
     toks = toks.filter(pc.not_equal(toks, ""))
     got = collections.Counter(toks.to_pylist())
     assert got == want
+
+
+def test_emb_hard_negatives_matches_oracle(ray_session):
+    """Hard-negative mining: top-3 different-label neighbors match the
+    SQL label-excluded self-join at sf0.001, and no neighbor ever shares
+    its node's label."""
+    from aushape_ray.pipelines.queries import (q_emb_hard_negatives,
+                                               sql_emb_hard_negatives)
+
+    sf = "/root/testdata/sf0.001"
+    key = ["node", "rank"]
+    got = q_emb_hard_negatives(sf).to_pandas().sort_values(
+        key, ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_emb_hard_negatives()).df() \
+        .sort_values(key, ignore_index=True)
+    assert got[key].values.tolist() == exp[key].values.tolist()
+    assert got["neighbor_id"].astype(int).tolist() == \
+        exp["neighbor_id"].tolist()
+    lab = _duckdb_views(sf).execute(
+        "SELECT vec_id, label FROM embeddings").df() \
+        .set_index("vec_id")["label"]
+    assert (lab.loc[got["node"]].to_numpy()
+            != lab.loc[got["neighbor_id"]].to_numpy()).all()
+
+
+def test_knn_label_exclusion_constructed(ray_session):
+    """Constructed corpus pins the masking semantics: a node whose only
+    close peers share its label skips them all; a node with fewer than
+    k different-label peers emits fewer rows, never a same-label or
+    self edge."""
+    import ray
+
+    from aushape_ray.functions.ann import knn_graph
+
+    # 2-D unit vectors: ids 0,1,2 at angle ~0 (label 0 for 0,1; label 1
+    # for 2), id 3 at angle 90° label 1, id 4 at angle 180° label 0
+    import math
+    angs = [0.0, 0.02, 0.04, math.pi / 2, math.pi]
+    labs = [0, 0, 1, 1, 0]
+    t = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array([[math.cos(a), math.sin(a)] for a in angs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int32()),
+    })
+    out = knn_graph(ray.data.from_arrow(t), k=2, n_blocks=2,
+                    label_col="label").to_pandas()
+    nbrs = {n: g.sort_values("rank")["neighbor_id"].tolist()
+            for n, g in out.groupby("node")}
+    # node 0 (label 0): nearest different-label are 2 (0.04 rad) then 3
+    assert nbrs[0] == [2, 3]
+    # node 2 (label 1): nearest different-label are 1 then 0
+    assert nbrs[2] == [1, 0]
+    # node 3 (label 1): different-label peers 0,1,4 — nearest two by
+    # cosine: 1 (89°-ish) then 0 (90°); 4 is at 90° past it
+    assert nbrs[3] == [1, 0]
+    # only two label-1 vectors exist, so label-0 nodes always find 2
+    # negatives; every emitted edge crosses labels
+    lab = dict(zip(range(5), labs))
+    assert all(lab[r.node] != lab[r.neighbor_id]
+               for r in out.itertuples())
