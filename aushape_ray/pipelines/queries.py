@@ -1933,15 +1933,18 @@ def q_events_followup_pairs(sf_dir: str):
     gives only the nearest predecessor; this counts ALL followers in
     the band).  Scale shape: the coarse user-hash exchange lands each
     user whole in one partition; inside, a composite key
-    (partition-local dense user index × padded span + ts) makes one
-    np.searchsorted pair per partition resolve every band — start
-    bound side='right' on the key itself implements SQL's strict
-    b.ts > a.ts including duplicate-timestamp ties — and the pair
-    expansion is np.repeat arithmetic, no per-user Python.  Emitted
+    (partition-local dense user index × padded span + ts) linearizes
+    every user's timeline, and the band is resolved by COUNTING, never
+    pair expansion: for each type_b the partition does ONE searchsorted
+    pair of all events against type_b's key subsequence
+    (hi - lo = followers of that type per event), then bincounts by
+    type_a — O(n·|types|·log n) work and O(n) memory even when a hot
+    user makes the band quadratically dense (the naive np.repeat
+    expansion materializes every pair; a 100k-events-in-6h user would
+    be 10^10 rows).  The side='right' start bound implements SQL's
+    strict b.ts > a.ts including duplicate-timestamp ties.  Emitted
     rows are per-partition (type_a, type_b) PARTIALS, so the closing
-    groupby moves <= |types|² rows per partition; the pair count
-    itself is data-bounded (band pairs, never the n² cross join the
-    SQL notation suggests)."""
+    groupby moves <= |types|² rows per partition."""
     from ..functions.joins import hash_part
 
     W_US = 21_600 * 1_000_000  # 6 h
@@ -1964,26 +1967,29 @@ def q_events_followup_pairs(sf_dir: str):
         df = g.sort_values(["user_id", "ts_us"], ignore_index=True)
         uid = df["user_id"].to_numpy(np.int64)
         ts = df["ts_us"].to_numpy(np.int64)
-        et = df["event_type"].to_numpy()
-        _, ulocal = np.unique(uid, return_inverse=True)
-        t0 = ts.min() if len(ts) else 0
-        span = (ts.max() - t0 + W_US + 2) if len(ts) else 1
-        key = ulocal.astype(np.int64) * span + (ts - t0)
-        lo = np.searchsorted(key, key, side="right")
-        hi = np.searchsorted(key, key + W_US, side="right")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if total == 0:
+        types, tcode = np.unique(df["event_type"].to_numpy(),
+                                 return_inverse=True)
+        if len(ts) == 0:
             return pd.DataFrame({"type_a": [], "type_b": [],
                                  "n_pairs": []})
-        a_idx = np.repeat(np.arange(len(key)), cnt)
-        starts = np.cumsum(cnt) - cnt
-        b_idx = (np.arange(total) - np.repeat(starts, cnt)
-                 + np.repeat(lo, cnt))
-        out = pd.DataFrame({"type_a": et[a_idx], "type_b": et[b_idx]}) \
-            .groupby(["type_a", "type_b"], as_index=False).size()
-        out.columns = ["type_a", "type_b", "n_pairs"]
-        return out
+        _, ulocal = np.unique(uid, return_inverse=True)
+        t0 = ts.min()
+        span = ts.max() - t0 + W_US + 2
+        key = ulocal.astype(np.int64) * span + (ts - t0)
+        ta, tb, n = [], [], []
+        for b in range(len(types)):
+            kb = key[tcode == b]  # sorted subsequence of a sorted array
+            cnt = (np.searchsorted(kb, key + W_US, side="right")
+                   - np.searchsorted(kb, key, side="right"))
+            per_a = np.bincount(tcode, weights=cnt,
+                                minlength=len(types)).astype(np.int64)
+            live = np.flatnonzero(per_a)
+            ta.append(types[live])
+            tb.append(np.full(len(live), types[b]))
+            n.append(per_a[live])
+        return pd.DataFrame({"type_a": np.concatenate(ta),
+                             "type_b": np.concatenate(tb),
+                             "n_pairs": np.concatenate(n)})
 
     per_partition.__name__ = "followup_pairs_partition"
     partials = ds.map_batches(proj, batch_format="pyarrow").groupby(

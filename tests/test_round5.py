@@ -1555,3 +1555,32 @@ def test_knn_label_exclusion_constructed(ray_session):
     lab = dict(zip(range(5), labs))
     assert all(lab[r.node] != lab[r.neighbor_id]
                for r in out.itertuples())
+
+
+def test_followup_pairs_hot_user_counting_form(ray_session):
+    """A user with n=5000 events inside one band is C(n,2) ~ 12.5M pairs
+    — the counting form never materializes them (O(n log n) per type)
+    and the count matches the closed form."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_events_followup_pairs
+
+    n = 5000
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([base + i for i in range(n)], pa.timestamp("us")),
+        "user_id": pa.array([7] * n, pa.int64()),
+        "event_type": pa.array(["X"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = q_events_followup_pairs(d).to_pandas()
+    assert len(got) == 1
+    assert (got.iloc[0]["type_a"], got.iloc[0]["type_b"]) == ("X", "X")
+    assert int(got.iloc[0]["n_pairs"]) == n * (n - 1) // 2
