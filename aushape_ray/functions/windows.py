@@ -183,6 +183,55 @@ def running_total(ds: "ray.data.Dataset", n_parts: int = 64) -> "ray.data.Datase
         per_partition, batch_format="pandas")
 
 
+def moving_sum(ds: "ray.data.Dataset", frame: int = 5,
+               n_parts: int = 64) -> "ray.data.Dataset":
+    """Per-user BOUNDED-frame window — the SQL
+    SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW), row-per-event.
+
+    Same coarse user-hash partition as running_total; the frame sum is
+    two gathers into one exclusive cumsum (cs[i+1] - cs[max(i-frame+1,
+    run_start)]), so a partition costs O(n) regardless of frame size —
+    no pandas rolling, no per-user Python.  Integer cents keep the sums
+    exact and order-independent."""
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        from .joins import hash_part
+
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = np.asarray(batch.column("value"), np.float64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "part": pa.array(hash_part(uid, n_parts)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us", "event_id"],
+                           ignore_index=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        n = len(cents)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], uid[1:] != uid[:-1]]))
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(n) - (frame - 1), run_start)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "moving_cents": (cs[np.arange(n) + 1] - cs[lo]).astype(
+                "int64"),
+        })
+
+    per_partition.__name__ = "moving_sum_partition"
+    return ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")
+
+
 def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
                      n_parts: int = 32,
                      order_col: str = "event_id") -> "ray.data.Dataset":

@@ -1869,6 +1869,114 @@ SELECT event_id,
 FROM events"""
 
 
+def q_events_moving_sum(sf_dir: str):
+    """BOUNDED window frame (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW):
+    each event's 5-row moving value sum within its user's (ts,
+    event_id) order — the frame-based complement of
+    events_running_total's unbounded frame and events_sliding's
+    time-based windows.  functions/windows.moving_sum: the frame sum is
+    two gathers into one exclusive cumsum per partition, O(n) for ANY
+    frame width — no pandas rolling, no per-user Python."""
+    from ..functions.windows import moving_sum
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "ts", "user_id", "value"])
+    return moving_sum(ds, frame=5)
+
+
+def sql_events_moving_sum() -> str:
+    return """
+SELECT event_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::BIGINT
+           AS moving_cents
+FROM events"""
+
+
+def q_events_audience_overlap(sf_dir: str):
+    """SET OPERATIONS (INTERSECT / EXCEPT) between two derived distinct
+    sets: users active in the corpus's FIRST week vs its LAST week —
+    'both' retained, 'first_only' churned, 'last_only' acquired.  Scale
+    shape: one scalar pass broadcasts the two day bounds; each batch
+    emits DISTINCT (user, in_first, in_last) flag partials for users
+    touching either window; a user-keyed groupby ORs the flags (the set
+    algebra happens on flag pairs, so INTERSECT and both EXCEPTs come
+    from the same single exchange of <= |users| 17-byte rows); the
+    closing reduce moves 3 counters per block."""
+    from ray.data.aggregate import Max
+
+    US_DAY = 86_400_000_000
+    ds = _read_table(sf_dir, "events", ["ts", "user_id"])
+
+    lohi = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column("ts")).cast(
+                pa.int64()).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t.column("ts")).cast(
+                pa.int64()).as_py()], pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    d0 = min(r["lo"] for r in lohi) // US_DAY
+    d1 = max(r["hi"] for r in lohi) // US_DAY
+
+    def flags(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_DAY
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        in_a = day < d0 + 7
+        in_b = day > d1 - 7
+        keep = in_a | in_b
+        g = pd.DataFrame({"user_id": uid[keep],
+                          "in_first": in_a[keep].astype(np.int8),
+                          "in_last": in_b[keep].astype(np.int8)}) \
+            .groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    flags.__name__ = "audience_flags"
+    per_user = ds.map_batches(flags, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Max("in_first", alias_name="in_first"),
+                             Max("in_last", alias_name="in_last"))
+
+    def count3(t: pa.Table) -> pa.Table:
+        a = t.column("in_first").to_numpy(zero_copy_only=False) > 0
+        b = t.column("in_last").to_numpy(zero_copy_only=False) > 0
+        return pa.table({
+            "n_both": pa.array([int((a & b).sum())], pa.int64()),
+            "n_first_only": pa.array([int((a & ~b).sum())], pa.int64()),
+            "n_last_only": pa.array([int((~a & b).sum())], pa.int64()),
+        })
+
+    agg = per_user.map_batches(count3, batch_format="pyarrow").aggregate(
+        Sum("n_both", alias_name="n_both"),
+        Sum("n_first_only", alias_name="n_first_only"),
+        Sum("n_last_only", alias_name="n_last_only"))
+    return pa.table({
+        "segment": pa.array(["both", "first_only", "last_only"],
+                            pa.string()),
+        "n_users": pa.array([int(agg["n_both"]), int(agg["n_first_only"]),
+                             int(agg["n_last_only"])], pa.int64()),
+    })
+
+
+def sql_events_audience_overlap() -> str:
+    return """
+WITH b AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+a AS (SELECT DISTINCT user_id FROM b, lim WHERE d < d0 + 7),
+z AS (SELECT DISTINCT user_id FROM b, lim WHERE d > d1 - 7)
+SELECT 'both' AS segment, (SELECT count(*) FROM
+  (SELECT user_id FROM a INTERSECT SELECT user_id FROM z))::BIGINT
+  AS n_users
+UNION ALL
+SELECT 'first_only', (SELECT count(*) FROM
+  (SELECT user_id FROM a EXCEPT SELECT user_id FROM z))::BIGINT
+UNION ALL
+SELECT 'last_only', (SELECT count(*) FROM
+  (SELECT user_id FROM z EXCEPT SELECT user_id FROM a))::BIGINT"""
+
+
 def q_events_cooccur_types(sf_dir: str):
     """Market-basket co-occurrence: for every unordered pair of event
     types, the number of DISTINCT users that emitted both — the
@@ -7374,6 +7482,8 @@ def build_registry(transcript_sf: str = SF001):
         "events_daily_dense": q_events_daily_dense,
         "events_first_touch": q_events_first_touch,
         "emb_hard_negatives": q_emb_hard_negatives,
+        "events_moving_sum": q_events_moving_sum,
+        "events_audience_overlap": q_events_audience_overlap,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7538,17 +7648,17 @@ _WINDOW_ROTATION = [
     # events_onboarding_paths, customer_balance_deciles,
     # customers_idle_rich, emb_dim_minmax, events_type_share,
     # events_followup_pairs; events_hot_users / events_latest_by_user /
-    # events_range_join, twice-witnessed, yield to events_daily_dense /
-    # events_first_touch / emb_hard_negatives; all displaced entries
-    # remain in CHECKLOCAL + pytest.)
+    # events_range_join / events_funnel / doc_sample, twice-witnessed,
+    # yield to events_daily_dense / events_first_touch /
+    # emb_hard_negatives / events_moving_sum / events_audience_overlap;
+    # all displaced entries remain in CHECKLOCAL + pytest.)
     "t_norm",
     "orders_priority_returns", "events_cube", "events_onboarding_paths",
     "customer_balance_deciles", "customers_idle_rich",
     "emb_dim_minmax", "events_type_share", "events_followup_pairs",
     "events_daily_dense", "events_first_touch", "emb_hard_negatives",
-    "events_funnel",
+    "events_moving_sum", "events_audience_overlap",
     "t_kind_bigrams", "t_field_histogram",
-    "doc_sample",
     "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
     "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
     # (events_sample_stratified / events_window_anomaly — witnessed in
@@ -7613,6 +7723,8 @@ def _build_oracle(t01):
         "events_daily_dense": sql_events_daily_dense(),
         "events_first_touch": sql_events_first_touch(),
         "emb_hard_negatives": sql_emb_hard_negatives(),
+        "events_moving_sum": sql_events_moving_sum(),
+        "events_audience_overlap": sql_events_audience_overlap(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

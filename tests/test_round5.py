@@ -1584,3 +1584,77 @@ def test_followup_pairs_hot_user_counting_form(ray_session):
     assert len(got) == 1
     assert (got.iloc[0]["type_a"], got.iloc[0]["type_b"]) == ("X", "X")
     assert int(got.iloc[0]["n_pairs"]) == n * (n - 1) // 2
+
+
+def test_events_moving_sum_matches_oracle(ray_session):
+    """Bounded ROWS frame: 5-row moving cents sums match the SQL frame
+    at sf0.001; the first rows of each user partial-frame correctly."""
+    from aushape_ray.pipelines.queries import (q_events_moving_sum,
+                                               sql_events_moving_sum)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_moving_sum(sf).to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_moving_sum()).df() \
+        .sort_values("event_id", ignore_index=True)
+    assert got["event_id"].astype(int).tolist() == exp["event_id"].tolist()
+    assert got["moving_cents"].astype(int).tolist() == \
+        exp["moving_cents"].tolist()
+    n = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM events").fetchone()[0]
+    assert len(got) == n
+
+
+def test_moving_sum_frame_edges(ray_session):
+    """Constructed corpus pins the frame semantics: partial frames at
+    the head of each user, full frames after, user boundaries never
+    leak."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray  # noqa: F401
+
+    from aushape_ray.functions.windows import moving_sum
+
+    # user 1: cents 100,200,300,400,500,600 -> frames of 5
+    # user 2: single event
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 9.0]
+    uids = [1, 1, 1, 1, 1, 1, 2]
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array([base + i for i in range(7)], pa.timestamp("us")),
+        "user_id": pa.array(uids, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    import ray.data
+    out = moving_sum(ray.data.from_arrow(t), frame=5).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    assert out["moving_cents"].tolist() == [
+        100, 300, 600, 1000, 1500,      # partial then full frames
+        2000,                           # 200+300+400+500+600
+        900,                            # user 2 frame never sees user 1
+    ]
+
+
+def test_events_audience_overlap_matches_oracle(ray_session):
+    """INTERSECT/EXCEPT set ops: the three audience segments match the
+    SQL set algebra at sf0.001 and partition the active-in-either-week
+    user set."""
+    from aushape_ray.pipelines.queries import (q_events_audience_overlap,
+                                               sql_events_audience_overlap)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_audience_overlap(sf).to_pandas().sort_values(
+        "segment", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_audience_overlap()).df() \
+        .sort_values("segment", ignore_index=True)
+    assert got["segment"].tolist() == exp["segment"].tolist()
+    assert got["n_users"].astype(int).tolist() == exp["n_users"].tolist()
+    union = _duckdb_views(sf).execute("""
+WITH b AS (SELECT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b)
+SELECT count(DISTINCT user_id) FROM b, lim
+WHERE d < d0 + 7 OR d > d1 - 7""").fetchone()[0]
+    assert int(got["n_users"].sum()) == union
