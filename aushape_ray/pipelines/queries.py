@@ -2355,19 +2355,23 @@ FROM an FULL OUTER JOIN c ON an.day = c.day"""
 # --------------------------------------------------------------------------
 
 def q_events_props_stats(sf_dir: str):
-    """Semi-structured extraction: parse the JSON `props` column (regexp,
-    vectorized-per-batch) and aggregate k by event_type."""
-    import re
-
+    """Semi-structured extraction: parse the JSON `props` column and
+    aggregate k by event_type.  The extraction is ONE vectorized RE2
+    pass (pc.extract_regex; unmatched/null rows null out and coalesce
+    to 0, same as the SQL's nullif/coalesce) — no per-row Python."""
     ds = _read_table(sf_dir, "events", ["event_type", "props"])
-    rx = re.compile(r'"k":\s*([0-9]+)')
 
     def partial(batch: pa.Table) -> pa.Table:
-        ks = [int(m.group(1)) if (m := rx.search(p or "")) else 0
-              for p in batch.column("props").to_pylist()]
+        props = batch.column("props")
+        if props.null_count:
+            props = props.fill_null("")
+        m = pc.extract_regex(props.combine_chunks(),
+                             r'"k":\s*(?P<k>[0-9]+)')
+        ks = pc.if_else(pc.is_valid(m), m.field("k"),
+                        pa.scalar("0")).cast(pa.int64())
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pylist(),
-            "k": ks,
+            "k": ks.to_numpy(zero_copy_only=False),
         })
         g = df.groupby("event_type", as_index=False).agg(
             n=("k", "size"), sum_k=("k", "sum"))
