@@ -232,6 +232,145 @@ def moving_sum(ds: "ray.data.Dataset", frame: int = 5,
         per_partition, batch_format="pandas")
 
 
+def range_interval_sum(ds: "ray.data.Dataset", gap_s: int = 3600,
+                       n_parts: int = 64) -> "ray.data.Dataset":
+    """Per-user TIME-based window frame — the SQL
+    SUM(cents) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL gap_s SECOND PRECEDING AND CURRENT ROW),
+    row-per-event.  The RANGE complement of moving_sum's ROWS frame:
+    the frame is every row whose ts lies in [cur_ts - gap, cur_ts],
+    INCLUDING peers (rows sharing cur_ts), per SQL RANGE semantics.
+
+    Same coarse user-hash partition as moving_sum; the frame bounds are
+    TWO searchsorted calls over the whole partition via the disjoint-
+    run-offset composite: each user run's timestamps are rebased onto a
+    shared axis with > gap spacing between runs, so one globally sorted
+    array answers every row's [lo, hi) in O(n log n) — no per-user
+    Python.  If the rebased axis would overflow int64 (astronomically
+    many runs x span), falls back to an exact per-run searchsorted loop.
+    Integer cents keep the sums exact and order-independent."""
+    gap_us = gap_s * 1_000_000
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        from .joins import hash_part
+
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = np.asarray(batch.column("value"), np.float64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "part": pa.array(hash_part(uid, n_parts)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us", "event_id"],
+                           ignore_index=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        n = len(ts)
+        if not n:
+            return pd.DataFrame({"event_id": np.array([], np.int64),
+                                 "range_cents": np.array([], np.int64)})
+        starts = np.flatnonzero(np.concatenate(
+            [[True], uid[1:] != uid[:-1]]))
+        ends = np.append(starts[1:], n)
+        mn, mx = ts[starts], ts[ends - 1]
+        # rebase run r onto [shift_r, shift_r + span_r] with gap_us + 1
+        # spacing after run r-1 — t2 is then globally sorted and a window
+        # can never reach across a run boundary
+        spans = (mx - mn).astype(np.float64)
+        shift_f = np.concatenate(
+            [[0.0], np.cumsum(spans[:-1] + (gap_us + 1.0))])
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        if n and shift_f[-1] + spans[-1] < 2.0 ** 62:
+            shift = shift_f.astype(np.int64)
+            t2 = (ts - np.repeat(mn, ends - starts)
+                  + np.repeat(shift, ends - starts))
+            lo = np.searchsorted(t2, t2 - gap_us, side="left")
+            hi = np.searchsorted(t2, t2, side="right")
+        else:  # exact fallback; unreachable at any realistic scale
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] - gap_us, side="left")
+                hi[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e], side="right")
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "range_cents": (cs[hi] - cs[lo]).astype("int64"),
+        })
+
+    per_partition.__name__ = "range_interval_partition"
+    return ds.map_batches(to_us, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")
+
+
+def user_day_streaks(ds: "ray.data.Dataset",
+                     n_parts: int = 32) -> "ray.data.Dataset":
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, returned as a bounded histogram (streak_days, n_users) — the
+    engagement-streak metric (and the classic SQL islands shape,
+    day - row_number() grouping).
+
+    Scale shape: each batch reduces to its distinct (user, day) rows
+    (<= users x days partials); ONE coarse user-hash exchange
+    co-locates each user's day set; a single vectorized pass over the
+    sorted partition finds island boundaries, island lengths via index
+    diffs, per-user maxima via maximum.reduceat (islands of a user are
+    contiguous after the sort), and pre-bins the histogram — the
+    closing groupby moves <= distinct-streak-length counters per
+    partition."""
+    US_DAY = 86_400_000_000
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        from .joins import hash_part
+
+        day = pc.divide(t.column("ts").cast(pa.int64()),
+                        pa.scalar(US_DAY, pa.int64()))
+        g = pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "day": day,
+        }).group_by(["user_id", "day"]).aggregate([])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("part", pa.array(hash_part(uid, n_parts)))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], ignore_index=True)
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        n = len(d)
+        if not n:
+            return pd.DataFrame({"streak_days": np.array([], np.int64),
+                                 "n_users": np.array([], np.int64)})
+        brk = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)])
+        starts = np.flatnonzero(brk)
+        lengths = np.diff(np.append(starts, n))
+        iu = u[starts]
+        user_starts = np.flatnonzero(np.concatenate(
+            [[True], iu[1:] != iu[:-1]]))
+        best = np.maximum.reduceat(lengths, user_starts)
+        streak, cnt = np.unique(best, return_counts=True)
+        return pd.DataFrame({"streak_days": streak.astype(np.int64),
+                             "n_users": cnt.astype(np.int64)})
+
+    per_partition.__name__ = "streaks_partition"
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(
+        distinct_partial, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas").groupby(
+        "streak_days").aggregate(Sum("n_users", alias_name="n_users"))
+
+
 def late_event_stats(ds: "ray.data.Dataset", allow_s: int = 600,
                      n_parts: int = 32,
                      order_col: str = "event_id") -> "ray.data.Dataset":

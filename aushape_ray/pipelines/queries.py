@@ -2350,6 +2350,214 @@ SELECT make_timestamp(coalesce(an.day, c.day) * 86400000000) AS day,
 FROM an FULL OUTER JOIN c ON an.day = c.day"""
 
 
+def q_events_user_streaks(sf_dir: str):
+    """GAPS-AND-ISLANDS: per-user longest run of consecutive active
+    days, as a bounded (streak_days, n_users) histogram — the classic
+    SQL islands shape (day - row_number() grouping) and the engagement
+    streak every product dashboard reports.  functions/windows.
+    user_day_streaks: distinct-(user,day) partials, one coarse
+    user-hash exchange, fully vectorized island detection
+    (maximum.reduceat over contiguous per-user islands)."""
+    from ..functions.windows import user_day_streaks
+
+    ds = _read_table(sf_dir, "events", ["user_id", "ts"])
+    return user_day_streaks(ds).map_batches(
+        lambda t: pa.table({
+            "streak_days": t.column("streak_days").cast(pa.int64()),
+            "n_users": t.column("n_users").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_events_user_streaks() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) // 86400000000)::BIGINT AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+s AS (SELECT user_id, count(*)::BIGINT AS len
+      FROM r GROUP BY user_id, grp),
+m AS (SELECT user_id, max(len) AS streak FROM s GROUP BY user_id)
+SELECT streak::BIGINT AS streak_days, count(*)::BIGINT AS n_users
+FROM m GROUP BY streak"""
+
+
+def q_events_range_sum(sf_dir: str):
+    """TIME-based window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW): each event's per-user value sum over the trailing
+    hour — the RANGE complement of events_moving_sum's ROWS frame,
+    including SQL's same-ts peer semantics.  functions/windows.
+    range_interval_sum: one user-hash exchange; frame bounds are two
+    searchsorted calls over a disjoint-run-offset composite axis, O(n
+    log n) per partition with no per-user Python."""
+    from ..functions.windows import range_interval_sum
+
+    ds = _read_table(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "value"])
+    return range_interval_sum(ds, gap_s=3600).map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "range_cents": t.column("range_cents").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_events_range_sum() -> str:
+    return """
+SELECT event_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT
+           AS range_cents
+FROM events"""
+
+
+def q_events_mode_type(sf_dir: str):
+    """GROUPED MODE: each user's most frequent event type (ties broken
+    by the lexicographically smallest type), returned as the bounded
+    (event_type, n_users) histogram — the per-entity argmax-by-count
+    shape (dominant category / favorite-item attribution).
+
+    Scale shape: each batch emits (user, type, n) count partials (Arrow
+    group_by, no Python rows); ONE coarse user-hash exchange co-locates
+    each user's partials; the per-partition pass re-sums and takes the
+    per-user argmax in one vectorized sort + keep-first, then pre-bins
+    to type counts, so the closing groupby moves <= |types| counters
+    per partition."""
+    from ..functions.joins import hash_part
+
+    n_parts = 32
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+        }).group_by(["user_id", "event_type"]).aggregate([
+            ([], "count_all")]).rename_columns(
+            ["user_id", "event_type", "n"])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return g.append_column("part", pa.array(hash_part(uid, n_parts)))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        s = s.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        top = s.drop_duplicates("user_id", keep="first")
+        out = top.groupby("event_type", as_index=False).size()
+        return pd.DataFrame({"event_type": out["event_type"],
+                             "n_users": out["size"].astype("int64")})
+
+    per_partition.__name__ = "mode_partition"
+    ds = _read_table(sf_dir, "events", ["user_id", "event_type"])
+    agg = ds.map_batches(count_partial, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas").groupby(
+        "event_type").aggregate(Sum("n_users", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "n_users": t.column("n_users").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_events_mode_type() -> str:
+    return """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+m AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT event_type, count(*)::BIGINT AS n_users
+FROM m WHERE rn = 1 GROUP BY event_type"""
+
+
+def q_users_customers_reconcile(sf_dir: str):
+    """FULL OUTER JOIN — identity reconciliation between two systems:
+    the events stream's per-user activity vs the customer master, on
+    the shared integer id space.  Rows surviving from only one side
+    keep their side's values (nulls on the other), the canonical
+    cross-system audit (who has activity but no account / an account
+    but no activity).
+
+    Scale shape: events reduce to per-user partials (one groupby) —
+    NEVER the raw stream into the join; the join is the partitioned
+    hash_join with how='outer' (functions/joins.py — one exchange per
+    side, per-bucket pandas merge on (key, row-index) frames only, so
+    unmatched-side nulls never round a value); the finish is a
+    stateless per-batch coalesce."""
+    from ..functions.joins import hash_join
+
+    ev = _read_table(sf_dir, "events", ["user_id", "value"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64())
+        v = np.asarray(t.column("value"), np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({"user_id": uid,
+                      "n_events": pa.array(np.ones(len(t), np.int64)),
+                      "sum_cents": pa.array(cents)}).group_by(
+            "user_id").aggregate([("n_events", "sum"),
+                                  ("sum_cents", "sum")])
+        return g.rename_columns(["user_id", "n_events", "sum_cents"])
+
+    per_user = ev.map_batches(ev_partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Sum("n_events", alias_name="n_events"),
+                             Sum("sum_cents", alias_name="sum_cents"))
+
+    cust = _read_table(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.column("c_custkey").cast(pa.int64()),
+            "acct_cents": _cents(t.column("c_acctbal")),
+        }), batch_format="pyarrow")
+
+    joined = hash_join(per_user, cust, "user_id", "c_custkey",
+                       n_buckets=16, how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").cast(pa.int64())
+        c = t.column("c_custkey").cast(pa.int64())
+        has_u, has_c = pc.is_valid(u), pc.is_valid(c)
+        seg = pc.if_else(pc.and_(has_u, has_c), pa.scalar("both"),
+                         pc.if_else(has_u, pa.scalar("events_only"),
+                                    pa.scalar("customer_only")))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "id": pc.coalesce(u, c),
+            "n_events": pc.coalesce(
+                t.column("n_events").cast(pa.int64()), zero),
+            "sum_cents": pc.coalesce(
+                t.column("sum_cents").cast(pa.int64()), zero),
+            "acct_cents": t.column("acct_cents").cast(pa.int64()),
+            "segment": seg,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_users_customers_reconcile() -> str:
+    return """
+WITH e AS (SELECT user_id, count(*)::BIGINT AS n_events,
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                  AS sum_cents
+           FROM events GROUP BY user_id),
+c AS (SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+      FROM customer)
+SELECT coalesce(e.user_id, c.c_custkey)::BIGINT AS id,
+       coalesce(e.n_events, 0)::BIGINT AS n_events,
+       coalesce(e.sum_cents, 0)::BIGINT AS sum_cents,
+       c.acct_cents,
+       CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NOT NULL
+            THEN 'both'
+            WHEN e.user_id IS NOT NULL THEN 'events_only'
+            ELSE 'customer_only' END AS segment
+FROM e FULL OUTER JOIN c ON e.user_id = c.c_custkey"""
+
+
 # --------------------------------------------------------------------------
 # documents: dedup + text analysis
 # --------------------------------------------------------------------------
@@ -7488,6 +7696,10 @@ def build_registry(transcript_sf: str = SF001):
         "emb_hard_negatives": q_emb_hard_negatives,
         "events_moving_sum": q_events_moving_sum,
         "events_audience_overlap": q_events_audience_overlap,
+        "events_user_streaks": q_events_user_streaks,
+        "events_range_sum": q_events_range_sum,
+        "events_mode_type": q_events_mode_type,
+        "users_customers_reconcile": q_users_customers_reconcile,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7662,8 +7874,12 @@ _WINDOW_ROTATION = [
     "emb_dim_minmax", "events_type_share", "events_followup_pairs",
     "events_daily_dense", "events_first_touch", "emb_hard_negatives",
     "events_moving_sum", "events_audience_overlap",
-    "t_kind_bigrams", "t_field_histogram",
-    "doc_normalize", "doc_top_tokens", "doc_shared_term_pairs",
+    # sixth-session operators (never witnessed — new this session); they
+    # take the slots of t_kind_bigrams / t_field_histogram / doc_normalize
+    # / doc_top_tokens (witnessed in r1+r2+r3), which stay in CHECKLOCAL
+    "events_user_streaks", "events_range_sum", "events_mode_type",
+    "users_customers_reconcile",
+    "doc_shared_term_pairs",
     "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
     # (events_sample_stratified / events_window_anomaly — witnessed in
     # r1-r3 — yield their slots to never-witnessed round-5 operators;
@@ -7729,6 +7945,10 @@ def _build_oracle(t01):
         "emb_hard_negatives": sql_emb_hard_negatives(),
         "events_moving_sum": sql_events_moving_sum(),
         "events_audience_overlap": sql_events_audience_overlap(),
+        "events_user_streaks": sql_events_user_streaks(),
+        "events_range_sum": sql_events_range_sum(),
+        "events_mode_type": sql_events_mode_type(),
+        "users_customers_reconcile": sql_users_customers_reconcile(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

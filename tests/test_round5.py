@@ -1658,3 +1658,131 @@ lim AS (SELECT min(d) AS d0, max(d) AS d1 FROM b)
 SELECT count(DISTINCT user_id) FROM b, lim
 WHERE d < d0 + 7 OR d > d1 - 7""").fetchone()[0]
     assert int(got["n_users"].sum()) == union
+
+
+def test_events_user_streaks_matches_oracle(ray_session):
+    """Gaps-and-islands: the longest-streak histogram matches the SQL
+    day - row_number() islands at sf0.001, and user totals conserve."""
+    from aushape_ray.pipelines.queries import (q_events_user_streaks,
+                                               sql_events_user_streaks)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_user_streaks(sf).to_pandas().sort_values(
+        "streak_days", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_user_streaks()).df() \
+        .sort_values("streak_days", ignore_index=True)
+    assert got["streak_days"].astype(int).tolist() == \
+        exp["streak_days"].tolist()
+    assert got["n_users"].astype(int).tolist() == exp["n_users"].tolist()
+    n_users = _duckdb_views(sf).execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(got["n_users"].sum()) == n_users
+
+
+def test_user_day_streaks_islands(ray_session):
+    """Constructed corpus pins island semantics: duplicate days inside a
+    run collapse, gaps split runs, users never merge."""
+    import ray.data
+
+    from aushape_ray.functions.windows import user_day_streaks
+
+    US_DAY = 86_400_000_000
+    # user 1: days 0,1,2 then 5,6 (best 3); user 2: days 0,0,0 (best 1);
+    # user 3: days 10,12,14 (best 1)
+    days = [0, 1, 2, 5, 6, 0, 0, 0, 10, 12, 14]
+    uids = [1, 1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    t = pa.table({
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array([d * US_DAY + 7 for d in days], pa.timestamp("us")),
+    })
+    out = user_day_streaks(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("streak_days", ignore_index=True)
+    assert out["streak_days"].astype(int).tolist() == [1, 3]
+    assert out["n_users"].astype(int).tolist() == [2, 1]
+
+
+def test_events_range_sum_matches_oracle(ray_session):
+    """RANGE interval frame: trailing-hour per-user cents sums match the
+    SQL RANGE frame (peer-inclusive) at sf0.001, row-per-event."""
+    from aushape_ray.pipelines.queries import (q_events_range_sum,
+                                               sql_events_range_sum)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_range_sum(sf).to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_range_sum()).df() \
+        .sort_values("event_id", ignore_index=True)
+    assert got["event_id"].astype(int).tolist() == exp["event_id"].tolist()
+    assert got["range_cents"].astype(int).tolist() == \
+        exp["range_cents"].tolist()
+
+
+def test_range_interval_sum_edges(ray_session):
+    """Constructed corpus pins RANGE semantics: exact-boundary rows stay
+    in frame, same-ts peers sum together (even 'later' peers), user
+    boundaries never leak, fallback loop path agrees."""
+    import ray.data
+
+    from aushape_ray.functions.windows import range_interval_sum
+
+    base = 1_700_000_000_000_000
+    H = 3_600_000_000
+    # user 1: t=0 (100), t=H (200; boundary -> includes t=0),
+    #         t=H (300; peer of previous), t=2H+1 (400; 0 falls out,
+    #         H rows stay: |2H+1 - H| = H+1 > H -> actually out)
+    # user 2: t=0 (900) — never sees user 1
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([base, base + H, base + H, base + 2 * H + 1,
+                        base], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.0], pa.float64()),
+    })
+    out = range_interval_sum(
+        ray.data.from_arrow(t), gap_s=3600).to_pandas().sort_values(
+        "event_id", ignore_index=True)
+    # frames: e0=[0]; e1,e2=[0,H,H] (boundary in, peers sum);
+    # e3=[2H+1-H, 2H+1] = (H+1, ...] -> excludes both H rows? no:
+    # H >= 2H+1-H = H+1 is false -> only itself
+    assert out["range_cents"].tolist() == [100, 600, 600, 400, 900]
+
+
+def test_events_mode_type_matches_oracle(ray_session):
+    """Grouped mode: per-user dominant event type histogram matches the
+    SQL row_number argmax (ties -> smallest type) at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_events_mode_type,
+                                               sql_events_mode_type)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_mode_type(sf).to_pandas().sort_values(
+        "event_type", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_mode_type()).df() \
+        .sort_values("event_type", ignore_index=True)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n_users"].astype(int).tolist() == exp["n_users"].tolist()
+    n_users = _duckdb_views(sf).execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(got["n_users"].sum()) == n_users
+
+
+def test_users_customers_reconcile_matches_oracle(ray_session):
+    """FULL OUTER JOIN reconciliation matches the SQL at sf0.001:
+    segments partition the id universe; one-sided rows carry nulls."""
+    from aushape_ray.pipelines.queries import (
+        q_users_customers_reconcile, sql_users_customers_reconcile)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_users_customers_reconcile(sf).to_pandas().sort_values(
+        "id", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_users_customers_reconcile()).df() \
+        .sort_values("id", ignore_index=True)
+    assert got["id"].astype(int).tolist() == exp["id"].tolist()
+    assert got["segment"].tolist() == exp["segment"].tolist()
+    assert got["n_events"].astype(int).tolist() == exp["n_events"].tolist()
+    ga = got["acct_cents"].astype("Int64").tolist()
+    ea = exp["acct_cents"].astype("Int64").tolist()
+    assert ga == ea
+    # null contract: acct_cents null iff events_only
+    nulls = got["acct_cents"].isna()
+    assert (got.loc[nulls, "segment"] == "events_only").all()
+    assert not got.loc[~nulls, "segment"].eq("events_only").any()
