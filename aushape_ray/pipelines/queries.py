@@ -2558,6 +2558,198 @@ SELECT coalesce(e.user_id, c.c_custkey)::BIGINT AS id,
 FROM e FULL OUTER JOIN c ON e.user_id = c.c_custkey"""
 
 
+def q_events_type_moments(sf_dir: str):
+    """MERGEABLE SUFFICIENT STATISTICS: per event type, the exact
+    integer moments (n, sum_x, sum_xx, sum_y, sum_yy, sum_xy) of
+    (x = value cents, y = hour-of-day) — everything a driver needs to
+    finish mean / variance / covariance / Pearson r WITHOUT a second
+    pass, the canonical distributed-statistics shape (each batch emits
+    one 7-int row per type; partials merge by addition).
+
+    Exactness bound: int64 sums are exact while n * max(cents)^2 <
+    2^63 per type; past that, shard the moments by (type, day) and
+    combine on the driver in int128/float — stated, not hidden."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = pc.dictionary_encode(t.column("event_type").combine_chunks())
+        ti = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(t.column("value"), np.float64)
+        x = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = (ts // 3_600_000_000) % 24
+        k = max(1, len(et.dictionary))
+        out = {"event_type": et.dictionary}
+        out["n"] = pa.array(np.bincount(ti, minlength=k).astype(np.int64))
+        for name, w in (("sum_x", x), ("sum_xx", x * x), ("sum_y", y),
+                        ("sum_yy", y * y), ("sum_xy", x * y)):
+            out[name] = pa.array(np.bincount(
+                ti, weights=w.astype(np.float64),
+                minlength=k).astype(np.int64))
+        return pa.table(out)
+
+    partial.__name__ = "moments_partial"
+    ds = _read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_x", alias_name="sum_x"),
+        Sum("sum_xx", alias_name="sum_xx"),
+        Sum("sum_y", alias_name="sum_y"),
+        Sum("sum_yy", alias_name="sum_yy"),
+        Sum("sum_xy", alias_name="sum_xy"))
+    cols = ["n", "sum_x", "sum_xx", "sum_y", "sum_yy", "sum_xy"]
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"event_type": t.column("event_type"),
+             **{c: t.column(c).cast(pa.int64()) for c in cols}}),
+        batch_format="pyarrow")
+
+
+def sql_events_type_moments() -> str:
+    return """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         (epoch_us(ts) // 3600000000) % 24 AS y
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(x)::BIGINT AS sum_x, sum(x * x)::BIGINT AS sum_xx,
+       sum(y)::BIGINT AS sum_y, sum(y * y)::BIGINT AS sum_yy,
+       sum(x * y)::BIGINT AS sum_xy
+FROM b GROUP BY event_type"""
+
+
+def q_events_top_types_ranked(sf_dir: str):
+    """RANK() WITH TIES: per day, the event types ranked 1-2 by count —
+    ties share a rank and ALL tied rows survive (the semantics
+    row_number-based top-k silently breaks).  The base (day, type)
+    aggregate is the same one-touch partial shape as events_daily_dense;
+    the rank runs driver-side over the CALENDAR-BOUNDED grid (days x
+    types rows at ANY SF — bounded by the time span and the type
+    vocabulary, not the data volume), per the monthly-growth
+    precedent."""
+    ds = _read_table(sf_dir, "events", ["event_type", "ts"])
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(t.column("ts").cast(pa.int64()),
+                                    pa.scalar(US_DAY, pa.int64())),
+                          pa.scalar(US_DAY, pa.int64()))
+        g = pa.table({"day_us": day, "event_type": t.column("event_type")
+                      }).group_by(["day_us", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["day_us", "event_type", "n"])
+
+    partial.__name__ = "rank_partial"
+    base = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["day_us", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    grid = base.to_pandas()  # days x types rows — calendar-bounded
+    grid = grid.sort_values(["day_us", "n", "event_type"],
+                            ascending=[True, False, True],
+                            ignore_index=True)
+    # competition rank within each day: 1 + count of strictly-greater n
+    rnk = grid.groupby("day_us")["n"].rank(
+        method="min", ascending=False).astype(np.int64)
+    keep = grid[rnk <= 2].reset_index(drop=True)
+    return pa.table({
+        "day": pa.array(keep["day_us"].astype("int64")).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array(keep["event_type"], pa.string()),
+        "n": pa.array(keep["n"].astype("int64")),
+        "rnk": pa.array(rnk[rnk <= 2].reset_index(drop=True)
+                        .astype("int64")),
+    })
+
+
+def sql_events_top_types_ranked() -> str:
+    return """
+WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                  count(*) AS n
+           FROM events GROUP BY day, event_type),
+r AS (SELECT day, event_type, n,
+             rank() OVER (PARTITION BY day ORDER BY n DESC) AS rnk
+      FROM c)
+SELECT make_timestamp(day * 86400000000) AS day, event_type,
+       n::BIGINT AS n, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= 2"""
+
+
+def q_doc_vocab_growth(sf_dir: str):
+    """HEAPS'-LAW VOCABULARY GROWTH: how many NEW [a-z]+ token types
+    each doc_id decile introduces (token attributed to its minimum
+    doc_id) — the corpus-analysis curve data folks plot to judge corpus
+    diversity/saturation before training.
+
+    Scale shape: each batch emits (token, min doc_id) partials (Arrow
+    split + one group_by — no Python over documents); ONE token-keyed
+    exchange takes the global min per token (bounded by |vocab|, not
+    corpus size); the decile re-key is a stateless map off two
+    broadcast scalars, and the closing groupby moves <= 10 counters per
+    block."""
+    from ray.data.aggregate import Min
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    mx = ds.map_batches(
+        lambda t: pa.table({"mx": pa.array(
+            [pc.max(t.column("doc_id")).cast(pa.int64()).as_py()],
+            pa.int64())}), batch_format="pyarrow").take_all()
+    mx = max(r["mx"] for r in mx)
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        text = text.combine_chunks()
+        toks = pc.split_pattern_regex(text, "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        did = b.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(did, reps)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({
+            "token": flat.filter(keep),
+            "first_doc": pa.array(doc_of[keep.to_numpy(
+                zero_copy_only=False)], pa.int64()),
+        }).group_by("token").aggregate([("first_doc", "min")])
+        return g.rename_columns(["token", "first_doc"])
+
+    partial.__name__ = "vocab_partial"
+    firsts = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "token").aggregate(Min("first_doc", alias_name="first_doc"))
+
+    def decile_partial(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dec = fd * 10 // (mx + 1)
+        cnt = np.bincount(dec, minlength=10)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"decile": pa.array(nz, pa.int64()),
+                         "n_new_tokens": pa.array(
+                             cnt[nz].astype(np.int64))})
+
+    decile_partial.__name__ = "decile_partial"
+    agg = firsts.map_batches(decile_partial, batch_format="pyarrow") \
+        .groupby("decile").aggregate(
+        Sum("n_new_tokens", alias_name="n_new_tokens"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "decile": t.column("decile").cast(pa.int64()),
+            "n_new_tokens": t.column("n_new_tokens").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_doc_vocab_growth() -> str:
+    return """
+WITH t AS (SELECT UNNEST(regexp_extract_all(text, '[a-z]+')) AS tok,
+                  doc_id
+           FROM documents),
+f AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+m AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT (first_doc * 10 // (mx + 1))::BIGINT AS decile,
+       count(*)::BIGINT AS n_new_tokens
+FROM f, m GROUP BY decile"""
+
+
 # --------------------------------------------------------------------------
 # documents: dedup + text analysis
 # --------------------------------------------------------------------------
@@ -7700,6 +7892,9 @@ def build_registry(transcript_sf: str = SF001):
         "events_range_sum": q_events_range_sum,
         "events_mode_type": q_events_mode_type,
         "users_customers_reconcile": q_users_customers_reconcile,
+        "events_type_moments": q_events_type_moments,
+        "events_top_types_ranked": q_events_top_types_ranked,
+        "doc_vocab_growth": q_doc_vocab_growth,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -7878,9 +8073,11 @@ _WINDOW_ROTATION = [
     # take the slots of t_kind_bigrams / t_field_histogram / doc_normalize
     # / doc_top_tokens (witnessed in r1+r2+r3), which stay in CHECKLOCAL
     "events_user_streaks", "events_range_sum", "events_mode_type",
-    "users_customers_reconcile",
-    "doc_shared_term_pairs",
-    "events_quantiles_exact", "doc_idf", "doc_curation", "ann_topk",
+    "users_customers_reconcile", "events_type_moments",
+    "events_top_types_ranked", "doc_vocab_growth",
+    # (doc_shared_term_pairs / events_quantiles_exact / doc_idf —
+    # r4-witnessed — yield three slots to the batch above)
+    "doc_curation", "ann_topk",
     # (events_sample_stratified / events_window_anomaly — witnessed in
     # r1-r3 — yield their slots to never-witnessed round-5 operators;
     # they stay oracle-gated in CHECKLOCAL)
@@ -7949,6 +8146,9 @@ def _build_oracle(t01):
         "events_range_sum": sql_events_range_sum(),
         "events_mode_type": sql_events_mode_type(),
         "users_customers_reconcile": sql_users_customers_reconcile(),
+        "events_type_moments": sql_events_type_moments(),
+        "events_top_types_ranked": sql_events_top_types_ranked(),
+        "doc_vocab_growth": sql_doc_vocab_growth(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

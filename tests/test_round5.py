@@ -1786,3 +1786,130 @@ def test_users_customers_reconcile_matches_oracle(ray_session):
     nulls = got["acct_cents"].isna()
     assert (got.loc[nulls, "segment"] == "events_only").all()
     assert not got.loc[~nulls, "segment"].eq("events_only").any()
+
+
+def test_events_type_moments_matches_oracle(ray_session):
+    """Mergeable sufficient statistics: the six integer moments match
+    SQL exactly at sf0.001 and reconstruct the same Pearson r."""
+    from aushape_ray.pipelines.queries import (q_events_type_moments,
+                                               sql_events_type_moments)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_type_moments(sf).to_pandas().sort_values(
+        "event_type", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_type_moments()).df() \
+        .sort_values("event_type", ignore_index=True)
+    for c in ["event_type", "n", "sum_x", "sum_xx", "sum_y", "sum_yy",
+              "sum_xy"]:
+        assert got[c].tolist() == exp[c].tolist(), c
+    # the moments finish covariance on the driver with no further pass
+    r0 = got.iloc[0]
+    n = r0["n"]
+    cov_num = n * r0["sum_xy"] - r0["sum_x"] * r0["sum_y"]
+    assert isinstance(int(cov_num), int)
+
+
+def test_events_top_types_ranked_matches_oracle(ray_session):
+    """RANK with ties: ranked-1-2 types per day match SQL rank()
+    semantics at sf0.001 (ties share a rank and all survive)."""
+    from aushape_ray.pipelines.queries import (
+        q_events_top_types_ranked, sql_events_top_types_ranked)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_top_types_ranked(sf)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    got = got.sort_values(["day", "event_type"], ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_top_types_ranked()).df() \
+        .sort_values(["day", "event_type"], ignore_index=True)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n"].astype(int).tolist() == exp["n"].tolist()
+    assert got["rnk"].astype(int).tolist() == exp["rnk"].tolist()
+
+
+def test_rank_ties_semantics(ray_session):
+    """Constructed tie corpus: two types tied at rank 1 both survive and
+    the next rank is 3 (competition ranking), so only the tied pair
+    returns for that day."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_events_top_types_ranked
+
+    US_DAY = 86_400_000_000
+    rows = (["a"] * 3 + ["b"] * 3 + ["c"] * 2 +   # day 0: a,b tie at 3
+            ["a"] * 2 + ["b"] * 1)                # day 1: a=2, b=1
+    days = [0] * 8 + [1] * 3
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([d * US_DAY + i for i, d in enumerate(days)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(rows, pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = q_events_top_types_ranked(d)
+        df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    df = df.sort_values(["day", "event_type"], ignore_index=True)
+    day0 = df[df["day"] == df["day"].min()]
+    assert day0["event_type"].tolist() == ["a", "b"]   # c (rank 3) out
+    assert day0["rnk"].astype(int).tolist() == [1, 1]
+    day1 = df[df["day"] == df["day"].max()]
+    assert day1["event_type"].tolist() == ["a", "b"]
+    assert day1["rnk"].astype(int).tolist() == [1, 2]
+
+
+def test_doc_vocab_growth_matches_oracle(ray_session):
+    """Heaps'-law curve: per-decile new-token counts match the SQL
+    min-doc attribution at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_doc_vocab_growth,
+                                               sql_doc_vocab_growth)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_vocab_growth(sf).to_pandas().sort_values(
+        "decile", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_doc_vocab_growth()).df() \
+        .sort_values("decile", ignore_index=True)
+    assert got["decile"].astype(int).tolist() == exp["decile"].tolist()
+    assert got["n_new_tokens"].astype(int).tolist() == \
+        exp["n_new_tokens"].tolist()
+
+
+def test_doc_vocab_growth_multi_decile(ray_session):
+    """Constructed corpus spreads first occurrences across deciles:
+    min-doc attribution (not count) drives the histogram; repeated
+    tokens never count twice."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from aushape_ray.pipelines.queries import q_doc_vocab_growth
+
+    # 10 docs (deciles == doc_id): "alpha" everywhere (counts once, in
+    # decile 0), "beta" first at doc 5, "gamma" only at doc 9
+    texts = []
+    for i in range(10):
+        t = "alpha"
+        if i >= 5:
+            t += " beta"
+        if i == 9:
+            t += " gamma"
+        texts.append(t)
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = q_doc_vocab_growth(d).to_pandas().sort_values(
+            "decile", ignore_index=True)
+    assert out["decile"].astype(int).tolist() == [0, 5, 9]
+    assert out["n_new_tokens"].astype(int).tolist() == [1, 1, 1]
