@@ -1649,6 +1649,104 @@ SELECT * FROM (
   ON event_type USING count(*) GROUP BY day)"""
 
 
+def q_events_unpivot_daily(sf_dir: str):
+    """UNPIVOT (wide -> long reshape): melt the dynamic-schema daily
+    crosstab back to (day, event_type, n) rows, completing the reshape
+    family events_pivot_daily opened.  The melt is a stateless per-batch
+    transform over the already-tiny wide table (days x k ints): each
+    wide row explodes to k long rows via one np.repeat/tile — schema is
+    discovered from the BATCH (every non-day column is a category), so
+    the stage needs no side input.  Zero-count cells are kept, matching
+    SQL UNPIVOT INCLUDE NULLS ... with count 0 from the pivot's 0-fill
+    (DuckDB PIVOT also zero-fills missing cells)."""
+    wide = q_events_pivot_daily(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        types = [c for c in t.column_names if c != "day"]
+        nd = t.num_rows
+        day = t.column("day").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if types:
+            n = np.concatenate([t.column(c).to_numpy(zero_copy_only=False)
+                                for c in types])
+            days_long = np.tile(day, len(types))
+        else:
+            n = np.array([], np.int64)
+            days_long = np.array([], np.int64)
+        return pa.table({
+            "day": pa.array(days_long, pa.int64()).cast(
+                pa.timestamp("us")),
+            "event_type": pa.array(
+                np.repeat(np.array(types, object), nd), pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    melt.__name__ = "unpivot_melt"
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def sql_events_unpivot_daily() -> str:
+    return """
+WITH wide AS (
+  SELECT * FROM (
+    PIVOT (SELECT make_timestamp((epoch_us(ts) // 86400000000)
+                    * 86400000000) AS day,
+                  event_type
+           FROM events)
+    ON event_type USING count(*) GROUP BY day))
+SELECT day, event_type, n::BIGINT AS n
+FROM wide UNPIVOT (n FOR event_type IN (* EXCLUDE (day)))"""
+
+
+def q_orders_customer_share(sf_dir: str):
+    """PER-ROW PERCENT OF GROUP (ratio_to_report partitioned by key):
+    each order's share of its customer's lifetime spend, in exact
+    integer basis points — row-per-order output, the per-entity
+    complement of events_type_share's global percent-of-total.
+
+    One coarse custkey-hash exchange co-locates each customer's orders;
+    the partition pass computes group sums with one grouped transform
+    and the share as integer floor division — no join-back, no second
+    exchange."""
+    from ..functions.joins import hash_part
+
+    n_parts = 32
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": pa.array(ck, pa.int64()),
+            "cents": _cents(t.column("o_totalprice")),
+            "part": pa.array(hash_part(ck, n_parts)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("o_custkey")["cents"].transform("sum")
+        bp = (g["cents"].astype("int64") * 10000) // tot
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "share_bp": bp.astype("int64"),
+        })
+
+    per_partition.__name__ = "share_partition"
+    ds = _read_table(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(to_cents, batch_format="pyarrow").groupby(
+        "part", num_partitions=n_parts).map_groups(
+        per_partition, batch_format="pandas")
+
+
+def sql_orders_customer_share() -> str:
+    return """
+SELECT o_orderkey,
+       ((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000) //
+        sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey))::BIGINT AS share_bp
+FROM orders"""
+
+
 def q_events_tumbling(sf_dir: str):
     from ..functions.windows import tumbling_counts
 
@@ -7895,6 +7993,8 @@ def build_registry(transcript_sf: str = SF001):
         "events_type_moments": q_events_type_moments,
         "events_top_types_ranked": q_events_top_types_ranked,
         "doc_vocab_growth": q_doc_vocab_growth,
+        "events_unpivot_daily": q_events_unpivot_daily,
+        "orders_customer_share": q_orders_customer_share,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -8075,9 +8175,10 @@ _WINDOW_ROTATION = [
     "events_user_streaks", "events_range_sum", "events_mode_type",
     "users_customers_reconcile", "events_type_moments",
     "events_top_types_ranked", "doc_vocab_growth",
-    # (doc_shared_term_pairs / events_quantiles_exact / doc_idf —
-    # r4-witnessed — yield three slots to the batch above)
-    "doc_curation", "ann_topk",
+    "events_unpivot_daily", "orders_customer_share",
+    # (doc_shared_term_pairs / events_quantiles_exact / doc_idf /
+    # doc_curation / ann_topk — r4-witnessed — yield five slots to the
+    # batch above; all stay in CHECKLOCAL + pytest)
     # (events_sample_stratified / events_window_anomaly — witnessed in
     # r1-r3 — yield their slots to never-witnessed round-5 operators;
     # they stay oracle-gated in CHECKLOCAL)
@@ -8149,6 +8250,8 @@ def _build_oracle(t01):
         "events_type_moments": sql_events_type_moments(),
         "events_top_types_ranked": sql_events_top_types_ranked(),
         "doc_vocab_growth": sql_doc_vocab_growth(),
+        "events_unpivot_daily": sql_events_unpivot_daily(),
+        "orders_customer_share": sql_orders_customer_share(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

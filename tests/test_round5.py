@@ -1913,3 +1913,45 @@ def test_doc_vocab_growth_multi_decile(ray_session):
             "decile", ignore_index=True)
     assert out["decile"].astype(int).tolist() == [0, 5, 9]
     assert out["n_new_tokens"].astype(int).tolist() == [1, 1, 1]
+
+
+def test_events_unpivot_daily_matches_oracle(ray_session):
+    """UNPIVOT: the melted long table matches SQL UNPIVOT over the same
+    dynamic PIVOT at sf0.001, zero cells included, and round-trips the
+    pivot's cell count (days x types)."""
+    from aushape_ray.pipelines.queries import (q_events_unpivot_daily,
+                                               sql_events_unpivot_daily)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_unpivot_daily(sf).to_pandas().sort_values(
+        ["day", "event_type"], ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_unpivot_daily()).df() \
+        .sort_values(["day", "event_type"], ignore_index=True)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n"].astype(int).tolist() == exp["n"].tolist()
+    n_days = got["day"].nunique()
+    n_types = got["event_type"].nunique()
+    assert len(got) == n_days * n_types  # dense long grid, 0-cells kept
+
+
+def test_orders_customer_share_matches_oracle(ray_session):
+    """Per-row percent-of-group: basis points match the SQL partitioned
+    ratio_to_report at sf0.001 and sum to ~10000 per customer."""
+    from aushape_ray.pipelines.queries import (q_orders_customer_share,
+                                               sql_orders_customer_share)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_orders_customer_share(sf).to_pandas().sort_values(
+        "o_orderkey", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_orders_customer_share()).df() \
+        .sort_values("o_orderkey", ignore_index=True)
+    assert got["o_orderkey"].astype(int).tolist() == \
+        exp["o_orderkey"].tolist()
+    assert got["share_bp"].astype(int).tolist() == \
+        exp["share_bp"].tolist()
+    # single-order customers read exactly 10000 bp
+    orders = _duckdb_views(sf).execute(
+        "SELECT o_orderkey FROM orders QUALIFY count(*) OVER "
+        "(PARTITION BY o_custkey) = 1").df()["o_orderkey"]
+    solo = got[got["o_orderkey"].isin(set(orders))]
+    assert (solo["share_bp"] == 10000).all()
