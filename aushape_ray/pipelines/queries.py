@@ -3706,6 +3706,87 @@ SELECT (SELECT count(*) FROM pr)::BIGINT AS n_edges,
        )::BIGINT AS n_triangles"""
 
 
+def q_doc_dup_rate_by_source(sf_dir: str):
+    """DEDUP REPORT: per source, how many docs participate in at least
+    one verified near-dup pair — the per-domain duplication-rate table
+    every curation run publishes before choosing what to drop.
+
+    Composition shape: the verified pair chain (bucketed LSH + verify,
+    never all-pairs) reduces to DISTINCT flagged doc_ids (per-batch
+    unique + key groupby, <= |dup docs| rows), which join the
+    (doc_id, source) dimension through the partitioned hash_join
+    (how='left', docs side preserved); the closing per-source counts
+    pre-aggregate per batch so the last exchange moves <= |sources| x 2
+    counters per block."""
+    from ..functions.dedup import minhash_candidates, verify_pairs_jaccard
+    from ..functions.joins import hash_join
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    text_side = docs.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+    cands = minhash_candidates(text_side)
+    verified = verify_pairs_jaccard(cands, text_side, min_jaccard=0.5)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("jaccard"), 0.5)
+        f = t.filter(keep)
+        both = np.unique(np.concatenate([
+            f.column("doc_a").to_numpy(zero_copy_only=False),
+            f.column("doc_b").to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(both.astype(np.int64)),
+                         "is_dup": pa.array(
+                             np.ones(len(both), np.int64))})
+
+    endpoints.__name__ = "dup_endpoints"
+    from ray.data.aggregate import Max
+
+    dup_ids = verified.map_batches(
+        endpoints, batch_format="pyarrow").groupby("doc_id").aggregate(
+        Max("is_dup", alias_name="is_dup"))
+
+    dim = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "source": t.column("source"),
+        }), batch_format="pyarrow")
+    joined = hash_join(dim, dup_ids, "doc_id", "doc_id",
+                       n_buckets=16, how="left")
+
+    def rate_partial(t: pa.Table) -> pa.Table:
+        flag = pc.coalesce(t.column("is_dup").cast(pa.int64()),
+                           pa.scalar(0, pa.int64()))
+        g = pa.table({
+            "source": t.column("source"),
+            "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_dup_docs": flag,
+        }).group_by("source").aggregate([("n_docs", "sum"),
+                                         ("n_dup_docs", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_dup_docs"])
+
+    rate_partial.__name__ = "rate_partial"
+    agg = joined.map_batches(rate_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_dup_docs", alias_name="n_dup_docs"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_dup_docs": t.column("n_dup_docs").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_doc_dup_rate_by_source() -> str:
+    return f"""
+WITH pr AS ({sql_doc_minhash_pairs()}),
+d AS (SELECT doc_a AS doc_id FROM pr
+      UNION SELECT doc_b FROM pr)
+SELECT s.source, count(*)::BIGINT AS n_docs,
+       count(d.doc_id)::BIGINT AS n_dup_docs
+FROM documents s LEFT JOIN d ON d.doc_id = s.doc_id
+GROUP BY s.source"""
+
+
 def sql_doc_dup_clusters() -> str:
     """Connected components over the oracle pair list via a recursive
     transitive closure; cluster_id = min doc_id of the component (the
@@ -8037,6 +8118,7 @@ def build_registry(transcript_sf: str = SF001):
         "events_unpivot_daily": q_events_unpivot_daily,
         "orders_customer_share": q_orders_customer_share,
         "doc_dup_triangles": q_doc_dup_triangles,
+        "doc_dup_rate_by_source": q_doc_dup_rate_by_source,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -8222,9 +8304,11 @@ _WINDOW_ROTATION = [
     "events_top_types_ranked", "doc_vocab_growth",
     "events_unpivot_daily", "orders_customer_share", "doc_dup_triangles",
     # (doc_shared_term_pairs / events_quantiles_exact / doc_idf /
-    # doc_curation / ann_topk / events_window_distinct — r4/r5-witnessed
-    # or displaced — yield six slots to the batch above; all stay in
-    # CHECKLOCAL + pytest)
+    # doc_curation / ann_topk — r4-witnessed — yield their slots to the
+    # batch above; all stay in CHECKLOCAL + pytest.  The window now
+    # holds the 9 pinned t_* plus 41 never-witnessed round-5 operators
+    # — completely full; doc_dup_rate_by_source, added after the window
+    # filled, is oracle-gated in CHECKLOCAL + pytest only.)
     # (events_sample_stratified / events_window_anomaly — witnessed in
     # r1-r3 — yield their slots to never-witnessed round-5 operators;
     # they stay oracle-gated in CHECKLOCAL)
@@ -8299,6 +8383,7 @@ def _build_oracle(t01):
         "events_unpivot_daily": sql_events_unpivot_daily(),
         "orders_customer_share": sql_orders_customer_share(),
         "doc_dup_triangles": sql_doc_dup_triangles(),
+        "doc_dup_rate_by_source": sql_doc_dup_rate_by_source(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -2001,3 +2001,24 @@ def test_triangle_stats_constructed(ray_session):
     brute = sum(1 for a, b, c in combinations(nodes, 3)
                 if (a, b) in es and (b, c) in es and (a, c) in es)
     assert out.column("n_triangles")[0].as_py() == brute
+
+
+def test_doc_dup_rate_by_source_matches_oracle(ray_session):
+    """Dedup report: per-source dup participation counts match the SQL
+    left-join rate at sf0.001; totals conserve the corpus size."""
+    from aushape_ray.pipelines.queries import (
+        q_doc_dup_rate_by_source, sql_doc_dup_rate_by_source)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_dup_rate_by_source(sf).to_pandas().sort_values(
+        "source", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_doc_dup_rate_by_source()).df() \
+        .sort_values("source", ignore_index=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_docs"].astype(int).tolist() == exp["n_docs"].tolist()
+    assert got["n_dup_docs"].astype(int).tolist() == \
+        exp["n_dup_docs"].tolist()
+    n_total = _duckdb_views(sf).execute(
+        "SELECT count(*) FROM documents").fetchone()[0]
+    assert int(got["n_docs"].sum()) == n_total
+    assert (got["n_dup_docs"] <= got["n_docs"]).all()
