@@ -4389,6 +4389,203 @@ SELECT s.event_type, qs.lbl AS q, s.value::DOUBLE AS value
 FROM qs JOIN s ON s.rk = LEAST(s.n - 1, FLOOR(qs.q * (s.n - 1))::BIGINT)"""
 
 
+def _grouped_median_int(ds, key_order: "list[str]", R: int = 8):
+    """Exact per-group median (lower median, zero-based rank
+    (n-1)//2) of an INTEGER column — the grouped-quantile composite
+    partition (see q_events_quantiles_by_type) specialized to one
+    integer statistic, reusable for nested passes (MAD).
+
+    ds: Dataset with (event_type: string, cents: int64).  Returns
+    {event_type: median_int}.  Driver traffic: n_types x (R + 3) ints.
+    Integer values make every comparison and the selected statistic
+    bit-exact on both engines."""
+    from ..functions.joins import bucket_exchange
+
+    def minmax(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "et": t.column("event_type").to_pandas(),
+            "v": t.column("cents").to_numpy(zero_copy_only=False)})
+        a = g.groupby("et", sort=False)["v"].agg(
+            ["min", "max", "size"]).reset_index()
+        return pa.table({
+            "et": pa.array(a["et"], pa.string()),
+            "lo": pa.array(a["min"].to_numpy(np.int64)),
+            "hi": pa.array(a["max"].to_numpy(np.int64)),
+            "n": pa.array(a["size"].to_numpy(np.int64)),
+        })
+
+    minmax.__name__ = "gm_minmax"
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    agg = mm.groupby("et").agg(lo=("lo", "min"), hi=("hi", "max"),
+                               n=("n", "sum"))
+    types = [t for t in key_order if t in agg.index]
+    t_idx = {et: i for i, et in enumerate(types)}
+    lo = agg["lo"].reindex(types).to_numpy(np.int64)
+    span = np.maximum(
+        agg["hi"].reindex(types).to_numpy(np.int64) - lo + 1, 1)
+    n_per = agg["n"].reindex(types).to_numpy(np.int64)
+    targets = (n_per - 1) // 2
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas().map(
+            t_idx).to_numpy(np.int64)
+        v = t.column("cents").to_numpy(zero_copy_only=False)
+        r = np.minimum((v - lo[et]) * R // span[et], R - 1)
+        return pa.table({
+            "cents": pa.array(v.astype(np.int64)),
+            "__bucket": pa.array(et * R + r, pa.int64()),
+        })
+
+    add_bucket.__name__ = "gm_bucket"
+    parted = ds.map_batches(add_bucket,
+                            batch_format="pyarrow").materialize()
+    cnt = parted.map_batches(
+        lambda t: pa.table({
+            "b": pa.array(np.arange(len(types) * R), pa.int64()),
+            "c": pa.array(np.bincount(
+                t.column("__bucket").to_numpy(zero_copy_only=False),
+                minlength=len(types) * R), pa.int64()),
+        }), batch_format="pyarrow").take_all()
+    per = np.zeros(len(types) * R, np.int64)
+    for r_ in cnt:
+        per[r_["b"]] += r_["c"]
+    mat = per.reshape(len(types), R)
+    carry = np.concatenate([np.concatenate(
+        [[0], np.cumsum(mat[i])[:-1]]) for i in range(len(types))])
+
+    def select(g: pa.Table) -> pa.Table:
+        out_t, out_v = [], []
+        if g.num_rows:
+            b = int(g.column("__bucket")[0].as_py())
+            i = b // R
+            k = targets[i] - carry[b]
+            if 0 <= k < g.num_rows:
+                v = np.sort(g.column("cents").to_numpy(
+                    zero_copy_only=False))
+                out_t.append(types[i])
+                out_v.append(int(v[k]))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "med": pa.array(out_v, pa.int64())})
+
+    select.__name__ = "gm_select"
+    rows = bucket_exchange(parted, len(types) * R, select).take_all()
+    return {r["event_type"]: int(r["med"]) for r in rows}
+
+
+def q_events_type_mad(sf_dir: str):
+    """NESTED ORDER STATISTIC — per-type median absolute deviation
+    (MAD): median(|cents - median(cents)|), the robust dispersion
+    measure outlier pipelines prefer over stddev.  Two passes of the
+    exact grouped-median machinery (_grouped_median_int — the
+    composite (type, value-range) partition with count carries, so no
+    task ever holds a whole type); the k per-type medians broadcast
+    between passes as a plain dict (k ints).  Integer cents + lower-
+    median rank (n-1)//2 make both statistics bit-exact vs SQL."""
+    ds = _read_table(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value"), np.float64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(
+                np.int64)),
+        })
+
+    to_cents.__name__ = "mad_cents"
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    key_order = sorted(cents.unique("event_type"))
+    med = _grouped_median_int(cents, key_order)
+
+    def to_dev(t: pa.Table) -> pa.Table:
+        m = t.column("event_type").to_pandas().map(med).to_numpy(
+            np.int64)
+        v = t.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "cents": pa.array(np.abs(v - m)),
+        })
+
+    to_dev.__name__ = "mad_dev"
+    mad = _grouped_median_int(
+        cents.map_batches(to_dev, batch_format="pyarrow"), key_order)
+    ets = sorted(med)
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "med_cents": pa.array([med[e] for e in ets], pa.int64()),
+        "mad_cents": pa.array([mad[e] for e in ets], pa.int64()),
+    })
+
+
+def sql_events_type_mad() -> str:
+    return """
+WITH b AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT event_type, cents AS med FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents) - 1 AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM b) WHERE rk = (n - 1) // 2),
+d AS (SELECT b.event_type, abs(b.cents - m.med) AS dev
+      FROM b JOIN m USING (event_type)),
+md AS (SELECT event_type, dev AS mad FROM (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev) - 1 AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM d) WHERE rk = (n - 1) // 2)
+SELECT m.event_type, m.med::BIGINT AS med_cents,
+       md.mad::BIGINT AS mad_cents
+FROM m JOIN md USING (event_type)"""
+
+
+def q_doc_dup_cluster_sizes(sf_dir: str):
+    """DEDUP REPORT 2: the cluster-size histogram of the near-dup
+    graph — (cluster_size, n_clusters) rows, the distribution curation
+    teams plot to pick keep-one-per-cluster vs threshold tuning.
+    Composition: connected components (cluster_pairs — label rounds,
+    never edges) -> per-batch (cluster_id, 1) partials -> cluster-keyed
+    size groupby -> per-batch size histogram partials -> tiny size
+    groupby; output is bounded by the largest family, not the corpus."""
+    clusters = q_doc_dup_clusters(sf_dir)
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        cid = t.column("cluster_id").cast(pa.int64())
+        return pa.table({"cluster_id": cid,
+                         "sz": pa.array(np.ones(len(t), np.int64))})
+
+    size_partial.__name__ = "cluster_size_partial"
+    sizes = clusters.map_batches(
+        size_partial, batch_format="pyarrow").groupby(
+        "cluster_id").aggregate(Sum("sz", alias_name="sz"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        sz = t.column("sz").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u, c = np.unique(sz, return_counts=True)
+        return pa.table({"cluster_size": pa.array(u.astype(np.int64)),
+                         "n_clusters": pa.array(c.astype(np.int64))})
+
+    hist_partial.__name__ = "cluster_hist_partial"
+    agg = sizes.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("cluster_size").aggregate(
+        Sum("n_clusters", alias_name="n_clusters"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "cluster_size": t.column("cluster_size").cast(pa.int64()),
+            "n_clusters": t.column("n_clusters").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_doc_dup_cluster_sizes() -> str:
+    return f"""
+WITH c AS ({sql_doc_dup_clusters()}),
+s AS (SELECT cluster_id, count(*) AS sz FROM c GROUP BY cluster_id)
+SELECT sz::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM s GROUP BY sz"""
+
+
 def q_doc_cross_dedup(sf_dir: str):
     """Cross-corpus exact dedup (don't-train-on-the-reference at doc
     granularity, the hash-level complement of n-gram decontamination):
@@ -8119,6 +8316,8 @@ def build_registry(transcript_sf: str = SF001):
         "orders_customer_share": q_orders_customer_share,
         "doc_dup_triangles": q_doc_dup_triangles,
         "doc_dup_rate_by_source": q_doc_dup_rate_by_source,
+        "events_type_mad": q_events_type_mad,
+        "doc_dup_cluster_sizes": q_doc_dup_cluster_sizes,
         "events_daily_top_users": q_events_daily_top_users,
         "mktsegment_orders": q_mktsegment_orders,
         "events_tumbling": q_events_tumbling,
@@ -8384,6 +8583,8 @@ def _build_oracle(t01):
         "orders_customer_share": sql_orders_customer_share(),
         "doc_dup_triangles": sql_doc_dup_triangles(),
         "doc_dup_rate_by_source": sql_doc_dup_rate_by_source(),
+        "events_type_mad": sql_events_type_mad(),
+        "doc_dup_cluster_sizes": sql_doc_dup_cluster_sizes(),
         "events_sessionize": sql_events_sessionize(),
         "events_sliding": sql_events_sliding(),
         "events_asof_prev_error": sql_events_asof_prev_error(),

@@ -2022,3 +2022,60 @@ def test_doc_dup_rate_by_source_matches_oracle(ray_session):
         "SELECT count(*) FROM documents").fetchone()[0]
     assert int(got["n_docs"].sum()) == n_total
     assert (got["n_dup_docs"] <= got["n_docs"]).all()
+
+
+def test_events_type_mad_matches_oracle(ray_session):
+    """Nested order statistic: per-type median + MAD (integer cents,
+    lower-median rank) match the SQL replica at sf0.001."""
+    from aushape_ray.pipelines.queries import (q_events_type_mad,
+                                               sql_events_type_mad)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_events_type_mad(sf)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    got = got.sort_values("event_type", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_events_type_mad()).df() \
+        .sort_values("event_type", ignore_index=True)
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["med_cents"].astype(int).tolist() == \
+        exp["med_cents"].tolist()
+    assert got["mad_cents"].astype(int).tolist() == \
+        exp["mad_cents"].tolist()
+
+
+def test_grouped_median_int_edges(ray_session):
+    """_grouped_median_int pins the rank convention: even counts take
+    the LOWER median; single-value and duplicate-heavy groups exact."""
+    import ray.data
+
+    from aushape_ray.pipelines.queries import _grouped_median_int
+
+    t = pa.table({
+        "event_type": pa.array(
+            ["a"] * 4 + ["b"] * 1 + ["c"] * 5, pa.string()),
+        # a: 1,2,3,4 -> lower median 2; b: 7 -> 7; c: 5,5,5,9,9 -> 5
+        "cents": pa.array([1, 2, 3, 4, 7, 5, 5, 5, 9, 9], pa.int64()),
+    })
+    med = _grouped_median_int(ray.data.from_arrow(t), ["a", "b", "c"])
+    assert med == {"a": 2, "b": 7, "c": 5}
+
+
+def test_doc_dup_cluster_sizes_matches_oracle(ray_session):
+    """Cluster-size histogram matches the recursive-closure SQL at
+    sf0.001 and conserves the clustered-doc total."""
+    from aushape_ray.pipelines.queries import (
+        q_doc_dup_cluster_sizes, sql_doc_dup_cluster_sizes)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_dup_cluster_sizes(sf).to_pandas().sort_values(
+        "cluster_size", ignore_index=True)
+    exp = _duckdb_views(sf).execute(sql_doc_dup_cluster_sizes()).df() \
+        .sort_values("cluster_size", ignore_index=True)
+    assert got["cluster_size"].astype(int).tolist() == \
+        exp["cluster_size"].tolist()
+    assert got["n_clusters"].astype(int).tolist() == \
+        exp["n_clusters"].tolist()
+    n_clustered = _duckdb_views(sf).execute(
+        f"WITH c AS ({__import__('aushape_ray.pipelines.queries', fromlist=['sql_doc_dup_clusters']).sql_doc_dup_clusters()}) SELECT count(*) FROM c").fetchone()[0]
+    assert int((got["cluster_size"] * got["n_clusters"]).sum()) == \
+        n_clustered
